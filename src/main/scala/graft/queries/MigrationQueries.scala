@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableFns._
+import graft.sources.Sources
+
+/** The reference's SQL surface re-expressed over the testdata
+  * (SURVEY.md §2A): lineitem partitioned by month(l_shipdate) stands in
+  * for a ClickHouse MergeTree table with a date-derived partition key.
+  * Each entry has a DuckDB oracle in [[MigrationQueries.oracles]].
+  */
+object MigrationQueries {
+
+  private def li(s: SparkSession, dir: String) = Sources.table(s, dir, "lineitem")
+
+  /** Completed-partition fixture for the resume diff (SURVEY.md A25). */
+  private val completedParts = Seq("1995-01", "1995-02", "1995-03")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A24: partition enumeration — DISTINCT + ORDER BY over the key only.
+    "m_partition_enum" -> ((s, dir) =>
+      li(s, dir)
+        .select(monthStr(col("l_shipdate")).as("part"))
+        .distinct()
+        .orderBy("part")),
+
+    // A20: filtered scalar count for one partition.
+    "m_partition_count" -> ((s, dir) =>
+      li(s, dir)
+        .filter(monthStr(col("l_shipdate")) === "1996-03")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // One-pass upgrade of A20: every partition's count in a single scan
+    // (the reference issues 2 queries per partition; SURVEY.md §6).
+    "m_counts_by_partition" -> ((s, dir) =>
+      li(s, dir)
+        .groupBy(monthStr(col("l_shipdate")).as("part"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("part")),
+
+    // A25: resume set-difference as a left_anti join (EXCEPT semantics).
+    "m_resume_diff" -> ((s, dir) => {
+      import s.implicits._
+      val all = li(s, dir)
+        .select(monthStr(col("l_shipdate")).as("part")).distinct()
+      val done = completedParts.toDF("part")
+      all.join(broadcast(done), Seq("part"), "left_anti").orderBy("part")
+    }),
+
+    // A10/A15: the filtered copy — partition-predicate scan, projected.
+    // (The write side is exercised by CopyService + its integration spec;
+    // here the scan half is oracle-checked.)
+    "m_filtered_copy" -> ((s, dir) =>
+      li(s, dir)
+        .filter(monthStr(col("l_shipdate")) === "1996-03")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"),
+          dateStr(col("l_shipdate")).as("l_shipdate_s"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // A20+A35: src/dst count validation as ONE full-outer join of two
+    // single-pass aggregates (dst simulated as a partial copy).
+    "m_validation_gate" -> ((s, dir) => {
+      val src = li(s, dir)
+        .groupBy(monthStr(col("l_shipdate")).as("part"))
+        .agg(count(lit(1)).as("src_count"))
+      val dst = li(s, dir)
+        .filter(col("l_quantity") <= 49)
+        .groupBy(monthStr(col("l_shipdate")).as("part"))
+        .agg(count(lit(1)).as("dst_count"))
+      src.join(dst, Seq("part"), "full_outer")
+        .select(
+          col("part"),
+          coalesce(col("src_count"), lit(0L)).as("src_count"),
+          coalesce(col("dst_count"), lit(0L)).as("dst_count"),
+          (coalesce(col("src_count"), lit(0L)) ===
+            coalesce(col("dst_count"), lit(0L))).as("passed"))
+        .orderBy("part")
+    }),
+
+    // A17: NOT IN set predicate (view exclusion analog).
+    "m_not_in" -> ((s, dir) =>
+      Sources.table(s, dir, "orders")
+        .filter(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")),
+
+    // A19: substring-membership predicate (skip-if-already-migrated analog).
+    "m_skip_check" -> ((s, dir) =>
+      Sources.table(s, dir, "documents")
+        .filter(col("text").contains("spark"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m_partition_enum" ->
+      """SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS part
+        |FROM lineitem ORDER BY part""".stripMargin,
+    "m_partition_count" ->
+      """SELECT count(*) AS cnt FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') = '1996-03'""".stripMargin,
+    "m_counts_by_partition" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS part, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY part""".stripMargin,
+    "m_resume_diff" ->
+      """SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS part FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m')
+        |  NOT IN ('1995-01', '1995-02', '1995-03')
+        |ORDER BY part""".stripMargin,
+    "m_filtered_copy" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate_s
+        |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '1996-03'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "m_validation_gate" ->
+      """WITH src AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS part, count(*) AS src_count
+        |  FROM lineitem GROUP BY 1),
+        |dst AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS part, count(*) AS dst_count
+        |  FROM lineitem WHERE l_quantity <= 49 GROUP BY 1)
+        |SELECT COALESCE(src.part, dst.part) AS part,
+        |  COALESCE(src_count, 0) AS src_count,
+        |  COALESCE(dst_count, 0) AS dst_count,
+        |  COALESCE(src_count, 0) = COALESCE(dst_count, 0) AS passed
+        |FROM src FULL JOIN dst ON src.part = dst.part
+        |ORDER BY part""".stripMargin,
+    "m_not_in" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "m_skip_check" ->
+      """SELECT lang, count(*) AS cnt FROM documents
+        |WHERE text LIKE '%spark%'
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+  )
+}

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source/sink layer.
+  *
+  * The reference's only source is ClickHouse-over-HTTP
+  * (reference: clickhouse_migrator/clients/ch_client.py:13-19) and its only
+  * sink is a ClickHouse table on an S3 storage policy. Here the native
+  * format is parquet (columnar, splittable — the right unit for a
+  * 1000-executor scan); JDBC covers a live ClickHouse, and csv/json are
+  * interchange formats.
+  */
+object Sources {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one testdata table: `$dir/$name.parquet`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
+
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** JDBC source for a live ClickHouse (the reference's source system).
+    * Partitioned reads: supply a numeric/temporal partition column so the
+    * scan fans out across executors instead of a single connection —
+    * the moral equivalent of the reference's per-partition INSERT…SELECT
+    * batching (reference: services/migration.py:466-508).
+    *
+    * Requires a ClickHouse JDBC driver on the classpath at deploy time;
+    * unreachable in this offline test environment, so it is exercised
+    * only via its option-plumbing in tests.
+    */
+  def clickhouseJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val withPart = partitionColumn match {
+      case Some((colName, lower, upper, num)) => base
+        .option("partitionColumn", colName)
+        .option("lowerBound", lower.toString)
+        .option("upperBound", upper.toString)
+        .option("numPartitions", num.toString)
+      case None => base
+    }
+    props.foldLeft(withPart) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  /** Probe the sink the way the reference probes the S3 policy
+    * (reference: clients/ch_client.py:43-57 round-trips a tmp table):
+    * write a 1-row parquet under the prefix, read it back, delete.
+    */
+  def probeSink(spark: SparkSession, prefix: String): Boolean = {
+    val probePath = s"$prefix/_graft_probe"
+    try {
+      spark.range(1).write.mode("overwrite").parquet(probePath)
+      val ok = spark.read.parquet(probePath).count() == 1L
+      val hPath = new org.apache.hadoop.fs.Path(probePath)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(hPath, true)
+      ok
+    } catch { case _: Exception => false }
+  }
+}
