@@ -1,0 +1,177 @@
+package graft.orchestrate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.copy.CopyService
+import graft.model._
+import graft.operators.Partitions
+import graft.resume.Checkpoint
+
+/** The migration state machine — the reference's core
+  * (reference: clickhouse_migrator/services/migration.py:372-541, live
+  * definition) re-expressed for path-based parquet tables on a Spark
+  * cluster.
+  *
+  * Lifecycle per table (mirrors SURVEY.md §3.1):
+  *   lock → skip-check → enumerate partitions → resume-diff →
+  *   per-partition [copy → throttle → validate → checkpoint] →
+  *   full validation gate → publish (write-audit-publish) →
+  *   optional source drop → report.
+  *
+  * Deliberate divergences from the reference (SURVEY.md §7.5):
+  *  - per-partition copy is OVERWRITE → crash-retry is idempotent
+  *    (the reference's re-INSERT duplicates rows, §3.4);
+  *  - the swap is write-audit-publish via a staging dir instead of the
+  *    non-atomic DROP+RENAME (migration.py:522-523);
+  *  - source data is deleted only after the full-table gate passes
+  *    (the reference drops each source partition mid-flight,
+  *    migration.py:498-503 — recoverable only via the backup table);
+  *  - the lock is released in a finally (the reference leaks it, A39).
+  *
+  * Scale design: the driver never holds row data — partition enumeration
+  * collects only distinct key tuples, validation uses one
+  * `groupBy(keys).count()` pass per side instead of the reference's 2N+3
+  * scalar counts, and each partition copy is an independent distributed
+  * job (bounded work unit = checkpoint unit, same as the reference).
+  */
+final class Migrator(
+    spark: SparkSession,
+    checkpoint: Checkpoint,
+    lockDir: String = "locks",
+    insertIntervalSec: Double = 0.0,
+    lockTimeoutSec: Double = 3600.0) {
+
+  /** Migrate one source table.
+    *
+    * @param table    logical identity for checkpoint/report/lock keys
+    * @param src      source data
+    * @param keys     partition key column names (derived columns allowed)
+    * @param keyExprs expressions producing each key from `src` columns —
+    *                 the analog of a ClickHouse PARTITION BY expression
+    * @param destRoot final destination root (published only after audit)
+    * @param dropSource delete the source path after successful publish
+    */
+  def migrateTable(
+      table: TableRef,
+      src: DataFrame,
+      keys: Seq[String],
+      keyExprs: Seq[Column],
+      destRoot: String,
+      srcPathToDrop: Option[String] = None,
+      dropSource: Boolean = false): TableResult = {
+    val lock = new TableLock(lockDir, table.db, table.table, lockTimeoutSec)
+    try {
+      lock.withLock(doMigrate(table, src, keys, keyExprs, destRoot, srcPathToDrop, dropSource))
+    } catch {
+      case e: Exception =>
+        checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
+        TableResult(table, TableStatus.Failed, 0, 0, 0L, Nil, Some(e.getMessage))
+    }
+  }
+
+  private def doMigrate(
+      table: TableRef,
+      src: DataFrame,
+      keys: Seq[String],
+      keyExprs: Seq[Column],
+      destRoot: String,
+      srcPathToDrop: Option[String],
+      dropSource: Boolean): TableResult = {
+    // Skip-if-already-migrated (A19 analog): table checkpointed complete.
+    if (checkpoint.tableProgress(table.db, table.table)
+        .exists(_.status == TableStatus.Completed)) {
+      return TableResult(table, TableStatus.Skipped, 0, 0, 0L, Nil)
+    }
+
+    val staging = destRoot + ".staging"
+    // Materialize derived partition keys once; Catalyst prunes to the
+    // needed source columns for enumeration/counting.
+    val withKeys = keys.zip(keyExprs).foldLeft(src) {
+      case (df, (k, e)) => df.withColumn(k, e.cast("string"))
+    }
+
+    val allParts = Partitions.enumeratePartitions(withKeys, keys)
+    checkpoint.initTable(table.db, table.table)
+
+    // No-partition fast path (reference: migration.py:432-441).
+    if (allParts.isEmpty) {
+      CopyService.writePartitioned(withKeys.limit(0), keys, staging)
+      CopyService.publish(spark, staging, destRoot)
+      checkpoint.markStatus(table.db, table.table, TableStatus.Completed)
+      return TableResult(table, TableStatus.Completed, 0, 0, 0L, Nil)
+    }
+
+    val work = checkpoint.uncompleted(table.db, table.table, allParts)
+    if (work.isEmpty && allParts.nonEmpty) {
+      // Everything already checkpointed: fall through to final gate+publish.
+    }
+
+    // ONE-pass source counts for all partitions (replaces 2N scalar queries).
+    val srcCounts = Partitions.countsByPartition(withKeys.select(keys.map(col): _*), keys)
+
+    var migratedRows = 0L
+    var checks = Vector.empty[PartitionCheck]
+    val partCols = keys.map(col)
+
+    work.foreach { part =>
+      val t0 = System.nanoTime()
+      CopyService.copyPartition(withKeys, keys, part, partCols, staging)
+      if (insertIntervalSec > 0) Thread.sleep((insertIntervalSec * 1000).toLong)
+      val srcCount = srcCounts.getOrElse(part, 0L)
+      val dstCount = CopyService.countPartitionDir(spark, staging, keys, part)
+      val cost = (System.nanoTime() - t0) / 1e9
+      val passed = srcCount == dstCount
+      checks :+= PartitionCheck(part.render, srcCount, dstCount, passed, cost)
+      if (!passed) {
+        // Validation gate (A35): abort, do NOT checkpoint, source intact.
+        checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
+        return TableResult(table, TableStatus.Failed, allParts.size,
+          checks.count(_.passed), migratedRows, checks,
+          Some(s"count mismatch for partition ${part.render}: src=$srcCount dst=$dstCount"))
+      }
+      migratedRows += srcCount
+      checkpoint.markPartition(table.db, table.table, part)
+    }
+
+    // Full-table validation gate (migration.py:510-518) — one scan per side.
+    val totalSrc = srcCounts.values.sum
+    val totalDst = spark.read
+      .option("basePath", staging).parquet(staging).count()
+    if (totalDst != totalSrc) {
+      checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
+      return TableResult(table, TableStatus.Failed, allParts.size,
+        checks.count(_.passed), migratedRows, checks,
+        Some(s"full-table count mismatch: src=$totalSrc dst=$totalDst"))
+    }
+
+    // Audit passed → publish (the safe swap).
+    CopyService.publish(spark, staging, destRoot)
+
+    if (dropSource) srcPathToDrop.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+
+    checkpoint.markStatus(table.db, table.table, TableStatus.Completed)
+    TableResult(table, TableStatus.Completed, allParts.size,
+      allParts.size, migratedRows, checks)
+  }
+
+  /** Full-database mode (reference: migration.py:544-563): sequential
+    * per-table migration, log-and-continue on failure.
+    */
+  def migrateAll(
+      tables: Seq[(TableRef, DataFrame, Seq[String], Seq[Column], String)],
+      mode: String = "full",
+      db: String = ""): MigrationReport = {
+    val results = tables.map { case (ref, src, keys, exprs, dest) =>
+      try migrateTable(ref, src, keys, exprs, dest)
+      catch {
+        case e: Exception =>
+          TableResult(ref, TableStatus.Failed, 0, 0, 0L, Nil, Some(e.getMessage))
+      }
+    }
+    MigrationReport(mode, db, results)
+  }
+}

@@ -88,11 +88,11 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     }),
 
-    // Left-anti join: customers with NO orders at all (NOT EXISTS).
+    // Left-anti join: customers with no pending ('P') order (NOT EXISTS).
     "q_anti_join" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
-      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      val pend = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      cust.join(pend, cust("c_custkey") === pend("o_custkey"), "left_anti")
         .select("c_custkey", "c_nationkey")
         .orderBy("c_custkey")
     }),
@@ -181,7 +181,8 @@ object RelationalQueries {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_nationkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice,

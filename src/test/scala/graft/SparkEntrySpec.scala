@@ -1,0 +1,33 @@
+package graft
+
+/** Contract guards for the driver-facing surface. */
+class SparkEntrySpec extends SparkFunSuite {
+
+  test("no duplicate query names across groups") {
+    val groups = Seq(
+      graft.queries.MigrationQueries.defs.keySet,
+      graft.queries.RelationalQueries.defs.keySet)
+    val all = groups.flatten
+    assert(all.size == all.toSet.size, "duplicate query names across groups")
+    assert(SparkEntry.queries.keySet == all.toSet)
+  }
+
+  test("every query has an oracle (or is explicitly waived)") {
+    val waived = Set.empty[String] // queries with driver rows-only checks
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"query $name returned no rows at sf0.001")
+    }
+  }
+}

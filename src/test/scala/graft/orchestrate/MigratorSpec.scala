@@ -1,0 +1,152 @@
+package graft.orchestrate
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.model.{PartitionId, TableRef, TableStatus}
+import graft.resume.Checkpoint
+
+/** Pipeline integration (SURVEY.md §5.2 item 4): migrate lineitem
+  * partitioned by month(l_shipdate) through the full state machine, then
+  * kill-and-resume and failure-injection.
+  */
+class MigratorSpec extends SparkFunSuite {
+
+  private val keys = Seq("l_month")
+  private def keyExprs = Seq(date_format(col("l_shipdate"), "yyyy-MM"))
+  private def lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
+
+  private def freshEnv() = {
+    val dir = Files.createTempDirectory("mig")
+    val ckpt = new Checkpoint(dir.resolve("progress.json"))
+    val mig = new Migrator(spark, ckpt, lockDir = dir.resolve("locks").toString)
+    (dir, ckpt, mig)
+  }
+
+  test("full migration: counts preserved, published layout readable") {
+    val (dir, ckpt, mig) = freshEnv()
+    val dest = s"$dir/dest/lineitem"
+    val res = mig.migrateTable(
+      TableRef("testdb", "lineitem"), lineitem, keys, keyExprs, dest)
+    assert(res.status == TableStatus.Completed, res.error)
+    assert(res.migratedRows == lineitem.count())
+    assert(res.checkResults.nonEmpty && res.checkResults.forall(_.passed))
+    // published table is a valid hive-partitioned parquet dir
+    val back = spark.read.option("basePath", dest).parquet(dest)
+    assert(back.count() == lineitem.count())
+    assert(back.columns.contains("l_month"))
+    // staging dir is gone (publish moved it)
+    assert(!Files.exists(Paths.get(s"$dest.staging")))
+    // checkpoint marked completed
+    assert(ckpt.tableProgress("testdb", "lineitem").get.status == TableStatus.Completed)
+  }
+
+  test("rerun after completion is a skip") {
+    val (dir, _, mig) = freshEnv()
+    val dest = s"$dir/dest/lineitem"
+    val ref = TableRef("testdb", "lineitem")
+    assert(mig.migrateTable(ref, lineitem, keys, keyExprs, dest).status == TableStatus.Completed)
+    assert(mig.migrateTable(ref, lineitem, keys, keyExprs, dest).status == TableStatus.Skipped)
+  }
+
+  test("kill-and-resume: pre-checkpointed partitions are not re-copied, result identical") {
+    val (dir, ckpt, mig) = freshEnv()
+    val dest = s"$dir/dest/lineitem"
+    val ref = TableRef("testdb", "lineitem")
+    // simulate a previous run that completed two partitions then died:
+    // pre-copy those partitions into staging and checkpoint them.
+    val withKey = lineitem.withColumn("l_month", keyExprs.head.cast("string"))
+    val pre = Seq(PartitionId.single("1995-01"), PartitionId.single("1995-02"))
+    pre.foreach { p =>
+      graft.copy.CopyService.copyPartition(
+        withKey, keys, p, keys.map(col), s"$dest.staging")
+      ckpt.markPartition(ref.db, ref.table, p)
+    }
+    val res = mig.migrateTable(ref, lineitem, keys, keyExprs, dest)
+    assert(res.status == TableStatus.Completed, res.error)
+    // resumed run processed only the remaining partitions...
+    assert(res.checkResults.forall(c =>
+      c.partition != "'1995-01'" && c.partition != "'1995-02'"))
+    // ...but the published result is complete anyway.
+    assert(spark.read.option("basePath", dest).parquet(dest).count() == lineitem.count())
+  }
+
+  test("crash retry is idempotent: partial partition copy gets overwritten") {
+    val (dir, ckpt, mig) = freshEnv()
+    val dest = s"$dir/dest/lineitem"
+    val ref = TableRef("testdb", "lineitem")
+    // simulate a crashed copy: partition dir exists with HALF the rows and
+    // no checkpoint entry (the reference would duplicate rows here —
+    // SURVEY.md §3.4; our overwrite semantics must not).
+    val withKey = lineitem.withColumn("l_month", keyExprs.head.cast("string"))
+    withKey.filter(col("l_month") === "1995-03" && col("l_linenumber") === 1)
+      .write.mode("overwrite").parquet(s"$dest.staging/l_month=1995-03")
+    val res = mig.migrateTable(ref, lineitem, keys, keyExprs, dest)
+    assert(res.status == TableStatus.Completed, res.error)
+    assert(spark.read.option("basePath", dest).parquet(dest).count() == lineitem.count())
+  }
+
+  test("failure injection: validation gate aborts, nothing published, source intact") {
+    val (dir, ckpt, mig) = freshEnv()
+    val dest = s"$dir/dest/lineitem"
+    val ref = TableRef("testdb", "lineitem")
+    // poison one partition as already-checkpointed-with-wrong-data? No —
+    // the gate compares src vs freshly-copied dst, so inject by
+    // pre-checkpointing a partition with a SHORT copy in staging, then
+    // corrupting srcCounts is impossible from outside. Instead inject a
+    // dst mismatch: pre-checkpoint every partition EXCEPT one, pre-fill
+    // staging with a short copy for a DIFFERENT uncheckpointed partition
+    // is overwritten... so simulate via a source that changes mid-flight:
+    // migrate a filtered source, then validate against a fuller one by
+    // swapping the staging content post-copy. Simplest deterministic
+    // injection: copy everything, then corrupt staging before the final
+    // gate by deleting a file — achieved by pre-checkpointing ALL
+    // partitions and deleting rows from one staged partition.
+    val withKey = lineitem.withColumn("l_month", keyExprs.head.cast("string"))
+    val allParts = graft.operators.Partitions.enumeratePartitions(withKey, keys)
+    allParts.foreach { p =>
+      graft.copy.CopyService.copyPartition(withKey, keys, p, keys.map(col), s"$dest.staging")
+      ckpt.markPartition(ref.db, ref.table, p)
+    }
+    // corrupt one staged partition (drop its rows) after checkpointing
+    val victim = allParts.head
+    withKey.filter(col("l_month") === victim.values.head).limit(1)
+      .write.mode("overwrite")
+      .parquet(s"$dest.staging/l_month=${victim.values.head}")
+    val res = mig.migrateTable(ref, lineitem, keys, keyExprs, dest)
+    assert(res.status == TableStatus.Failed)
+    assert(res.error.exists(_.contains("count mismatch")))
+    // nothing published, source untouched
+    assert(!Files.exists(Paths.get(dest)))
+    assert(lineitem.count() == 6000)
+  }
+
+  test("lock excludes concurrent migration of the same table") {
+    val (dir, _, _) = freshEnv()
+    val lock1 = new TableLock(s"$dir/locks", "db", "t", timeoutSec = 0.1, retrySec = 0.05)
+    val lock2 = new TableLock(s"$dir/locks", "db", "t", timeoutSec = 0.1, retrySec = 0.05)
+    assert(lock1.acquire())
+    assert(lock1.isLocked)
+    assert(!lock2.acquire()) // times out
+    lock1.release()
+    assert(!lock1.isLocked)
+    assert(lock2.acquire())
+    lock2.release()
+  }
+
+  test("report JSON carries reference field names") {
+    val (dir, ckpt, mig) = freshEnv()
+    val dest = s"$dir/dest/lineitem"
+    val res = mig.migrateTable(
+      TableRef("testdb", "lineitem"), lineitem, keys, keyExprs, dest)
+    val report = graft.model.MigrationReport("single", "testdb", Seq(res))
+    val json = ReportService.toJson(report, System.currentTimeMillis())
+    Seq("migration_info", "results", "check_results", "src_count",
+        "dst_count", "passed", "cost_time", "summary", "completed")
+      .foreach(k => assert(json.contains(k), s"missing $k"))
+    val path = ReportService.write(report, s"$dir/reports", System.currentTimeMillis())
+    assert(Files.exists(path))
+  }
+}
