@@ -13,10 +13,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.defs("q1_pricing")(spark, "/root/testdata/sf0.001")
 
-  private def groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private[graft] def groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (MigrationQueries.defs, MigrationQueries.oracles),
       (RelationalQueries.defs, RelationalQueries.oracles),
+      (WindowQueries.defs, WindowQueries.oracles),
+      (FunctionQueries.defs, FunctionQueries.oracles),
+      (EventQueries.defs, EventQueries.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.PortableFns._
+import graft.sources.Sources
+
+/** Event-time analytics over the `events` table — the batch-equivalent
+  * faces of the streaming surface (SURVEY.md §2B "Streaming" row): the
+  * same windowing semantics are exposed over `readStream` in
+  * [[graft.streaming.EventStreams]]; these batch twins keep the logic
+  * DuckDB-checkable (SURVEY.md §7.5 hard part 6).
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String) = Sources.table(s, dir, "events")
+
+  /** 30-minute session gap, in seconds. */
+  private val GapSec = 1800.0
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows: aligned date_trunc both sides.
+    "e_tumbling" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm")
+          .as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("win_start", "event_type")),
+
+    // Sliding 1-hour windows every 30 minutes via Spark's window();
+    // oracle reproduces the two-window membership arithmetic.
+    "e_sliding" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("cnt"), col("sum_value"))
+        .orderBy("win_start")),
+
+    // Sessionization with a 30-min gap: lag + boundary-flag prefix sum —
+    // the portable formulation of session_window (and the classic proof
+    // that windows compose: two window functions + one groupBy).
+    "e_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withGap = ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > GapSec, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withGap
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Per-user session stats rollup (double aggregation over sessions).
+    "e_session_stats" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > GapSec, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Streamed-dedup batch twin: first event per (user_id, event_type).
+    "e_dedup_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Event-time top-k: busiest hour per event type (rank over agg).
+    "e_busiest_hours" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("h"))
+      hourly.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("event_type", "rn", "h", "cnt")
+        .orderBy("event_type", "rn")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS win_start,
+        |  event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "e_sliding" ->
+      """WITH win AS (
+        |  SELECT to_timestamp(
+        |      (floor(epoch(ts) / 1800) - o.off) * 1800) AS w_start, value
+        |  FROM events, (VALUES (0), (1)) AS o(off))
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS win_start,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM win GROUP BY 1 ORDER BY win_start""".stripMargin,
+    "e_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "e_session_stats" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL
+        |      OR epoch(ts) - epoch(prev_ts) > 1800
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e_dedup_first" ->
+      """SELECT user_id, event_type, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "e_busiest_hours" ->
+      """SELECT event_type, rn, h, cnt FROM (
+        |  SELECT event_type, h, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, h) AS rn
+        |  FROM (SELECT event_type,
+        |      strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS h,
+        |      count(*) AS cnt
+        |    FROM events GROUP BY 1, 2))
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+  )
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableFns._
+import graft.sources.Sources
+
+/** Scalar function / grouping-extension surface (SURVEY.md §2B): string,
+  * date, math, conditional, JSON, array functions; rollup/cube/grouping
+  * sets; non-equi (range) join. All whole-stage-codegen built-ins — no
+  * UDFs in any of these paths.
+  */
+object FunctionQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Sources.table(s, dir, n)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // String functions over part names.
+    "f_string" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("prefix5"),
+          concat_ws("_", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "#").as("devowel"),
+          length(col("p_name")).as("name_len"),
+          instr(col("p_name"), "a").as("first_a"))
+        .orderBy("p_partkey")),
+
+    // Date/time extraction and arithmetic.
+    "f_date" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow"),
+          dateStr(last_day(col("o_orderdate"))).as("month_end"),
+          dateStr(date_add(col("o_orderdate"), 30)).as("plus30"),
+          date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+            .as("q_start"))
+        .orderBy("o_orderkey")),
+
+    // Math functions (IEEE-exact ops only: sqrt is correctly rounded).
+    "f_math" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 300)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_off"),
+          round(col("l_extendedprice") / 100, 1).as("price_h"),
+          floor(col("l_quantity")).cast("double").as("qty_floor"),
+          ceil(col("l_extendedprice")).cast("double").as("price_ceil"),
+          (col("l_orderkey") % 7).as("mod7"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+          least(col("l_tax"), col("l_discount")).as("min_rate"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // CASE / COALESCE / NULLIF conditionals.
+    "f_case" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          when(col("o_orderstatus") === "O", "open")
+            .when(col("o_orderstatus") === "F", "done")
+            .otherwise("other").as("status_label"),
+          coalesce(nullif(col("o_orderpriority"), lit("5-LOW")), lit("NONE"))
+            .as("prio_or_none"))
+        .groupBy("status_label", "prio_or_none")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("status_label", "prio_or_none")),
+
+    // JSON extraction from the events.props string column.
+    "f_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // Array basics over embeddings (1-indexed element access both sides).
+    "f_array" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") <= 100)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_d"),
+          element_at(col("embedding"), 64).cast("double").as("last_d"),
+          col("label"))
+        .orderBy("vec_id")),
+
+    // Explode with position: per-dimension aggregate over vectors.
+    // posexplode is 0-based; the oracle uses generate_series(1,64)-1.
+    "f_explode" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") <= 50)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          dsum10(col("v").cast("double")).as("sum_v"))
+        .orderBy("dim")),
+
+    // Non-equi range join: size buckets × parts (broadcast nested loop on
+    // a tiny inline dim — the right plan for a 5-row bucket table).
+    "f_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = Seq(("tiny", 0, 10), ("small", 11, 20), ("mid", 21, 35),
+        ("large", 36, 50)).toDF("bucket", "lo", "hi")
+      val p = t(s, dir, "part")
+      p.join(broadcast(buckets),
+          p("p_size") >= buckets("lo") && p("p_size") <= buckets("hi"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_parts"),
+          dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy("bucket")
+    }),
+
+    // ROLLUP over region→nation customer stats (NULLS FIRST to align
+    // engine null-ordering defaults).
+    // NOTE: expressed in SQL — Spark 4.1's ambiguous-self-join detector
+    // false-positives on DataFrame .rollup() over a multi-join output
+    // (the Rollup node duplicates grouping attrs internally).
+    "f_rollup" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust_ru")
+      t(s, dir, "nation").createOrReplaceTempView("nat_ru")
+      t(s, dir, "region").createOrReplaceTempView("reg_ru")
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_cust,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          |FROM cust_ru
+          |JOIN nat_ru ON c_nationkey = n_nationkey
+          |JOIN reg_ru ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // CUBE over lineitem flags.
+    "f_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // GROUPING SETS with grouping() markers (via SQL — the DataFrame API
+    // has rollup/cube only).
+    "f_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  grouping(o_orderstatus) AS g_status,
+          |  grouping(o_orderpriority) AS g_prio,
+          |  count(*) AS cnt
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority))
+          |ORDER BY g_status, g_prio,
+          |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f_string" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |  substring(p_name, 1, 5) AS prefix5,
+        |  concat_ws('_', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, '[aeiou]', '#', 'g') AS devowel,
+        |  length(p_name) AS name_len,
+        |  instr(p_name, 'a') AS first_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+        |  dayofweek(o_orderdate) AS dow,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    "f_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_off,
+        |  round(l_extendedprice / 100, 1) AS price_h,
+        |  floor(l_quantity) AS qty_floor,
+        |  ceil(l_extendedprice) AS price_ceil,
+        |  l_orderkey % 7 AS mod7,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate
+        |FROM lineitem WHERE l_orderkey <= 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f_case" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done'
+        |    ELSE 'other' END AS status_label,
+        |  COALESCE(NULLIF(o_orderpriority, '5-LOW'), 'NONE') AS prio_or_none,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY status_label, prio_or_none""".stripMargin,
+    "f_json" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f_array" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_d,
+        |  CAST(embedding[64] AS DOUBLE) AS last_d,
+        |  label
+        |FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id""".stripMargin,
+    "f_explode" ->
+      """SELECT i - 1 AS dim, count(*) AS n,
+        |  CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+        |    AS sum_v
+        |FROM embeddings, generate_series(1, 64) AS t(i)
+        |WHERE vec_id <= 50
+        |GROUP BY dim ORDER BY dim""".stripMargin,
+    "f_range_join" ->
+      """SELECT bucket, count(*) AS n_parts,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part
+        |JOIN (VALUES ('tiny', 0, 10), ('small', 11, 20), ('mid', 21, 35),
+        |             ('large', 36, 50)) AS b(bucket, lo, hi)
+        |  ON p_size >= lo AND p_size <= hi
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "f_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "f_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "f_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  GROUPING(o_orderstatus) AS g_status,
+        |  GROUPING(o_orderpriority) AS g_prio,
+        |  count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+  )
+}

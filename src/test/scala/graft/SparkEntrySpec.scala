@@ -4,10 +4,7 @@ package graft
 class SparkEntrySpec extends SparkFunSuite {
 
   test("no duplicate query names across groups") {
-    val groups = Seq(
-      graft.queries.MigrationQueries.defs.keySet,
-      graft.queries.RelationalQueries.defs.keySet)
-    val all = groups.flatten
+    val all = SparkEntry.groups.flatMap(_._1.keySet)
     assert(all.size == all.toSet.size, "duplicate query names across groups")
     assert(SparkEntry.queries.keySet == all.toSet)
   }
