@@ -20,6 +20,9 @@ object SparkEntry {
       (WindowQueries.defs, WindowQueries.oracles),
       (FunctionQueries.defs, FunctionQueries.oracles),
       (EventQueries.defs, EventQueries.oracles),
+      (TextQueries.defs, TextQueries.oracles),
+      (DedupQueries.defs, DedupQueries.oracles),
+      (SimilarityQueries.defs, SimilarityQueries.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

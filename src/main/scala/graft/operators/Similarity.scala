@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths, per the scale brief:
+  *  - [[bruteForceTopK]] — exact cosine top-k. The baseline; O(q·n)
+  *    pairs. Correct at any n when q is small (broadcast the queries).
+  *  - [[signLshTopK]] — sign-LSH (axis-aligned hyperplanes) bucketing:
+  *    candidates share the query's sign-bucket, so the scan is cut by
+  *    ~2^bits; the 100-TB path (a learned/IVF variant swaps in the same
+  *    shape: assign→bucket-join→rerank).
+  *
+  * Cross-engine determinism: dot products and norms accumulate exact
+  * DECIMAL(28,12) terms (order-independent), converting to double only
+  * for the final sqrt/division — the oracle reproduces values
+  * bit-for-bit, so rankings agree.
+  */
+object Similarity {
+
+  // Term/accumulator widths chosen so acc+term types as DECIMAL(38,12)
+  // with NO scale reduction (Spark caps precision at 38 and would silently
+  // round scale 12→11 for wider operands); the per-step cast back to the
+  // accumulator type is exact for |values| < 10^25.
+  private val TermType = DecimalType(25, 12)
+  private val AccType = DecimalType(37, 12)
+
+  /** Exact-decimal dot product of two float-array columns: terms are
+    * order-independent decimals, so parallel/sequential accumulation
+    * agree across engines.
+    */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast(TermType)),
+      lit(0).cast(AccType), (acc, v) => (acc + v).cast(AccType))
+      .cast("double")
+
+  /** Exact-decimal squared L2 norm. */
+  def norm2Exact(a: Column): Column =
+    aggregate(a, lit(0).cast(AccType), (acc, v) =>
+      (acc + (v.cast("double") * v.cast("double")).cast(TermType)).cast(AccType))
+      .cast("double")
+
+  /** Cosine similarity, rounded for stable cross-engine comparison. */
+  def cosineExact(a: Column, b: Column, scale: Int = 6): Column =
+    round(dotExact(a, b) / (sqrt(norm2Exact(a)) * sqrt(norm2Exact(b))), scale)
+
+  /** Exact top-k neighbors for each query vector.
+    * `queries` is small (broadcast); `corpus` scans once.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        cosineExact(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
+  }
+
+  /** Sign-LSH bucket: concatenated sign bits of the selected dimensions
+    * (axis-aligned random-hyperplane hashing — deterministic and
+    * engine-portable).
+    */
+  def signBucket(vec: Column, dims: Seq[Int]): Column =
+    concat(dims.map(d =>
+      when(element_at(vec, d) > 0f, "1").otherwise("0")): _*)
+
+  /** Default probe dimensions: one per 8-dim stripe of a 64-dim vector. */
+  val DefaultLshDims: Seq[Int] = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+
+  /** Approximate top-k: exact rerank restricted to the query's bucket.
+    * Trades recall for a ~2^bits scan cut; same output shape as
+    * [[bruteForceTopK]].
+    */
+  def signLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Seq[Int] = DefaultLshDims,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      signBucket(col(vecCol), dims).as("qbucket"))
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"),
+      signBucket(col(vecCol), dims).as("cbucket"))
+    val scored = c.join(broadcast(q),
+        col("qbucket") === col("cbucket") && col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        cosineExact(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
+  }
+
+  /** Embedding near-duplicate pairs: cheap double-fold cosine prefilter
+    * (loose bound), exact-decimal rerank at the real threshold — only
+    * prefilter survivors pay the decimal pass.
+    */
+  def nearDupPairs(df: DataFrame, threshold: Double, prefilter: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val cheap = graft.functions.PortableFns.cosineSim(col("va"), col("vb"), 8)
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(cheap >= prefilter)
+      .select(col("id_a"), col("id_b"),
+        cosineExact(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting. All pure `Column` expressions (whole-stage codegen, no
+  * UDFs) — at 100 TB these run as map-only stages over the document scan.
+  *
+  * Cross-engine note: the testdata corpus is single-spaced lowercase
+  * `[a-z ]`, so whitespace split is exact; ratios are single IEEE double
+  * divisions of exact integer counts, bit-identical across engines.
+  */
+object TextAnalysis {
+
+  /** Small English stopword list used by the language-ID heuristic. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  def distinctWordCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*))).cast("double") /
+      wordCount(text).cast("double")
+
+  /** Type-token ratio (vocabulary richness). */
+  def distinctRatio(text: Column): Column =
+    distinctWordCount(text).cast("double") / wordCount(text).cast("double")
+
+  /** Mean token length in characters. */
+  def avgWordLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / wordCount(text).cast("double")
+
+  /** N-gram-style language ID: stopword-density heuristic. A corpus row
+    * whose stopword mass clears the threshold is classified English.
+    */
+  def langId(text: Column, threshold: Double = 0.05): Column =
+    when(stopwordRatio(text) >= threshold, "en").otherwise("unk")
+
+  /** Composite quality score in [0, ~2]: length signal + vocabulary
+    * richness + bounded stopword band (heuristic scoring à la C4/Gopher
+    * quality filters, reduced to deterministic arithmetic).
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      least(wordCount(text).cast("double") / lit(100.0), lit(1.0)) * 0.4 +
+        distinctRatio(text) * 0.4 +
+        when(stopwordRatio(text).between(0.02, 0.3), 0.2).otherwise(0.0),
+      6)
+
+  /** Whitespace token count plus a BPE-style estimate (chars/4, the usual
+    * planning rule of thumb) and a regex word-token count.
+    */
+  def tokenCounts(text: Column, nChars: Column): (Column, Column, Column) = (
+    wordCount(text),
+    ceil(nChars.cast("double") / 4.0).cast("long"),
+    size(regexp_extract_all(text, lit("[a-z]+"), lit(0))))
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set — a deterministic stand-in for a rolling hash that both
+    * engines compute identically. Documents with equal fingerprints have
+    * identical vocabularies (bag-of-words duplicates).
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(sort_array(array_distinct(tokens(text))), " "))
+
+  /** Positional prefix fingerprint: md5 of the first `n` tokens — catches
+    * copy-with-suffix duplicates that the set fingerprint misses.
+    */
+  def prefixFingerprint(text: Column, n: Int): Column =
+    md5(array_join(slice(tokens(text), 1, n), " "))
+}

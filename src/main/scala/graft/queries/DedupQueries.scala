@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.sources.Sources
+
+/** Deduplication queries over `documents` (north-star extension):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash. Every oracle reproduces
+  * the md5-based hashing, so signatures/candidates match bit-for-bit.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String) = Sources.table(s, dir, "documents")
+
+  /** Shared oracle CTE: word-3-gram shingle relation. */
+  private def shingleCte(where: String = ""): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents $where),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |  FROM toks, generate_series(1, 97) AS t(i)
+       |  WHERE i + 2 <= len(w))""".stripMargin
+
+  private val jaccardCte: String =
+    """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (SELECT ia AS id_a, ib AS id_b,
+      |    round(CAST(c AS DOUBLE)
+      |      / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jac
+      |  FROM inter
+      |  JOIN sz sa ON ia = sa.doc_id
+      |  JOIN sz sb ON ib = sb.doc_id)""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup on a positional prefix key: hash-groupBy, dup groups only.
+    "d_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(TA.prefixFingerprint(col("text"), 8).as("dup_key"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("dup_key")),
+
+    // Direct n-gram Jaccard near-dup pairs via the inverted shingle index
+    // (verification-scale; LSH below is the scale path).
+    "d_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text", 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash + LSH banding: md5-minwise signatures (6 bands × 2 rows),
+    // bucket-join candidates, exact-Jaccard verification of candidates.
+    "d_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash signatures: 32-bit majority-vote over word hashes.
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simhashBits(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs by Hamming distance.
+    "d_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Dedup.simhashBits(docs(s, dir).filter(col("doc_id") < 100),
+          "doc_id", "text"), maxDist = 6)
+        .orderBy("id_a", "id_b")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d_exact" ->
+      """WITH p AS (SELECT doc_id,
+        |    md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS dup_key
+        |  FROM documents)
+        |SELECT dup_key, count(*) AS n_docs, min(doc_id) AS keep_doc
+        |FROM p GROUP BY dup_key HAVING count(*) >= 2
+        |ORDER BY dup_key""".stripMargin,
+    "d_jaccard" ->
+      s"""WITH ${shingleCte("WHERE doc_id < 300")},
+        |$jaccardCte
+        |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d_minhash" ->
+      s"""WITH ${shingleCte()},
+        |hashes AS (SELECT doc_id, hi.i AS i,
+        |    md5(shingle || ':' || hi.i) AS h
+        |  FROM sh, generate_series(0, 11) AS hi(i)),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |    min(CASE WHEN i % 2 = 0 THEN h END) AS m0,
+        |    min(CASE WHEN i % 2 = 1 THEN h END) AS m1
+        |  FROM hashes GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+        |      AND x.doc_id < y.doc_id),
+        |$jaccardCte
+        |SELECT j.id_a, j.id_b, j.jac
+        |FROM jac j JOIN cand USING (id_a, id_b)
+        |WHERE j.jac >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d_simhash" ->
+      """WITH words AS (SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS word
+        |  FROM documents WHERE doc_id < 100),
+        |bits AS (SELECT doc_id, j.j AS j,
+        |    ((strpos('0123456789abcdef',
+        |        substring(md5(word), (j.j // 4) + 1, 1)) - 1)
+        |      // (CASE j.j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |          WHEN 2 THEN 2 ELSE 1 END)) % 2 AS bit
+        |  FROM words, generate_series(0, 31) AS j(j)),
+        |votes AS (SELECT doc_id, j,
+        |    CASE WHEN sum(bit * 2 - 1) >= 0 THEN '1' ELSE '0' END AS b
+        |  FROM bits GROUP BY doc_id, j)
+        |SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_simhash_pairs" ->
+      """WITH words AS (SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS word
+        |  FROM documents WHERE doc_id < 100),
+        |bits AS (SELECT doc_id, j.j AS j,
+        |    ((strpos('0123456789abcdef',
+        |        substring(md5(word), (j.j // 4) + 1, 1)) - 1)
+        |      // (CASE j.j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |          WHEN 2 THEN 2 ELSE 1 END)) % 2 AS bit
+        |  FROM words, generate_series(0, 31) AS j(j)),
+        |votes AS (SELECT doc_id, j,
+        |    CASE WHEN sum(bit * 2 - 1) >= 0 THEN '1' ELSE '0' END AS b
+        |  FROM bits GROUP BY doc_id, j),
+        |sigs AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(sum(CASE WHEN substring(a.simhash, p.p, 1)
+        |      <> substring(b.simhash, p.p, 1) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dist
+        |FROM sigs a
+        |JOIN sigs b ON a.doc_id < b.doc_id,
+        |generate_series(1, 32) AS p(p)
+        |GROUP BY 1, 2 HAVING dist <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Sources
+
+/** Similarity-search queries over `embeddings` (north-star extension):
+  * brute-force cosine top-k baseline, sign-LSH bucketed ANN, and
+  * embedding-cosine near-duplicate pairs.
+  *
+  * Determinism: cosine terms accumulate as exact DECIMAL(28,12) (order-
+  * independent), so both engines produce identical doubles and identical
+  * rankings; thresholds/prefilters are applied on identical values.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String) = Sources.table(s, dir, "embeddings")
+
+  private val QueryIds = Seq(0L, 1L, 2L)
+
+  /** Oracle CTE: exact-decimal cosine for candidate (qid, vid) pairs laid
+    * out by the enclosing query as cand(qid, vid, qvec, cvec).
+    */
+  private val cosCte: String =
+    """terms AS (SELECT qid, vid,
+      |    CAST(CAST(qvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)
+      |      AS DECIMAL(28,12)) AS p,
+      |    CAST(CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)
+      |      AS DECIMAL(28,12)) AS qq,
+      |    CAST(CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)
+      |      AS DECIMAL(28,12)) AS cc
+      |  FROM cand, generate_series(1, 64) AS t(i)),
+      |scored AS (SELECT qid, vid,
+      |    round(CAST(sum(p) AS DOUBLE)
+      |      / (sqrt(CAST(sum(qq) AS DOUBLE)) * sqrt(CAST(sum(cc) AS DOUBLE))),
+      |      6) AS cos
+      |  FROM terms GROUP BY qid, vid)""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact ANN baseline: top-10 cosine neighbors of query vectors 0-2.
+    "s_ann_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(
+        e, e.filter(col("vec_id").isin(QueryIds: _*)), k = 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // Sign-LSH bucketed ANN: candidates share the query's 8-bit
+    // axis-sign bucket; exact rerank inside the bucket, top-5.
+    "s_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.signLshTopK(
+        e, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // Embedding-cosine near-duplicate pairs: cheap prefilter at 0.35,
+    // exact threshold at 0.4.
+    "s_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), threshold = 0.4, prefilter = 0.35)
+        .orderBy("id_a", "id_b")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s_ann_brute" ->
+      s"""WITH cand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    q.embedding AS qvec, c.embedding AS cvec
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2)),
+        |$cosCte,
+        |ranked AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+    "s_ann_lsh" -> {
+      val bucket = (v: String) => Similarity.DefaultLshDims
+        .map(d => s"(CASE WHEN $v[$d] > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH cand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    q.embedding AS qvec, c.embedding AS cvec
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id <> c.vec_id
+        |    AND ${bucket("q.embedding")} = ${bucket("c.embedding")}
+        |  WHERE q.vec_id IN (0, 1, 2)),
+        |$cosCte,
+        |ranked AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin
+    },
+    "s_embed_neardup" ->
+      s"""WITH cand AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+        |    a.embedding AS qvec, b.embedding AS cvec
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 8)
+        |    >= 0.35),
+        |$cosCte
+        |SELECT qid AS id_a, vid AS id_b, cos
+        |FROM scored WHERE cos >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextAnalysis => TA}
+import graft.sources.Sources
+
+/** Text-analysis + multimodal-plumbing queries over `documents`
+  * (north-star extension; SURVEY.md §2B last row).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Sources.table(s, dir, "documents")
+
+  private val StopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quality scoring: length/diversity/stopword-band composite.
+    "t_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TA.wordCount(col("text")).as("n_words"),
+        round(TA.distinctRatio(col("text")), 6).as("distinct_ratio"),
+        round(TA.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TA.avgWordLen(col("text")), 6).as("avg_wlen"),
+        TA.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")),
+
+    // Language-ID heuristic vs the labeled lang column.
+    "t_langid" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TA.langId(col("text")).as("pred_lang"),
+        col("lang"),
+        (TA.langId(col("text")) === col("lang")).as("agree"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace, BPE-estimate (chars/4), regex tokens.
+    "t_tokens" -> ((s, dir) => {
+      val (ws, bpe, re) = TA.tokenCounts(col("text"), col("n_chars"))
+      docs(s, dir).select(
+        col("doc_id"), ws.as("n_ws"), bpe.as("n_bpe_est"), re.as("n_re"),
+        col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Content fingerprints: set-hash + positional prefix hash.
+    "t_fingerprint" -> ((s, dir) =>
+      docs(s, dir).filter(col("doc_id") < 100).select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fp_set"),
+        TA.prefixFingerprint(col("text"), 8).as("fp_prefix8"))
+        .orderBy("doc_id")),
+
+    // Multimodal plumbing: binary payload + typed metadata round-trip.
+    "mm_binary" -> ((s, dir) =>
+      Multimodal.packText(docs(s, dir), "doc_id", "text")
+        .select(
+          col("media_id"),
+          length(col("payload")).as("payload_bytes"),
+          col("meta.kind").as("kind"),
+          ascii(substring(col("payload").cast("string"), 1, 1)).as("first_byte"))
+        .orderBy("media_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t_quality" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, len(w) AS n_words,
+        |  round(CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE), 6)
+        |    AS distinct_ratio,
+        |  round(CAST(len(list_filter(w, x -> x IN ($StopList))) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE), 6) AS stop_ratio,
+        |  round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE), 6) AS avg_wlen,
+        |  round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 0.4
+        |    + CASE WHEN (CAST(len(list_filter(w, x -> x IN ($StopList))) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) BETWEEN 0.02 AND 0.3
+        |      THEN 0.2 ELSE 0.0 END, 6) AS score
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "t_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, lang,
+        |  CASE WHEN CAST(len(list_filter(w, x -> x IN ($StopList))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) >= 0.05
+        |    THEN 'en' ELSE 'unk' END AS pred_lang
+        |  FROM t)
+        |SELECT doc_id, pred_lang, lang, pred_lang = lang AS agree
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "t_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws,
+        |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS n_re,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    AS fp_set,
+        |  md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS fp_prefix8
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "mm_binary" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS payload_bytes,
+        |  'text/plain' AS kind,
+        |  ascii(substring(text, 1, 1)) AS first_byte
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class LlmOpsSpec extends SparkFunSuite {
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  // ---- Dedup ----
+
+  test("shingles: n-2 positional 3-grams, distinct") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val row = df.select(Dedup.shingles(col("text")).as("sh")).head()
+    assert(row.getSeq[String](0).sorted == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("jaccardPairs: identical docs give jac 1.0, ids ordered") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "x y z w v"), (2L, "x y z w v"), (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("minhash LSH: identical shingle sets always collide (recall=1 for exact dups)") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "x y z w v u t"), (2L, "x y z w v u t"), (3L, "a b c d e f g")
+    ).toDF("doc_id", "text")
+    val cand = Dedup.lshCandidates(Dedup.minhashBands(df, "doc_id", "text")).collect()
+    assert(cand.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!cand.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("minhashNearDups on real docs ⊆ jaccardPairs, non-empty") {
+    val near = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.nonEmpty)
+    assert(near.subsetOf(exact))
+  }
+
+  test("simhash: 32-bit strings, equal vocab ⇒ equal signature") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "m n o p"), (2L, "p o n m m"), (3L, "q r s t")
+    ).toDF("doc_id", "text") // 1 and 2 share the same word SET
+    val sigs = Dedup.simhashBits(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs.values.forall(sig => sig.length == 32 && sig.forall("01".contains(_))))
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  // ---- Similarity ----
+
+  test("bruteForceTopK: k rows per query, descending, no self") {
+    val res = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") === 0), k = 5).collect()
+    assert(res.length == 5)
+    assert(res.forall(_.getLong(2) != 0L))
+    val scores = res.sortBy(_.getInt(1)).map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("signLshTopK results appear in brute-force ranking with equal cos") {
+    val brute = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") === 0), k = 500)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val lsh = Similarity.signLshTopK(
+      emb, emb.filter(col("vec_id") === 0), k = 5).collect()
+    lsh.foreach { r => assert(brute(r.getLong(2)) == r.getDouble(3)) }
+  }
+
+  test("nearDupPairs symmetric bound: all pairs above threshold") {
+    val pairs = Similarity.nearDupPairs(emb, 0.4, 0.35).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getDouble(2) >= 0.4 && r.getLong(0) < r.getLong(1)))
+  }
+
+  // ---- TextAnalysis ----
+
+  test("ratios in [0,1], fingerprint invariant under word order") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val df = Seq((1L, "b a c a"), (2L, "a b c")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect()
+    assert(fps(0).getString(0) == fps(1).getString(0)) // same distinct set
+    val r = docs.select(
+      TextAnalysis.distinctRatio(col("text")).as("dr"),
+      TextAnalysis.stopwordRatio(col("text")).as("sr")).collect()
+    assert(r.forall(x => x.getDouble(0) > 0 && x.getDouble(0) <= 1.0))
+    assert(r.forall(x => x.getDouble(1) >= 0 && x.getDouble(1) <= 1.0))
+  }
+
+  // ---- Multimodal ----
+
+  test("packText + decodeFeatures: schema, batch decode, histogram norm") {
+    implicit val s = graft.SparkTestBase.spark
+    val media = Multimodal.packText(docs.limit(20), "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.kind == "text/plain")
+      assert(f.feature.length == 8)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-4) // normalized histogram
+      assert(f.payload_bytes > 0)
+    }
+  }
+
+  test("sampleFrames: stride-2 over 10-byte chunks") {
+    implicit val s = graft.SparkTestBase.spark
+    val media = Multimodal.packText(docs.limit(5), "doc_id", "text")
+    val sampled = Multimodal.sampleFrames(media, chunkBytes = 10, stride = 2).collect()
+    sampled.foreach { r =>
+      assert(r.getInt(1) > 0)
+      assert(r.getLong(2) <= 10L * r.getInt(1))
+    }
+  }
+}
