@@ -32,21 +32,47 @@ object Dedup {
           (0 until n).map(off => element_at(toks, i + off)): _*)))
   }
 
-  /** Exploded (id, shingle) pairs — the inverted-index relation. */
-  def shingleRelation(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("shingle"))
+  /** Exploded (id, shingle) pairs — the inverted-index relation.
+    *
+    * Tokenization is materialized as its own projection first: inlining
+    * `split()` into the transform lambda would re-evaluate it for every
+    * `element_at` reference (Catalyst does not CSE inside lambdas;
+    * CollapseProject keeps the projections separate because the token
+    * array is referenced many times).
+    */
+  def shingleRelation(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val toks = col("toks")
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(off => element_at(toks, i + off)): _*))))
+        .as("shingle"))
+  }
 
   /** Exact near-duplicate pairs by shingle-set Jaccard ≥ threshold,
     * via the inverted index (shared-shingle pairs only — never all pairs).
     * Output: (id_a, id_b, jac) with id_a < id_b.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val rel = shingleRelation(df, idCol, textCol)
+      threshold: Double): DataFrame =
+    jaccardFromRelation(shingleRelation(df, idCol, textCol), threshold)
+
+  /** Jaccard pairs from a prebuilt (id, shingle) relation; `restrictTo`
+    * limits the pairwise work to the given (id_a, id_b) candidates — the
+    * LSH path uses this so verification touches candidates only, not the
+    * full inverted-index cross product.
+    */
+  def jaccardFromRelation(rel: DataFrame, threshold: Double,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     val sizes = rel.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = rel.as("a").join(rel.as("b"),
+    val interAll = rel.as("a").join(rel.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val inter = restrictTo.fold(interAll)(cand =>
+        interAll.join(broadcast(cand), Seq("id_a", "id_b"), "left_semi"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("c"))
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.id"))
@@ -62,21 +88,34 @@ object Dedup {
     * band key = concat of the band's minima. Returns (id, band, key).
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame =
+    bandsFromRelation(shingleRelation(df, idCol, textCol), bands, rowsPerBand)
+
+  /** Band keys from a prebuilt (id, shingle) relation.
+    *
+    * Hashes are computed once per DISTINCT shingle (k md5s each) and
+    * joined back — a shingle's hash doesn't depend on the document, so
+    * hashing per (doc, shingle, i) occurrence would redo the same md5
+    * `corpus_frequency ×` times. The per-doc signature is then one
+    * groupBy with k min() aggregates (single shuffle, map-side combine),
+    * and band keys explode from an inline array (no second shuffle).
+    */
+  def bandsFromRelation(rel: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val rel = shingleRelation(df, idCol, textCol)
-    val hashed = rel
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"),
-        col("shingle"))
-      .select(col("id"), col("i"),
-        md5(concat(col("shingle"), lit(":"), col("i"))).as("h"))
-    val minCols = (0 until rowsPerBand).map(r =>
-      min(when(col("i") % rowsPerBand === r, col("h"))).as(s"m$r"))
-    val minPerBand = hashed
-      .groupBy(col("id"), (col("i") / rowsPerBand).cast("int").as("band"))
-      .agg(minCols.head, minCols.tail: _*)
-    minPerBand.select(col("id"), col("band"),
-      concat_ws("|", (0 until rowsPerBand).map(r => col(s"m$r")): _*).as("key"))
+    val hashCols = (0 until k).map(i =>
+      md5(concat(col("shingle"), lit(":" + i))).as(s"h$i"))
+    val shingleHashes = rel.select(col("shingle")).distinct()
+      .select(col("shingle") +: hashCols: _*)
+    val relH = rel.join(shingleHashes, "shingle")
+    val minCols = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
+    val sigs = relH.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val keyCols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("|", keyCols: _*).as("key"))
+    }
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** LSH candidate pairs: ids sharing any band bucket (id_a < id_b). */
@@ -88,13 +127,28 @@ object Dedup {
       .distinct()
 
   /** MinHash-LSH near-dup pipeline: bucket-join candidates, then exact
-    * Jaccard verification of candidates only.
+    * Jaccard verification of CANDIDATES ONLY — the shingle relation is
+    * computed once (persisted) and the expensive inverted-index self-join
+    * runs over candidate documents, not the whole corpus. This is the
+    * shape that survives 100 TB: signatures are a map-side pass, the
+    * bucket join shuffles tiny band keys, and pairwise work is bounded by
+    * the candidate count.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
-    val cand = lshCandidates(minhashBands(df, idCol, textCol, bands, rowsPerBand))
-    jaccardPairs(df, idCol, textCol, threshold)
-      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The shingle relation feeds signatures AND verification; the band
+    // table self-joins; the candidate set is referenced twice. Persist
+    // each small intermediate (and materialize candidates eagerly) so the
+    // signature pipeline runs exactly once.
+    val rel = shingleRelation(df, idCol, textCol).persist(MEMORY_AND_DISK)
+    val bandsDf = bandsFromRelation(rel, bands, rowsPerBand).persist(MEMORY_AND_DISK)
+    val cand = lshCandidates(bandsDf).persist(MEMORY_AND_DISK)
+    cand.count() // materialize: rel → bands → candidates, once
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val relC = rel.join(broadcast(candIds), Seq("id"), "left_semi")
+    jaccardFromRelation(relC, threshold, Some(cand))
   }
 
   /** 32-bit SimHash over the distinct-word set, as a '0'/'1' bit string.

@@ -98,15 +98,24 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
-  /** Embedding near-duplicate pairs: cheap double-fold cosine prefilter
-    * (loose bound), exact-decimal rerank at the real threshold — only
-    * prefilter survivors pay the decimal pass.
+  /** Embedding near-duplicate pairs: cheap double cosine prefilter (native
+    * codegen dot product + per-row precomputed norms — the O(n²) part),
+    * exact-decimal rerank at the real threshold — only prefilter
+    * survivors pay the interpreted decimal pass.
     */
   def nearDupPairs(df: DataFrame, threshold: Double, prefilter: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    val cheap = graft.functions.PortableFns.cosineSim(col("va"), col("vb"), 8)
+    import graft.plans.FloatVecOps.{floatDot, floatNorm2}
+    // norms computed once per ROW (n of them), not once per pair (n²);
+    // the stream side of the O(n²) nested-loop join is repartitioned so
+    // the pair loop parallelizes (a single-file corpus arrives in one
+    // partition otherwise).
+    val a = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        sqrt(floatNorm2(col(vecCol))).as("na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      sqrt(floatNorm2(col(vecCol))).as("nb"))
+    val cheap = round(floatDot(col("va"), col("vb")) / (col("na") * col("nb")), 8)
     a.join(b, col("id_a") < col("id_b"))
       .filter(cheap >= prefilter)
       .select(col("id_a"), col("id_b"),

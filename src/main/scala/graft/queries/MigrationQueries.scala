@@ -25,10 +25,13 @@ object MigrationQueries {
         .distinct()
         .orderBy("part")),
 
-    // A20: filtered scalar count for one partition.
+    // A20: filtered scalar count for one partition. The month-equality
+    // predicate is expressed as a timestamp RANGE so it pushes into the
+    // parquet scan (row-group pruning); identical row set.
     "m_partition_count" -> ((s, dir) =>
       li(s, dir)
-        .filter(monthStr(col("l_shipdate")) === "1996-03")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .agg(count(lit(1)).as("cnt"))),
 
     // One-pass upgrade of A20: every partition's count in a single scan
@@ -53,7 +56,8 @@ object MigrationQueries {
     // here the scan half is oracle-checked.)
     "m_filtered_copy" -> ((s, dir) =>
       li(s, dir)
-        .filter(monthStr(col("l_shipdate")) === "1996-03")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"),

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table (SURVEY.md §2B
+  * "Streaming" row; batch twins live in
+  * [[graft.queries.EventQueries]] and stay DuckDB-checkable).
+  *
+  * Scale design: all aggregations are keyed (event_type/user_id), so
+  * state is partitioned across executors; watermarks bound state size;
+  * `dropDuplicates` state is similarly keyed and watermark-expired.
+  */
+object EventStreams {
+
+  /** File-source schema: ts arrives as nanosecond LONG (see
+    * [[graft.sources.Sources.table]]) and converts to a µs timestamp.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events parquet as a stream (file micro-batch source). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts with a 10-minute watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Sliding 1-hour/30-minute windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("cnt"))
+
+  /** Session windows (30-minute gap) per user — native session_window. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Exactly-once-ish stream dedup on event_id within the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+
+  final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * the escape hatch for logic window functions can't express in a
+    * stream (reference analog: the incremental per-partition accumulator
+    * loop, clickhouse_migrator/services/migration.py:507-508).
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.nEvents
+          var tot = prev.totalValue
+          rows.foreach { r => n += 1; tot += r._2 }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          next
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
+  /** Run any of the above to a named in-memory sink synchronously
+    * (test/demo harness; production sinks swap the format).
+    */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

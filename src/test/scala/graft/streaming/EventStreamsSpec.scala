@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkFunSuite
+import graft.sources.Sources
+
+/** Streaming specs: each streaming query's complete output must equal its
+  * batch twin over the same file (SURVEY.md §7.5 hard part 6 — no
+  * reference ground truth exists for streaming, so the batch semantics
+  * are the oracle).
+  */
+class EventStreamsSpec extends SparkFunSuite {
+
+  /** File stream sources require a DIRECTORY; stage the single parquet
+    * file into a temp dir via symlink.
+    */
+  private lazy val eventsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    dir.toString
+  }
+  private def batchEvents = Sources.table(spark, sf0001, "events")
+
+  test("tumbling stream == batch groupBy on complete data") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    EventStreams.runToMemory(
+      EventStreams.tumblingCounts(stream), "tumble_out", OutputMode.Complete())
+    val got = spark.sql(
+      "SELECT win_start, event_type, cnt FROM tumble_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = batchEvents
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("sliding stream: every event lands in exactly two windows") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    EventStreams.runToMemory(
+      EventStreams.slidingCounts(stream), "slide_out", OutputMode.Complete())
+    val total = spark.sql("SELECT sum(cnt) FROM slide_out").head().getLong(0)
+    assert(total == 2 * batchEvents.count())
+  }
+
+  test("session windows: per-user event totals preserved") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    EventStreams.runToMemory(
+      EventStreams.sessionAgg(stream), "sess_out", OutputMode.Complete())
+    val streamed = spark.sql(
+      "SELECT user_id, sum(n_events) AS n FROM sess_out GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = batchEvents.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("stream dedup keeps all unique event_ids") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    EventStreams.runToMemory(EventStreams.dedupStream(stream), "dedup_out")
+    assert(spark.sql("SELECT count(DISTINCT event_id) FROM dedup_out").head().getLong(0)
+      == batchEvents.select("event_id").distinct().count())
+  }
+
+  test("mapGroupsWithState running totals match batch aggregation") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    EventStreams.runToMemory(
+      EventStreams.runningUserTotals(spark, stream), "state_out",
+      OutputMode.Update())
+    // final state per user (last update) must equal the batch totals
+    val streamed = spark.sql(
+      "SELECT user_id, max(n_events) AS n FROM state_out GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = batchEvents.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+}
