@@ -44,31 +44,78 @@ object MigrateCli {
 
     val start = System.currentTimeMillis()
     try {
-      val src = spark.read.parquet(cfg.sourcePath)
-      val (keyName, keyExpr) = args.getOrElse("partition-expr", "") match {
-        case s if s.startsWith("month:") =>
-          val c = s.stripPrefix("month:")
-          (s"${c}_month", date_format(col(c), "yyyy-MM"))
-        case s if s.startsWith("date:") =>
-          val c = s.stripPrefix("date:")
-          (s"${c}_date", date_format(col(c), "yyyy-MM-dd"))
-        case "" => throw new IllegalArgumentException("--partition-expr is required")
-        case plain => (plain, col(plain))
-      }
+      /** Partition expr for one table; tables lacking the named column
+        * fall back to a single constant partition (the no-partition fast
+        * path, reference: migration.py:432-441).
+        */
+      def keyFor(df: org.apache.spark.sql.DataFrame): (String, org.apache.spark.sql.Column) =
+        args.getOrElse("partition-expr", "") match {
+          case s if s.startsWith("month:") =>
+            val c = s.stripPrefix("month:")
+            if (df.columns.contains(c)) (s"${c}_month", date_format(col(c), "yyyy-MM"))
+            else ("part", lit("all"))
+          case s if s.startsWith("date:") =>
+            val c = s.stripPrefix("date:")
+            if (df.columns.contains(c)) (s"${c}_date", date_format(col(c), "yyyy-MM-dd"))
+            else ("part", lit("all"))
+          case "" => throw new IllegalArgumentException("--partition-expr is required")
+          case plain =>
+            if (df.columns.contains(plain)) (plain, col(plain))
+            else ("part", lit("all"))
+        }
 
       val ckpt = new Checkpoint(cfg.checkpointPath)
       val mig = new Migrator(spark, ckpt, cfg.lockDir, cfg.insertIntervalSec)
-      val result = mig.migrateTable(
-        TableRef(cfg.db, cfg.table), src, Seq(keyName), Seq(keyExpr), cfg.destPath)
 
-      val report = graft.model.MigrationReport(cfg.mode, cfg.db, Seq(result))
+      /** Read a source table via Sources so nanosecond-timestamp columns
+        * (events.ts) convert instead of failing the vectorized reader.
+        */
+      def readTable(dir: String, name: String) =
+        graft.sources.Sources.table(spark, dir, name)
+
+      val results = cfg.mode match {
+        case "single" =>
+          val f = new java.io.File(cfg.sourcePath)
+          val src = readTable(f.getParent, f.getName.stripSuffix(".parquet"))
+          val (k, e) = keyFor(src)
+          Seq(mig.migrateTable(
+            TableRef(cfg.db, cfg.table), src, Seq(k), Seq(e), cfg.destPath))
+        case "full" =>
+          // full-database mode (reference: migration.py:544-563):
+          // sequential per-table migration, log-and-continue on failure.
+          val dir = new java.io.File(cfg.sourcePath)
+          val tables = dir.listFiles().toSeq
+            .filter(_.getName.endsWith(".parquet"))
+            .map(_.getName.stripSuffix(".parquet")).sorted
+          tables.map { t =>
+            try {
+              val src = readTable(cfg.sourcePath, t)
+              val (k, e) = keyFor(src)
+              mig.migrateTable(TableRef(cfg.db, t), src, Seq(k), Seq(e),
+                s"${cfg.destPath}/$t")
+            } catch {
+              case ex: Exception =>
+                System.err.println(s"[graft] table $t failed: ${ex.getMessage}")
+                graft.model.TableResult(TableRef(cfg.db, t),
+                  graft.model.TableStatus.Failed, 0, 0, 0L, Nil,
+                  Some(ex.getMessage))
+            }
+          }
+        case other => throw new IllegalArgumentException(s"unknown mode: $other")
+      }
+
+      val report = graft.model.MigrationReport(cfg.mode, cfg.db, results)
       val reportPath = ReportService.write(
         report, args.getOrElse("report-dir", "reports"), start)
       // console summary (reference: report.py:85-124)
-      println(s"[graft] table=${cfg.db}.${cfg.table} status=${result.status.name} " +
-        s"partitions=${result.completedPartitions}/${result.totalPartitions} " +
-        s"rows=${result.migratedRows} report=$reportPath")
-      result.error.foreach(e => System.err.println(s"[graft] error: $e"))
+      results.foreach { r =>
+        println(s"[graft] table=${r.table.qualified} status=${r.status.name} " +
+          s"partitions=${r.completedPartitions}/${r.totalPartitions} " +
+          s"rows=${r.migratedRows}")
+        r.error.foreach(e => System.err.println(s"[graft] error: $e"))
+      }
+      println(s"[graft] report=$reportPath completed=${report.completedCount} " +
+        s"failed=${report.failedCount} skipped=${report.skippedCount}")
       spark.stop()
       if (report.anyFailed) sys.exit(1)
     } catch {

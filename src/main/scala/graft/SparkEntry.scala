@@ -23,6 +23,7 @@ object SparkEntry {
       (TextQueries.defs, TextQueries.oracles),
       (DedupQueries.defs, DedupQueries.oracles),
       (SimilarityQueries.defs, SimilarityQueries.oracles),
+      (AdvancedQueries.defs, AdvancedQueries.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.PortableFns._
+import graft.sources.Sources
+
+/** Advanced aggregate surface: statistical moments (computed from exact
+  * decimal power sums, so cross-engine deterministic), percentiles,
+  * deterministic arg-max, ordered string aggregation, pivot, and
+  * subquery shapes.
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Sources.table(s, dir, n)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sample variance/stddev from exact decimal power sums:
+    // var = (n·Σx² − (Σx)²) / (n·(n−1)) — the decimal numerator is exact,
+    // so both engines produce the same double.
+    "a_stats" -> ((s, dir) => {
+      // widths chosen so every decimal product stays ≤ precision 38 with
+      // no scale reduction in EITHER engine; the numerator terms n·Σx²
+      // and (Σx)² are exact decimals, converted to double only at the end
+      // (both engines round the same exact values → identical doubles).
+      val x = col("l_quantity").cast(DecimalType(9, 2))
+      val base = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(x).as("s1r"), sum(x * x).as("s2r"))
+        .select(col("l_returnflag"), col("n"),
+          col("n").cast(DecimalType(10, 0)).as("nd"),
+          col("s1r").cast(DecimalType(18, 2)).as("s1"),
+          col("s2r").cast(DecimalType(27, 4)).as("s2"))
+      val numer = (col("nd") * col("s2")).cast("double") -
+        (col("s1") * col("s1")).cast("double")
+      val denom = (col("n") * (col("n") - 1)).cast("double")
+      base.select(col("l_returnflag"), col("n"),
+          col("s1").cast("double").as("sum_qty"),
+          (numer / denom).as("var_qty"),
+          sqrt(numer / denom).as("std_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Percentiles (linear interpolation); rounded to absorb the engines'
+    // different-but-equivalent interpolation arithmetic.
+    "a_percentile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+        .orderBy("o_orderstatus")),
+
+    // Deterministic arg-max: the order with the max price per status;
+    // ties broken by min orderkey (join-based, no engine-specific
+    // arg_max tie behavior).
+    "a_argmax" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val mx = o.groupBy(col("o_orderstatus").as("status"))
+        .agg(max(col("o_totalprice")).as("max_price"))
+      o.join(broadcast(mx), o("o_orderstatus") === mx("status") &&
+          o("o_totalprice") === mx("max_price"))
+        .groupBy("status", "max_price")
+        .agg(min(col("o_orderkey")).as("best_order"))
+        .orderBy("status")
+    }),
+
+    // Ordered string aggregation (sorted concat — deterministic).
+    "a_string_agg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy("n_regionkey")),
+
+    // Pivot: linestatus columns per returnflag (explicit value list so
+    // output columns are stable).
+    "a_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .orderBy("l_returnflag")),
+
+    // Scalar subquery: orders above the global average price.
+    "a_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS cnt FROM orders_sq
+          |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS
+          |    DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |  FROM orders_sq)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // first/last/nth value window functions.
+    "a_first_last" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a_stats" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(18,2)) AS s1,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))
+        |      * CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(27,4)) AS s2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(s1 AS DOUBLE) AS sum_qty,
+        |  (CAST(CAST(n AS DECIMAL(10,0)) * s2 AS DOUBLE)
+        |      - CAST(s1 * s1 AS DOUBLE))
+        |    / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+        |  sqrt((CAST(CAST(n AS DECIMAL(10,0)) * s2 AS DOUBLE)
+        |      - CAST(s1 * s1 AS DOUBLE))
+        |    / CAST(n * (n - 1) AS DOUBLE)) AS std_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "a_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a_argmax" ->
+      """WITH mx AS (SELECT o_orderstatus AS status, max(o_totalprice) AS max_price
+        |  FROM orders GROUP BY 1)
+        |SELECT status, max_price, min(o_orderkey) AS best_order
+        |FROM orders JOIN mx
+        |  ON o_orderstatus = status AND o_totalprice = max_price
+        |GROUP BY status, max_price ORDER BY status""".stripMargin,
+    "a_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "a_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_linestatus = 'F') AS "F",
+        |  count(*) FILTER (l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a_scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS
+        |    DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+  )
+}
