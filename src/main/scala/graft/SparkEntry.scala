@@ -24,6 +24,7 @@ object SparkEntry {
       (DedupQueries.defs, DedupQueries.oracles),
       (SimilarityQueries.defs, SimilarityQueries.oracles),
       (AdvancedQueries.defs, AdvancedQueries.oracles),
+      (SketchQueries.defs, SketchQueries.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

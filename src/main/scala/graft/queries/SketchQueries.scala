@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+import graft.sources.Sources
+
+/** Sketch/approximate operators and the as-of join.
+  *
+  * The `x_*` sketch queries have NO oracle entry on purpose: HLL and
+  * t-digest internals differ across engines, so the driver records the
+  * rows-only check (per the contract comment in SparkEntry). Their exact
+  * twins (q_distinct_agg, a_percentile) ARE oracle-checked.
+  */
+object SketchQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Sources.table(s, dir, n)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HLL approximate distinct (exact twin: q_distinct_agg).
+    "x_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"))
+        .orderBy("l_returnflag")),
+
+    // Approximate quantiles (exact twin: a_percentile).
+    "x_approx_quantiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+          .as("approx_p"))
+        .orderBy("o_orderstatus")),
+
+    // As-of join: every event picks up the user's latest prior (or
+    // simultaneous) signup. DuckDB's native ASOF LEFT JOIN is the
+    // oracle; the Spark side is the union-window composition
+    // (graft.operators.Joins.asofJoin).
+    "j_asof_signup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("event_id")) // dedupe simultaneous
+      Joins.asofJoin(
+        left = ev.select("event_id", "user_id", "ts"),
+        right = signups,
+        keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id", "ts"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          coalesce(col("event_id_asof"), lit(-1L)).as("signup_id"),
+          coalesce(date_format(col("ts_asof"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            lit("none")).as("signup_ts_s"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j_asof_signup" ->
+      """WITH su AS (SELECT user_id, ts, max(event_id) AS sid
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  COALESCE(su.sid, -1) AS signup_id,
+        |  COALESCE(strftime(su.ts, '%Y-%m-%d %H:%M:%S.%f'), 'none')
+        |    AS signup_ts_s
+        |FROM events e
+        |ASOF LEFT JOIN su ON e.user_id = su.user_id AND e.ts >= su.ts
+        |ORDER BY e.event_id""".stripMargin,
+  )
+}

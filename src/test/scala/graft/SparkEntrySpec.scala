@@ -10,7 +10,9 @@ class SparkEntrySpec extends SparkFunSuite {
   }
 
   test("every query has an oracle (or is explicitly waived)") {
-    val waived = Set.empty[String] // queries with driver rows-only checks
+    // sketch queries: engine-specific internals (HLL/t-digest) → the
+    // driver's rows-only check; exact twins are oracle-checked.
+    val waived = Set("x_approx_distinct", "x_approx_quantiles")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkFunSuite
+
+class JoinsSpec extends SparkFunSuite {
+
+  test("asofJoin: latest right row at or before left ts, per key") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "u1", 5L), (2L, "u1", 20L), (3L, "u1", 10L), (4L, "u2", 7L)
+    ).toDF("lid", "k", "ts")
+    val right = Seq(
+      ("u1", 4L, 100L), ("u1", 10L, 200L), ("u1", 30L, 300L)
+    ).toDF("k", "ts", "payload")
+    val res = Joins.asofJoin(left, right, Seq("k"), "ts", "ts",
+        Seq("payload"), rightTieBreak = Some("payload"))
+      .select("lid", "payload_asof")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(res(1L) == 100L) // ts=5 → right@4
+    assert(res(2L) == 200L) // ts=20 → right@10 (30 is in the future)
+    assert(res(3L) == 200L) // ts=10 → right@10 (simultaneous matches)
+    assert(res(4L) == -1L)  // u2 has no right rows → null
+  }
+
+  test("asofJoin: simultaneous right rows resolve by tie-break (max wins)") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val left = Seq((1L, "u", 10L)).toDF("lid", "k", "ts")
+    val right = Seq(("u", 10L, 7L), ("u", 10L, 9L)).toDF("k", "ts", "payload")
+    val res = Joins.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("payload"), rightTieBreak = Some("payload")).collect()
+    assert(res.head.getAs[Long]("payload_asof") == 9L)
+  }
+
+  test("float_dot is SQL-registered and matches the Column API") {
+    val s = graft.SparkTestBase.spark
+    graft.GraftExtensions.register(s)
+    val viaSql = s.sql(
+      "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(viaSql == 1.5 * 3 + 2 * 0.5)
+    import org.apache.spark.sql.functions._
+    val emb = s.read.parquet(s"$sf0001/embeddings.parquet").limit(5)
+    val rows = emb.select(
+      graft.plans.FloatVecOps.floatDot(col("embedding"), col("embedding")).as("a"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) > 0))
+  }
+}
