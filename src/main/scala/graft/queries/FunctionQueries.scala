@@ -108,6 +108,36 @@ object FunctionQueries {
           dsum10(col("v").cast("double")).as("sum_v"))
         .orderBy("dim")),
 
+    // Map functions: parse the JSON props into a typed map, then key/
+    // value extraction and cardinality.
+    "f_map" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+        .select(col("event_id"),
+          size(col("m")).as("n_keys"),
+          array_join(map_keys(col("m")), ",").as("keys"),
+          coalesce(element_at(col("m"), "k"), lit(-1)).as("k_val"))
+        .orderBy("event_id")),
+
+    // Duplicate-preserving set ops: INTERSECT ALL / EXCEPT ALL over
+    // order-priority multisets.
+    "f_setops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select("o_orderpriority")
+      val b = o.filter(col("o_orderstatus") === "O").select("o_orderpriority")
+      a.intersectAll(b)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_inter"))
+        .join(
+          a.exceptAll(b)
+            .groupBy("o_orderpriority").agg(count(lit(1)).as("n_except")),
+          Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Non-equi range join: size buckets × parts (broadcast nested loop on
     // a tiny inline dim — the right plan for a 5-row bucket table).
     "f_range_join" -> ((s, dir) => {
@@ -221,6 +251,25 @@ object FunctionQueries {
         |FROM embeddings, generate_series(1, 64) AS t(i)
         |WHERE vec_id <= 50
         |GROUP BY dim ORDER BY dim""".stripMargin,
+    "f_map" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+        |  array_to_string(json_keys(props), ',') AS keys,
+        |  COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1)
+        |    AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f_setops_all" ->
+      """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+        |b AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+        |i AS (SELECT o_orderpriority, count(*) AS n_inter
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+        |x AS (SELECT o_orderpriority, count(*) AS n_except
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT COALESCE(i.o_orderpriority, x.o_orderpriority) AS o_orderpriority,
+        |  COALESCE(n_inter, 0) AS n_inter,
+        |  COALESCE(n_except, 0) AS n_except
+        |FROM i FULL JOIN x ON i.o_orderpriority = x.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "f_range_join" ->
       """SELECT bucket, count(*) AS n_parts,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
