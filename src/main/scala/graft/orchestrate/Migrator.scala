@@ -40,7 +40,8 @@ final class Migrator(
     checkpoint: Checkpoint,
     lockDir: String = "locks",
     insertIntervalSec: Double = 0.0,
-    lockTimeoutSec: Double = 3600.0) {
+    lockTimeoutSec: Double = 3600.0,
+    checksumValidation: Boolean = false) {
 
   /** Migrate one source table.
     *
@@ -143,6 +144,28 @@ final class Migrator(
       return TableResult(table, TableStatus.Failed, allParts.size,
         checks.count(_.passed), migratedRows, checks,
         Some(s"full-table count mismatch: src=$totalSrc dst=$totalDst"))
+    }
+
+    // Optional content-checksum gate (upgrade of the count-only A35 —
+    // SURVEY.md §7.4): per-partition bit_xor(xxhash64(row)) on both
+    // sides; catches value corruption that equal counts miss. One extra
+    // column-pruned scan per side.
+    if (checksumValidation) {
+      val dataCols = src.columns.toSeq.filterNot(keys.contains)
+      val srcSums = graft.operators.Validate.checksumByPartition(
+        withKeys, keys, dataCols)
+      val dstSums = graft.operators.Validate.checksumByPartition(
+        spark.read.option("basePath", staging).parquet(staging)
+          .select((keys ++ dataCols).map(col): _*),
+        keys, dataCols)
+      if (!graft.operators.Validate.checksumsMatch(srcSums, dstSums)) {
+        checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
+        val bad = (srcSums.keySet ++ dstSums.keySet)
+          .filter(p => srcSums.get(p) != dstSums.get(p)).map(_.render)
+        return TableResult(table, TableStatus.Failed, allParts.size,
+          checks.count(_.passed), migratedRows, checks,
+          Some(s"checksum mismatch for partitions: ${bad.mkString(", ")}"))
+      }
     }
 
     // Audit passed → publish (the safe swap).

@@ -15,6 +15,11 @@ object AdvancedQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Sources.table(s, dir, n)
 
+  /** revenue = extendedprice * (1 - discount), exact decimal. */
+  private def revenueAdv =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2)))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Sample variance/stddev from exact decimal power sums:
     // var = (n·Σx² − (Σx)²) / (n·(n−1)) — the decimal numerator is exact,
@@ -95,6 +100,57 @@ object AdvancedQueries {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // TPC-H Q10-shaped multi-join: returned-item revenue per customer,
+    // top-20. Two fact tables shuffle on orderkey; customer/nation
+    // broadcast.
+    "a_returned_revenue" -> ((s, dir) => {
+      val line = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      line
+        .join(ord, line("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(revenueAdv).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Correlated scalar subquery: parts above their own brand's mean
+    // price (exact-decimal mean → identical threshold in both engines).
+    "a_correlated" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_cs")
+      s.sql(
+        """SELECT p_brand, count(*) AS n_above
+          |FROM part_cs p
+          |WHERE p_retailprice > (
+          |  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+          |      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |  FROM part_cs p2 WHERE p2.p_brand = p.p_brand)
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    }),
+
+    // Time-series gap fill: every (event_type × hour) slot over January
+    // 2024, zero-filled — sequence generation + cross join + left join.
+    "a_gapfill" -> ((s, dir) => {
+      val hours = s.range(1).select(explode(sequence(
+        lit("2024-01-01 00:00:00").cast("timestamp"),
+        lit("2024-01-30 23:00:00").cast("timestamp"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      val types = t(s, dir, "events").select("event_type").distinct()
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      hours.crossJoin(broadcast(types))
+        .join(hourly, Seq("h", "event_type"), "left_outer")
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), coalesce(col("c"), lit(0L)).as("cnt"))
+        .orderBy("hour", "event_type")
+    }),
+
     // first/last/nth value window functions.
     "a_first_last" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -154,6 +210,43 @@ object AdvancedQueries {
         |    DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |  FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "a_correlated" ->
+      """SELECT p_brand, count(*) AS n_above
+        |FROM part p
+        |WHERE p_retailprice > (
+        |  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "a_gapfill" ->
+      """WITH hours AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h),
+        |types AS (SELECT DISTINCT event_type AS et FROM events),
+        |hourly AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(hours.h, '%Y-%m-%d %H:%M') AS hour,
+        |  types.et AS event_type,
+        |  COALESCE(hourly.c, 0) AS cnt
+        |FROM hours CROSS JOIN types
+        |LEFT JOIN hourly ON hours.h = hourly.h
+        |  AND types.et = hourly.event_type
+        |ORDER BY hour, event_type""".stripMargin,
     "a_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_totalprice) OVER w AS first_price,
