@@ -137,18 +137,27 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // The shingle relation feeds signatures AND verification; the band
-    // table self-joins; the candidate set is referenced twice. Persist
-    // each small intermediate (and materialize candidates eagerly) so the
-    // signature pipeline runs exactly once.
+    // The shingle relation feeds signatures AND verification (3 scans);
+    // the band table self-joins; the candidate set is referenced twice.
+    // Persist each small intermediate so the signature pipeline runs
+    // exactly once, run the verification eagerly while the caches are
+    // hot (the pair result is tiny — localCheckpoint materializes it on
+    // executors), then unpersist everything: nothing stays cached in the
+    // session after this call (the round-1 leak).
     val rel = shingleRelation(df, idCol, textCol).persist(MEMORY_AND_DISK)
     val bandsDf = bandsFromRelation(rel, bands, rowsPerBand).persist(MEMORY_AND_DISK)
     val cand = lshCandidates(bandsDf).persist(MEMORY_AND_DISK)
     cand.count() // materialize: rel → bands → candidates, once
-    val candIds = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
-    val relC = rel.join(broadcast(candIds), Seq("id"), "left_semi")
-    jaccardFromRelation(relC, threshold, Some(cand))
+    try {
+      val candIds = cand.select(col("id_a").as("id"))
+        .union(cand.select(col("id_b").as("id"))).distinct()
+      val relC = rel.join(broadcast(candIds), Seq("id"), "left_semi")
+      jaccardFromRelation(relC, threshold, Some(cand)).localCheckpoint()
+    } finally {
+      rel.unpersist(blocking = false)
+      bandsDf.unpersist(blocking = false)
+      cand.unpersist(blocking = false)
+    }
   }
 
   /** 32-bit SimHash over the distinct-word set, as a '0'/'1' bit string.
@@ -180,8 +189,46 @@ object Dedup {
         x => x.getField("b")), "").as("simhash"))
   }
 
-  /** Hamming-distance pairs over simhash bit strings (verification-scale
-    * helper; production path bands the signature like LSH).
+  /** Hamming-distance pairs via signature banding — the production path.
+    * The `bits`-bit signature splits into `bands` equal chunks; candidate
+    * pairs share ≥1 exact chunk (a hash-equality self-join on tiny
+    * (band, chunk) keys — never an all-pairs theta join), and only
+    * candidates pay the exact Hamming verification.
+    *
+    * Banding is LOSSLESS for `maxDist < bands` (pigeonhole: fewer
+    * differing bits than bands forces some band to differ in none), so
+    * the default 8 bands × 4 bits reproduces the all-pairs result
+    * bit-for-bit up to maxDist = 7 — [[simhashPairs]] remains as the
+    * verification oracle at small n. At 100 TB the candidate join
+    * shuffles only (id, 4-char chunk) tuples and pairwise work is
+    * bounded by bucket collisions, not n².
+    */
+  def simhashBandedPairs(sigs: DataFrame, maxDist: Int, bands: Int = 8,
+      bits: Int = 32): DataFrame = {
+    require(maxDist < bands,
+      s"banding loses recall for maxDist ≥ bands (got $maxDist ≥ $bands)")
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    val width = bits / bands
+    val banded = sigs.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("simhash"), col("band"),
+        col("simhash").substr(col("band") * width + 1, lit(width)).as("chunk"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
+      .distinct()
+    val dist = aggregate(sequence(lit(1), lit(bits)), lit(0L),
+      (acc, p) => acc + when(
+        col("sig_a").substr(p, lit(1)) =!= col("sig_b").substr(p, lit(1)),
+        1L).otherwise(0L))
+    cand.select(col("id_a"), col("id_b"), dist.as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** All-pairs Hamming-distance pairs (verification-scale oracle for
+    * [[simhashBandedPairs]]; O(n²), never the production path).
     */
   def simhashPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
     val positions = sigs.select(col("id"), col("simhash"),

@@ -98,25 +98,52 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
-  /** Embedding near-duplicate pairs: cheap double cosine prefilter (native
-    * codegen dot product + per-row precomputed norms — the O(n²) part),
-    * exact-decimal rerank at the real threshold — only prefilter
-    * survivors pay the interpreted decimal pass.
+  /** Full 64-bit sign signature: one '0'/'1' char per dimension. */
+  def signSignature(vec: Column, dim: Int = 64): Column =
+    concat((1 to dim).map(i =>
+      when(element_at(vec, i) > 0f, "1").otherwise("0")): _*)
+
+  /** Embedding near-duplicate pairs via OR-amplified banded sign-LSH —
+    * the 100-TB shape (round 1 was an all-pairs theta join; this replaces
+    * it). Every vector's 64-bit sign signature splits into `bands` bands
+    * of `bandBits` bits; a pair is a CANDIDATE iff at least one band
+    * matches exactly. Candidates come from a self-join on slim
+    * (band, key) tuples — a hash-equality shuffle join, never n² — then
+    * join their vectors back and pay the cheap codegen double-cosine
+    * prefilter plus the exact-decimal rerank. Same band-OR amplification
+    * as MinHash-LSH ([[graft.operators.Dedup.lshCandidates]]).
+    *
+    * Semantics: approximate by design — a pair disagreeing somewhere in
+    * EVERY band is never considered. With 16 bands × 4 bits and sign
+    * agreement p = 1 − θ/π per dim, candidate recall is
+    * 1 − (1 − p⁴)¹⁶ (≈0.93 at cos 0.4, →1 as cos→1: the closer a pair,
+    * the surer its capture — the right trade for near-dup detection).
+    * The oracle reproduces the same candidate rule, so output is
+    * deterministic.
     */
   def nearDupPairs(df: DataFrame, threshold: Double, prefilter: Double,
+      bands: Int = 16, bandBits: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.plans.FloatVecOps.{floatDot, floatNorm2}
-    // norms computed once per ROW (n of them), not once per pair (n²);
-    // the stream side of the O(n²) nested-loop join is repartitioned so
-    // the pair loop parallelizes (a single-file corpus arrives in one
-    // partition otherwise).
-    val a = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id_a"), col(vecCol).as("va"),
-        sqrt(floatNorm2(col(vecCol))).as("na"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      sqrt(floatNorm2(col(vecCol))).as("nb"))
+    // Norms computed once per ROW; vectors stay OUT of the candidate join.
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      signSignature(col(vecCol), bands * bandBits).as("sig"),
+      sqrt(floatNorm2(col(vecCol))).as("nrm"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        col("sig").substr(b * bandBits + 1, bandBits).as("key"))
+    }
+    val probes = base.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = probes.as("x").join(probes.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val a = base.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+    val b = base.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
     val cheap = round(floatDot(col("va"), col("vb")) / (col("na") * col("nb")), 8)
-    a.join(b, col("id_a") < col("id_b"))
+    cand.join(a, "id_a").join(b, "id_b")
       .filter(cheap >= prefilter)
       .select(col("id_a"), col("id_b"),
         cosineExact(col("va"), col("vb")).as("cos"))

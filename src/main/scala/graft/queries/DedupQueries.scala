@@ -62,9 +62,10 @@ object DedupQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
-    // SimHash near-dup pairs by Hamming distance.
+    // SimHash near-dup pairs by Hamming distance, via 8×4-bit banding
+    // (lossless for maxDist ≤ 7, so the all-pairs oracle still matches).
     "d_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(
+      Dedup.simhashBandedPairs(
         Dedup.simhashBits(docs(s, dir).filter(col("doc_id") < 100),
           "doc_id", "text"), maxDist = 6)
         .orderBy("id_a", "id_b")),

@@ -55,7 +55,8 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
-    // Embedding-cosine near-duplicate pairs: cheap prefilter at 0.35,
+    // Embedding-cosine near-duplicate pairs: banded sign-LSH candidates
+    // (16 bands × 4 sign bits, any-band match), cheap prefilter at 0.35,
     // exact threshold at 0.4.
     "s_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), threshold = 0.4, prefilter = 0.35)
@@ -93,15 +94,26 @@ object SimilarityQueries {
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin
     },
-    "s_embed_neardup" ->
-      s"""WITH cand AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+    "s_embed_neardup" -> {
+      // Same candidate rule as the Spark side: 64-char sign signature,
+      // 16 bands × 4 bits, candidate iff ANY band matches exactly.
+      val sig = (1 to 64)
+        .map(i => s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      val anyBand = (0 until 16)
+        .map(b => s"substring(a.sig, ${b * 4 + 1}, 4) = substring(b.sig, ${b * 4 + 1}, 4)")
+        .mkString(" OR ")
+      s"""WITH v AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+        |cand AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
         |    a.embedding AS qvec, b.embedding AS cvec
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |    AND ($anyBand)
         |  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 8)
         |    >= 0.35),
         |$cosCte
         |SELECT qid AS id_a, vid AS id_b, cos
         |FROM scored WHERE cos >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin
+    },
   )
 }

@@ -26,12 +26,18 @@ object SketchQueries {
           approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"))
         .orderBy("l_returnflag")),
 
-    // Approximate quantiles (exact twin: a_percentile).
+    // Approximate quantiles (exact twin: a_percentile). Projected as
+    // three SCALAR double columns — the driver's rows-only harness
+    // sorts/hashes cell values, and an array cell is unhashable there.
     "x_approx_quantiles" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
         .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99))")
           .as("approx_p"))
+        .select(col("o_orderstatus"),
+          element_at(col("approx_p"), 1).cast("double").as("p50"),
+          element_at(col("approx_p"), 2).cast("double").as("p90"),
+          element_at(col("approx_p"), 3).cast("double").as("p99"))
         .orderBy("o_orderstatus")),
 
     // As-of join: every event picks up the user's latest prior (or

@@ -27,11 +27,21 @@ object Sources {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      // Scoped to this read: the conf is consulted at schema inference,
+      // which the DataFrameReader performs eagerly here; the resolved
+      // relation carries LongType from then on, so the conf can be
+      // restored immediately without affecting later execution of this
+      // DataFrame — and no other parquet read in the session silently
+      // inherits the legacy nanos behavior (round-1 advice).
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      val raw = try {
+        spark.conf.set(key, "true")
+        spark.read.parquet(s"$dir/events.parquet")
+      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =

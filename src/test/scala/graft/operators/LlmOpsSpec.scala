@@ -64,6 +64,20 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("simhashBandedPairs ≡ all-pairs simhashPairs for maxDist < bands") {
+    val sigs = Dedup.simhashBits(
+      docs.filter(col("doc_id") < 60), "doc_id", "text")
+    val banded = Dedup.simhashBandedPairs(sigs, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val allPairs = Dedup.simhashPairs(sigs, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(banded.nonEmpty)
+    assert(banded.toSeq == allPairs.toSeq) // lossless by pigeonhole
+    intercept[IllegalArgumentException] {
+      Dedup.simhashBandedPairs(sigs, maxDist = 8, bands = 8)
+    }
+  }
+
   // ---- Similarity ----
 
   test("bruteForceTopK: k rows per query, descending, no self") {
@@ -88,6 +102,21 @@ class LlmOpsSpec extends SparkFunSuite {
     val pairs = Similarity.nearDupPairs(emb, 0.4, 0.35).collect()
     assert(pairs.nonEmpty)
     assert(pairs.forall(r => r.getDouble(2) >= 0.4 && r.getLong(0) < r.getLong(1)))
+  }
+
+  test("nearDupPairs LSH candidates: exact dup always caught, no false cos") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // An identical pair shares every band (recall 1 for exact dups);
+    // every emitted cos is the true exact-decimal cosine (no approximation
+    // in the VALUES — only candidate selection is approximate).
+    val v = (1 to 64).map(i => (if (i % 3 == 0) -1.0f else 1.0f) * i / 64f)
+    val w = (1 to 64).map(i => (if (i % 5 == 0) -1.0f else 1.0f) * (65 - i) / 64f)
+    val df = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, 0.99, 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
   }
 
   // ---- TextAnalysis ----
