@@ -27,16 +27,21 @@ object Bench {
         row_number().over(Window.partitionBy("k").orderBy("id"))).count()
     }
 
-    // min of 2 runs per query: this VM sees intermittent host CPU-steal
-    // spikes that inflate random queries 5-10x; the min is the real cost.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }
+    // min of 2 INTERLEAVED passes per query: this VM sees intermittent
+    // host CPU-steal spikes that inflate random queries 5-10x. Running
+    // the full query list twice (pass 1 for all, then pass 2) instead of
+    // back-to-back repeats decorrelates the two samples — a multi-second
+    // steal window can no longer inflate BOTH samples of one query, so
+    // the per-query min is a far more robust estimate of the real cost.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def pass(): Map[String, Double] = names.map { name =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val p1 = pass(); val p2 = pass()
+    val results = names.map(n => n -> math.min(p1(n), p2(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -2,6 +2,7 @@ package graft.copy
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 
 import graft.model.PartitionId
 import graft.operators.Partitions
@@ -34,9 +35,21 @@ object CopyService {
 
   /** Partition subdirectory name: `k1=v1/k2=v2` (Hive layout, so the
     * destination is readable as a partitioned table by any engine).
+    *
+    * Values are escaped exactly as Spark's own `partitionBy` writer does
+    * (`ExternalCatalogUtils.escapePathName`), so a value containing `/`,
+    * `=`, or a literal `%XX` sequence round-trips through partition
+    * discovery unchanged instead of corrupting the directory tree. A null
+    * value renders as the Hive default-partition sentinel, matching what
+    * `partitionBy` would have produced for it.
     */
   def partitionDir(keys: Seq[String], part: PartitionId): String =
-    keys.zip(part.values).map { case (k, v) => s"$k=$v" }.mkString("/")
+    keys.zip(part.values).map { case (k, v) =>
+      val rendered =
+        if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(v)
+      s"${ExternalCatalogUtils.escapePathName(k)}=$rendered"
+    }.mkString("/")
 
   /** Copy one partition of `src` into `destRoot/<hive-dirs>/`, overwriting
     * any previous (possibly partial) copy of the same partition. Hive
@@ -50,8 +63,12 @@ object CopyService {
       part: PartitionId,
       partExprs: Seq[Column],
       destRoot: String): Unit = {
+    // Null-safe equality: a null partition value must select the rows
+    // whose key IS NULL (plain === null is never-true → empty copy).
     val pred = keys.zip(partExprs).zip(part.values)
-      .map { case ((_, expr), v) => expr === v }
+      .map { case ((_, expr), v) =>
+        if (v == null) expr.isNull else expr === v
+      }
       .reduce(_ && _)
     src.filter(pred)
       .drop(keys.filter(src.columns.contains): _*)

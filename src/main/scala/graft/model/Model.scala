@@ -87,10 +87,18 @@ object TableStatus {
   case object Failed extends TableStatus { val name = "failed" }
   case object Skipped extends TableStatus { val name = "skipped" }
   case object Running extends TableStatus { val name = "running" }
+  /** Another process holds the table lock — the table was neither
+    * migrated nor failed, and the shared checkpoint was NOT touched
+    * (reference: the distributed-mode lock check at
+    * services/migration.py:331-339 reports a locked local table without
+    * writing progress for it).
+    */
+  case object Locked extends TableStatus { val name = "locked" }
   def fromName(s: String): TableStatus = s match {
     case "completed" => Completed
     case "failed"    => Failed
     case "skipped"   => Skipped
+    case "locked"    => Locked
     case _           => Running
   }
 }

@@ -40,28 +40,30 @@ object Joins {
     val payloadOut = rightPayload.map(_ + suffix)
     val leftCols = left.columns.toSeq
 
-    val l2 = left
+    // The payload travels as ONE struct column so the latest right ROW
+    // wins atomically: carrying each column independently with
+    // last(ignoreNulls) would let a null payload value inherit an older
+    // row's value, and could stitch columns from different right rows.
+    val r2base = right.select(
+      (keys.map(col) :+ col(rightTs).as("_t")) :+
+        struct(rightPayload.map(col): _*).as("_payload") :+
+        rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tie"): _*)
+      .withColumn("_tag", lit(1))
+    val payloadType = r2base.schema("_payload").dataType
+
+    val l3 = left
       .withColumn("_t", col(leftTs))
       .withColumn("_tag", lit(0))
       .withColumn("_tie", lit(null).cast("long"))
-    val l3 = payloadOut.foldLeft(l2)((df, p) =>
-      df.withColumn(p, lit(null)))
-
-    val r2base = right.select(
-      (keys.map(col) :+ col(rightTs).as("_t")) ++
-        rightPayload.zip(payloadOut).map { case (src, out) => col(src).as(out) } :+
-        rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tie"): _*)
-      .withColumn("_tag", lit(1))
+      .withColumn("_payload", lit(null).cast(payloadType))
     // right rows carry null for left-only columns
     val r3 = leftCols.filterNot(keys.contains).foldLeft(r2base)((df, c) =>
       df.withColumn(c, lit(null)))
 
-    val unioned = l3.select(
-      (keys ++ leftCols.filterNot(keys.contains) ++
-        Seq("_t", "_tag", "_tie") ++ payloadOut).map(col): _*)
-      .unionByName(r3.select(
-        (keys ++ leftCols.filterNot(keys.contains) ++
-          Seq("_t", "_tag", "_tie") ++ payloadOut).map(col): _*))
+    val unionCols = keys ++ leftCols.filterNot(keys.contains) ++
+      Seq("_t", "_tag", "_tie", "_payload")
+    val unioned = l3.select(unionCols.map(col): _*)
+      .unionByName(r3.select(unionCols.map(col): _*))
 
     // right rows sort BEFORE left rows at equal ts (tag desc) so an
     // exactly-simultaneous right row matches (ts <= ts).
@@ -69,9 +71,12 @@ object Joins {
       .orderBy(col("_t").asc, col("_tag").desc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payloadOut.foldLeft(unioned)((df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("_payload",
+      last(col("_payload"), ignoreNulls = true).over(w))
 
-    carried.filter(col("_tag") === 0).drop("_t", "_tag", "_tie")
+    val unpacked = rightPayload.zip(payloadOut).foldLeft(carried) {
+      case (df, (src, out)) => df.withColumn(out, col("_payload").getField(src))
+    }
+    unpacked.filter(col("_tag") === 0).drop("_t", "_tag", "_tie", "_payload")
   }
 }

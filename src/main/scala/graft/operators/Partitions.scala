@@ -53,7 +53,7 @@ object Partitions {
         s"partition key count ${keys.size} != value count ${part.values.size} " +
           s"(keys=$keys, values=${part.values})")
     keys.zip(part.values)
-      .map { case (k, v) => col(k) === lit(v) }
+      .map { case (k, v) => if (v == null) col(k).isNull else col(k) === lit(v) }
       .reduce(_ && _)
   }
 

@@ -98,6 +98,59 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic
+    * cluster-then-probe ANN shape: every corpus vector is assigned to its
+    * nearest centroid (one "cell"), each query probes only its `nProbe`
+    * nearest cells, and the exact rerank pays only for vectors in probed
+    * cells (~nProbe/nlist of the corpus, vs the whole corpus for brute
+    * force).
+    *
+    * Centroids are training-free and deterministic: the `nlist` vectors
+    * with the smallest ids. (A production build would k-means them; the
+    * index SHAPE — assign → cell-equality join → rerank — is identical,
+    * and this choice keeps the operator oracle-checkable.)
+    *
+    * Scale notes: centroids broadcast (nlist rows); assignment is one
+    * scan + a shuffle by vector id for the per-vector argmax (at 100 TB,
+    * swap the window for a map-side `max_by` partial aggregate to make
+    * assignment map-only); the probe join broadcasts q·nProbe slim rows,
+    * so search reads only the probed cells. The assignment output is the
+    * persistable "index" — amortize it across query batches.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("centvec"))
+
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"))
+    val aw = Window.partitionBy(col("vid")).orderBy(col("acos").desc, col("cid"))
+    val assigned = c.join(broadcast(cents))
+      .select(col("vid"), col("cvec"), col("cid"),
+        cosineExact(col("cvec"), col("centvec")).as("acos"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("cvec"), col("cid").as("cell"))
+
+    val qw = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("cid"))
+    val qprobes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("qvec"), col("cid"),
+        cosineExact(col("qvec"), col("centvec")).as("acos"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+
+    val scored = assigned.join(broadcast(qprobes), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        cosineExact(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
+  }
+
   /** Full 64-bit sign signature: one '0'/'1' char per dimension. */
   def signSignature(vec: Column, dim: Int = 64): Column =
     concat((1 to dim).map(i =>

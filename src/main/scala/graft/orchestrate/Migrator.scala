@@ -41,7 +41,9 @@ final class Migrator(
     lockDir: String = "locks",
     insertIntervalSec: Double = 0.0,
     lockTimeoutSec: Double = 3600.0,
-    checksumValidation: Boolean = false) {
+    checksumValidation: Boolean = false,
+    maxConcurrentPartitions: Int = 1) {
+  require(maxConcurrentPartitions >= 1, "maxConcurrentPartitions must be >= 1")
 
   /** Migrate one source table.
     *
@@ -62,13 +64,22 @@ final class Migrator(
       srcPathToDrop: Option[String] = None,
       dropSource: Boolean = false): TableResult = {
     val lock = new TableLock(lockDir, table.db, table.table, lockTimeoutSec)
+    // Lock-timeout is NOT a migration failure: another process owns this
+    // table, and its checkpoint entries are live. Writing Failed here
+    // would race the owner's markPartition/markStatus (the checkpoint
+    // file is only lock-holder-serialized), so report Locked and leave
+    // the checkpoint alone.
+    if (!lock.acquire())
+      return TableResult(table, TableStatus.Locked, 0, 0, 0L, Nil,
+        Some(s"timeout acquiring lock for ${table.qualified}"))
     try {
-      lock.withLock(doMigrate(table, src, keys, keyExprs, destRoot, srcPathToDrop, dropSource))
+      doMigrate(table, src, keys, keyExprs, destRoot, srcPathToDrop, dropSource)
     } catch {
       case e: Exception =>
+        // Thrown while HOLDING the lock → safe to stamp Failed.
         checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
         TableResult(table, TableStatus.Failed, 0, 0, 0L, Nil, Some(e.getMessage))
-    }
+    } finally lock.release()
   }
 
   private def doMigrate(
@@ -115,25 +126,58 @@ final class Migrator(
     var checks = Vector.empty[PartitionCheck]
     val partCols = keys.map(col)
 
-    work.foreach { part =>
+    def copyAndCheck(part: graft.model.PartitionId): PartitionCheck = {
       val t0 = System.nanoTime()
       CopyService.copyPartition(withKeys, keys, part, partCols, staging)
-      if (insertIntervalSec > 0) Thread.sleep((insertIntervalSec * 1000).toLong)
       val srcCount = srcCounts.getOrElse(part, 0L)
       val dstCount = CopyService.countPartitionDir(spark, staging, keys, part)
       val cost = (System.nanoTime() - t0) / 1e9
-      val passed = srcCount == dstCount
-      checks :+= PartitionCheck(part.render, srcCount, dstCount, passed, cost)
-      if (!passed) {
-        // Validation gate (A35): abort, do NOT checkpoint, source intact.
-        checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
-        return TableResult(table, TableStatus.Failed, allParts.size,
-          checks.count(_.passed), migratedRows, checks,
-          Some(s"count mismatch for partition ${part.render}: src=$srcCount dst=$dstCount"))
-      }
-      migratedRows += srcCount
-      checkpoint.markPartition(table.db, table.table, part)
+      PartitionCheck(part.render, srcCount, dstCount, srcCount == dstCount, cost)
     }
+
+    // Per-partition loop, K partitions in flight (reference is strictly
+    // sequential — migration.py:466-508; K>1 is the scale upgrade: each
+    // partition copy is an independent Spark job, so K concurrent jobs
+    // keep a large cluster busy while the driver-serialized loop would
+    // idle it). Work proceeds in groups of K; a failed check aborts
+    // before the next group is scheduled. Passed partitions are
+    // checkpointed in work-list order; a failed partition is never
+    // checkpointed (gate semantics A35 preserved).
+    val pool =
+      if (maxConcurrentPartitions > 1)
+        Some(java.util.concurrent.Executors.newFixedThreadPool(maxConcurrentPartitions))
+      else None
+    try {
+      val groups = work.grouped(maxConcurrentPartitions)
+      for (group <- groups) {
+        val groupChecks: Seq[PartitionCheck] = pool match {
+          case Some(p) if group.size > 1 =>
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(p)
+            Await.result(
+              Future.sequence(group.map(part => Future(copyAndCheck(part)))),
+              Duration.Inf)
+          case _ => group.map(copyAndCheck)
+        }
+        checks ++= groupChecks
+        group.zip(groupChecks).foreach { case (part, chk) =>
+          if (chk.passed) {
+            migratedRows += chk.srcCount
+            checkpoint.markPartition(table.db, table.table, part)
+          }
+        }
+        groupChecks.find(!_.passed).foreach { bad =>
+          // Validation gate (A35): abort, do NOT checkpoint, source intact.
+          checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
+          return TableResult(table, TableStatus.Failed, allParts.size,
+            checks.count(_.passed), migratedRows, checks,
+            Some(s"count mismatch for partition ${bad.partition}: " +
+              s"src=${bad.srcCount} dst=${bad.dstCount}"))
+        }
+        if (insertIntervalSec > 0) Thread.sleep((insertIntervalSec * 1000).toLong)
+      }
+    } finally pool.foreach(_.shutdown())
 
     // Full-table validation gate (migration.py:510-518) — one scan per side.
     val totalSrc = srcCounts.values.sum
@@ -154,8 +198,16 @@ final class Migrator(
       val dataCols = src.columns.toSeq.filterNot(keys.contains)
       val srcSums = graft.operators.Validate.checksumByPartition(
         withKeys, keys, dataCols)
+      // Explicit schema pins the partition key columns to STRING: default
+      // partition-column type inference would re-parse a value like '01'
+      // or '1e3' as numeric and re-render it as '1', diverging from the
+      // source-side keys and tripping a spurious checksum mismatch.
+      val dataFields = src.schema.fields.filterNot(f => keys.contains(f.name))
+      val stagingSchema = org.apache.spark.sql.types.StructType(
+        dataFields ++ keys.map(k =>
+          org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)))
       val dstSums = graft.operators.Validate.checksumByPartition(
-        spark.read.option("basePath", staging).parquet(staging)
+        spark.read.option("basePath", staging).schema(stagingSchema).parquet(staging)
           .select((keys ++ dataCols).map(col): _*),
         keys, dataCols)
       if (!graft.operators.Validate.checksumsMatch(srcSums, dstSums)) {

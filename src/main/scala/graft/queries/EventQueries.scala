@@ -88,6 +88,20 @@ object EventQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // Stream-static enrichment batch twin: left-join events to the
+    // customer dimension (broadcast), aggregate by market segment.
+    // Streaming face: EventStreams.enrichWithDim (stateless per-batch
+    // broadcast join — proven stream ≡ batch in EventStreamsSpec).
+    "e_enrich" -> ((s, dir) => {
+      val c = Sources.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      ev(s, dir)
+        .join(broadcast(c), col("user_id") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("segment")
+    }),
+
     // Event-time top-k: busiest hour per event type (rank over agg).
     "e_busiest_hours" -> ((s, dir) => {
       val hourly = ev(s, dir)
@@ -155,6 +169,12 @@ object EventQueries {
         |      ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "e_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     "e_busiest_hours" ->
       """SELECT event_type, rn, h, cnt FROM (
         |  SELECT event_type, h, cnt,

@@ -77,6 +77,66 @@ object RelationalQueries {
         .orderBy("r_name", "n_name")
     }),
 
+    // TPC-H Q7-shaped: bidirectional nation-to-nation trade volume by
+    // year — a 6-relation join. Scale shape: supplier/customer are
+    // pre-restricted to the two nations BEFORE joining the facts (the
+    // filter travels into the broadcast build side, so the fact join
+    // output is already nation-pruned), then the cross-pair condition
+    // keeps only opposite-nation flows.
+    "q7_nation_volume" -> ((s, dir) => {
+      val pair = Seq("NATION_18", "NATION_19")
+      val nat = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+        .select("c_custkey", "cust_nation")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          date_format(col("l_shipdate"), "yyyy").as("l_year"))
+        .agg(sum(revenueExpr).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8-shaped: one nation's market share of PROMO-part revenue
+    // sold to EUROPE customers, by order year. Every dimension is
+    // broadcast and pre-filtered; the only shuffle is lineitem⋈orders.
+    "q8_market_share" -> ((s, dir) => {
+      val part = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val eurNat = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(eurNat), col("c_nationkey") === col("cn_key"))
+        .select("c_custkey")
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      t(s, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_1", revenueExpr)).cast("double") /
+            sum(revenueExpr).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
     // Left-semi join: customers that placed at least one urgent order
     // (EXISTS), counted per nation.
     "q_semi_join" -> ((s, dir) => {
@@ -174,6 +234,42 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  strftime(l_shipdate, '%Y') AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT strftime(o_orderdate, '%Y') AS o_year,
+        |  round(CAST(sum(CASE WHEN n1.n_name = 'NATION_1' THEN
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |      END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |      AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q_semi_join" ->
       """SELECT c_nationkey, count(*) AS cnt FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

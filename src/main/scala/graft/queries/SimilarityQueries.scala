@@ -61,7 +61,35 @@ object SimilarityQueries {
     "s_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), threshold = 0.4, prefilter = 0.35)
         .orderBy("id_a", "id_b")),
+
+    // IVF ANN: assign every vector to its nearest of 16 deterministic
+    // centroids, probe the 4 nearest cells per query, exact rerank top-5.
+    "s_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(
+        e, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+        .orderBy("qid", "rank")
+    }),
   )
+
+  /** Second instantiation of the exact-decimal cosine pattern, over an
+    * arbitrary pair relation (used for IVF centroid assignment).
+    */
+  private def cosBlock(src: String, aId: String, bId: String,
+      aVec: String, bVec: String, out: String): String =
+    s"""${out}_terms AS (SELECT $aId, $bId,
+       |    CAST(CAST($aVec[i] AS DOUBLE) * CAST($bVec[i] AS DOUBLE)
+       |      AS DECIMAL(28,12)) AS p,
+       |    CAST(CAST($aVec[i] AS DOUBLE) * CAST($aVec[i] AS DOUBLE)
+       |      AS DECIMAL(28,12)) AS qq,
+       |    CAST(CAST($bVec[i] AS DOUBLE) * CAST($bVec[i] AS DOUBLE)
+       |      AS DECIMAL(28,12)) AS cc
+       |  FROM $src, generate_series(1, 64) AS t(i)),
+       |$out AS (SELECT $aId, $bId,
+       |    round(CAST(sum(p) AS DOUBLE)
+       |      / (sqrt(CAST(sum(qq) AS DOUBLE)) * sqrt(CAST(sum(cc) AS DOUBLE))),
+       |      6) AS cos
+       |  FROM ${out}_terms GROUP BY $aId, $bId)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s_ann_brute" ->
@@ -115,5 +143,33 @@ object SimilarityQueries {
         |FROM scored WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
     },
+    "s_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS centvec
+        |    FROM embeddings WHERE vec_id < 16),
+        |apairs AS (SELECT e.vec_id AS vid, e.embedding AS evec,
+        |    c.cid, c.centvec
+        |  FROM embeddings e CROSS JOIN cents c),
+        |${cosBlock("apairs", "vid", "cid", "evec", "centvec", "ascored")},
+        |assigned AS (SELECT vid, cid AS cell FROM (
+        |    SELECT vid, cid, row_number() OVER (
+        |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+        |      FROM ascored) WHERE rn = 1),
+        |qprobes AS (SELECT vid AS qid, cid AS cell FROM (
+        |    SELECT vid, cid, row_number() OVER (
+        |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+        |      FROM ascored WHERE vid IN (0, 1, 2)) WHERE rn <= 4),
+        |cand AS (SELECT q.qid, a.vid,
+        |    qe.embedding AS qvec, ce.embedding AS cvec
+        |  FROM qprobes q
+        |  JOIN assigned a ON a.cell = q.cell AND a.vid <> q.qid
+        |  JOIN embeddings qe ON qe.vec_id = q.qid
+        |  JOIN embeddings ce ON ce.vec_id = a.vid),
+        |$cosCte,
+        |ranked AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
   )
 }

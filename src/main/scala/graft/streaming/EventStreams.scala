@@ -67,6 +67,18 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id", "ts")
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension with a broadcast hash join — stateless (no watermark, no
+    * state store; the static side is planned per micro-batch, so a
+    * refreshed dimension table is picked up between batches). The
+    * standard shape for attaching dimension attributes to an event
+    * stream at scale: the stream never shuffles, only the small static
+    * side moves.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom keyed state: running per-user totals via mapGroupsWithState —

@@ -34,6 +34,24 @@ class JoinsSpec extends SparkFunSuite {
     assert(res.head.getAs[Long]("payload_asof") == 9L)
   }
 
+  test("asofJoin: latest right ROW wins atomically — null payload values " +
+      "do not inherit older rows, columns never mix across rows") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val left = Seq((1L, "u", 30L)).toDF("lid", "k", "ts")
+    // latest right row (ts=20) has a NULL a and a fresh b: the left row
+    // must see (null, "y2"), not (10, "y2") stitched from two rows.
+    val right = Seq(
+      ("u", 10L, Option(10L), "y1"),
+      ("u", 20L, Option.empty[Long], "y2")
+    ).toDF("k", "ts", "a", "b")
+    val res = Joins.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("a", "b"), rightTieBreak = Some("ts")).collect().head
+    assert(res.isNullAt(res.fieldIndex("a_asof")),
+      "null payload value must win, not inherit the older row's 10")
+    assert(res.getAs[String]("b_asof") == "y2")
+  }
+
   test("float_dot is SQL-registered and matches the Column API") {
     val s = graft.SparkTestBase.spark
     graft.GraftExtensions.register(s)

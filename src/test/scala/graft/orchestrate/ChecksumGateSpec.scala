@@ -56,4 +56,23 @@ class ChecksumGateSpec extends SparkFunSuite {
       Seq(date_format(col("l_shipdate"), "yyyy-MM")), s"$dir2/dest/lineitem")
     assert(res2.status == TableStatus.Completed, res2.error)
   }
+
+  test("checksum gate: numeric-looking string keys ('01', '1e3') round-trip") {
+    // Default partition-column type inference would re-parse '01' as 1
+    // and '1e3' as 1000.0 on the staging read-back, diverging from the
+    // source-side keys → spurious mismatch on CORRECT data (ADVICE).
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("mig_chk_inf")
+    val ckpt = new Checkpoint(dir.resolve("progress.json"))
+    val mig = new Migrator(spark, ckpt, lockDir = s"$dir/locks",
+      checksumValidation = true)
+    val df = Seq(
+      (1L, "01", "a"), (2L, "01", "b"), (3L, "1e3", "c"), (4L, "007", "d")
+    ).toDF("id", "k", "v")
+    val res = mig.migrateTable(
+      TableRef("testdb", "inf"), df, Seq("k"), Seq(col("k")), s"$dir/dest/inf")
+    assert(res.status == TableStatus.Completed,
+      s"spurious checksum mismatch on correct data: ${res.error}")
+  }
 }

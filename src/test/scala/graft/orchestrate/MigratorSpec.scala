@@ -136,6 +136,58 @@ class MigratorSpec extends SparkFunSuite {
     lock2.release()
   }
 
+  test("lock timeout returns Locked and does NOT touch the checkpoint") {
+    val (dir, ckpt, _) = freshEnv()
+    val mig = new Migrator(spark, ckpt,
+      lockDir = dir.resolve("locks").toString, lockTimeoutSec = 0.1)
+    val holder = new TableLock(dir.resolve("locks").toString,
+      "testdb", "lineitem")
+    assert(holder.acquire())
+    try {
+      val res = mig.migrateTable(
+        TableRef("testdb", "lineitem"), lineitem, keys, keyExprs,
+        s"$dir/dest/lineitem")
+      assert(res.status == TableStatus.Locked)
+      // the shared checkpoint was not written: no entry, no Failed stamp
+      assert(ckpt.tableProgress("testdb", "lineitem").isEmpty)
+    } finally holder.release()
+  }
+
+  test("concurrent partition copies (K=4): identical result, all checkpointed") {
+    val (dir, ckpt, _) = freshEnv()
+    val mig = new Migrator(spark, ckpt,
+      lockDir = dir.resolve("locks").toString, maxConcurrentPartitions = 4)
+    val dest = s"$dir/dest/lineitem"
+    val res = mig.migrateTable(
+      TableRef("testdb", "lineitem"), lineitem, keys, keyExprs, dest)
+    assert(res.status == TableStatus.Completed, res.error)
+    assert(res.migratedRows == lineitem.count())
+    assert(res.checkResults.forall(_.passed))
+    assert(spark.read.option("basePath", dest).parquet(dest).count() == lineitem.count())
+    val prog = ckpt.tableProgress("testdb", "lineitem").get
+    assert(prog.status == TableStatus.Completed)
+  }
+
+  test("concurrent copies (K=4) with mid-flight failure: aborts, source intact") {
+    val (dir, ckpt, _) = freshEnv()
+    val mig = new Migrator(spark, ckpt,
+      lockDir = dir.resolve("locks").toString, maxConcurrentPartitions = 4)
+    val dest = s"$dir/dest/lineitem"
+    // Poison one partition's PAYLOAD: enumeration and counting prune to
+    // the key columns, so only the copy of the poisoned partition throws
+    // — a genuine mid-flight failure inside the concurrent loop.
+    val poisoned = lineitem.withColumn("poison",
+      when(date_format(col("l_shipdate"), "yyyy-MM") === "1995-06",
+        raise_error(lit("injected copy failure"))).otherwise(lit(1)))
+    val res = mig.migrateTable(
+      TableRef("testdb", "lineitem"), poisoned, keys, keyExprs, dest)
+    assert(res.status == TableStatus.Failed)
+    // nothing published; source untouched
+    assert(!Files.exists(Paths.get(dest)))
+    assert(lineitem.count() == 6000)
+    assert(ckpt.tableProgress("testdb", "lineitem").get.status == TableStatus.Failed)
+  }
+
   test("report JSON carries reference field names") {
     val (dir, ckpt, mig) = freshEnv()
     val dest = s"$dir/dest/lineitem"

@@ -66,6 +66,25 @@ class EventStreamsSpec extends SparkFunSuite {
       == batchEvents.select("event_id").distinct().count())
   }
 
+  test("stream-static enrichment == batch left join (per-segment totals)") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    val dim = Sources.table(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    EventStreams.runToMemory(
+      EventStreams.enrichWithDim(stream, dim, "user_id", "c_custkey"),
+      "enrich_out")
+    val got = spark.sql(
+      "SELECT coalesce(c_mktsegment, 'UNKNOWN') AS seg, count(*) AS n " +
+        "FROM enrich_out GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = batchEvents
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("seg"))
+      .count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("mapGroupsWithState running totals match batch aggregation") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     EventStreams.runToMemory(
