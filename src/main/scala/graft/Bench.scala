@@ -33,7 +33,12 @@ object Bench {
     // back-to-back repeats decorrelates the two samples — a multi-second
     // steal window can no longer inflate BOTH samples of one query, so
     // the per-query min is a far more robust estimate of the real cost.
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional local-iteration filter (comma-separated names); the driver
+    // sets no filter and benches the full surface.
+    val filter: String => Boolean = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(v => v.split(",").toSet: String => Boolean)
+      .getOrElse(_ => true)
+    val names = SparkEntry.queries.keys.toSeq.filter(filter).sorted
     def pass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
