@@ -186,6 +186,141 @@ object RelationalQueries {
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
+
+    // TPC-H Q2-shaped groupwise-min: the cheapest part of every type.
+    // Scale shape: the per-type minima are a tiny aggregate (one row per
+    // type) broadcast back against the full table — no window, no second
+    // shuffle of the fact.
+    "q2_min_price" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val mins = part.groupBy(col("p_type").as("mt"))
+        .agg(min(col("p_retailprice")).as("mp"))
+      part.join(broadcast(mins),
+          col("p_type") === col("mt") && col("p_retailprice") === col("mp"))
+        .select("p_type", "p_partkey", "p_retailprice")
+        .orderBy("p_type", "p_partkey")
+    }),
+
+    // TPC-H Q4-shaped EXISTS: orders in a quarter with at least one
+    // returned lineitem, counted per priority. The EXISTS compiles to a
+    // left-semi join — no row duplication, lineitem pre-filtered before
+    // the shuffle.
+    "q4_priority_exists" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      ord.join(ret, ord("o_orderkey") === ret("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6-shaped banded-predicate scan: every predicate (date range,
+    // discount band, quantity cap) pushes into the parquet scan; the agg
+    // is a single map-side-combine sum. The canonical "filter pushdown
+    // must reach the scan" showcase.
+    "q6_banded_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").cast(DecimalType(3, 2))
+            .between(lit("0.05").cast(DecimalType(3, 2)),
+              lit("0.07").cast(DecimalType(3, 2))) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(3, 2)))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q9-shaped: revenue from one part family by supplier nation
+    // and ship year. part is filtered by LIKE before the broadcast, so
+    // the fact join output is already family-pruned.
+    "q9_profit_by_nation" -> ((s, dir) => {
+      val prt = t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select("p_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          date_format(col("l_shipdate"), "yyyy").as("l_year"))
+        .agg(sum(revenueExpr).cast("double").as("profit"))
+        .orderBy("n_name", "l_year")
+    }),
+
+    // TPC-H Q12-shaped conditional counts: high/low order-priority
+    // classes per return flag for one ship year — CASE aggregation over a
+    // fact-fact join (both sides pre-filtered before the shuffle).
+    "q12_priority_class" -> ((s, dir) => {
+      val high = Seq("1-URGENT", "2-HIGH")
+      val line = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      line.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin(high: _*), 1).otherwise(0))
+            .as("high_count"),
+          sum(when(col("o_orderpriority").isin(high: _*), 0).otherwise(1))
+            .as("low_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q14-shaped conditional ratio: PROMO share of one month's
+    // revenue. The NULL-else conditional sum matches the oracle's CASE
+    // without ELSE; single broadcast join, single scalar row.
+    "q14_promo_share" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100) *
+          sum(when(col("p_type") === "PROMO", revenueExpr)).cast("double") /
+          sum(revenueExpr).cast("double"), 6).as("promo_share"))),
+
+    // TPC-H Q18-shaped HAVING + join-back: orders whose total quantity
+    // exceeds a threshold, re-joined to orders+customer for detail. The
+    // aggregate output (few rows) drives the join — orders shuffles once
+    // on orderkey, customer broadcasts.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("bok"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("bok"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          dateStr(col("o_orderdate")).as("o_orderdate_s"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19-shaped disjunctive join predicate: OR of three
+    // brand/size/quantity conjunctions. Catalyst extracts the common
+    // `l_partkey = p_partkey` equi-condition so this stays a broadcast
+    // hash join (not a nested loop) with the disjunction as a residual
+    // filter.
+    "q19_disjunctive" -> ((s, dir) => {
+      val line = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      line.join(broadcast(part),
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+              col("l_quantity").between(20, 40))))
+        .agg(sum(revenueExpr).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -304,5 +439,83 @@ object RelationalQueries {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q2_min_price" ->
+      """SELECT p_type, p_partkey, p_retailprice FROM part
+        |JOIN (SELECT p_type AS mt, min(p_retailprice) AS mp
+        |      FROM part GROUP BY 1)
+        |  ON p_type = mt AND p_retailprice = mp
+        |ORDER BY p_type, p_partkey""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_banded_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(3,2))
+        |    BETWEEN CAST('0.05' AS DECIMAL(3,2)) AND CAST('0.07' AS DECIMAL(3,2))
+        |  AND l_quantity < 24""".stripMargin,
+    "q9_profit_by_nation" ->
+      """SELECT n_name, strftime(l_shipdate, '%Y') AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY n_name, l_year""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(100 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |    END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |    AS DOUBLE), 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+        |  o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS bok,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum_qty > 250)
+        |  ON o_orderkey = bok
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
   )
 }
