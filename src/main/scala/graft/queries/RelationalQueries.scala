@@ -302,6 +302,22 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Bloom-prefiltered semi join: lineitems of premium parts, revenue
+    // per return flag. The Bloom filter (built on the ~2% premium dim
+    // keys, probed map-side in codegen) keeps non-matching fact rows out
+    // of the shuffle; no false negatives ⇒ identical output to a plain
+    // EXISTS. See [[graft.plans.BloomOps]].
+    "q_bloom_semi" -> ((s, dir) => {
+      val premium = t(s, dir, "part").filter(col("p_retailprice") > 990)
+      graft.plans.BloomOps.bloomSemiJoin(
+          t(s, dir, "lineitem"), premium, "l_partkey", "p_partkey",
+          expectedItems = 1L << 16)
+        .groupBy("l_returnflag")
+        .agg(sum(revenueExpr).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+    }),
+
     // TPC-H Q19-shaped disjunctive join predicate: OR of three
     // brand/size/quantity conjunctions. Catalyst extracts the common
     // `l_partkey = p_partkey` equi-condition so this stays a broadcast
@@ -505,6 +521,16 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+    "q_bloom_semi" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM part
+        |  WHERE p_partkey = l_partkey AND p_retailprice > 990)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q19_disjunctive" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
