@@ -52,6 +52,25 @@ object TextQueries {
         TA.prefixFingerprint(col("text"), 8).as("fp_prefix8"))
         .orderBy("doc_id")),
 
+    // N-gram frequency: top-20 bigrams corpus-wide. Bigram generation is
+    // pure Column code (transform over an index sequence — no UDF, no
+    // explode of the raw text); the count is one hash-aggregate shuffle
+    // on the bigram key, then a global top-k. The training-data shape:
+    // same pipeline computes n-gram LM stats / contamination checks.
+    "t_ngrams" -> ((s, dir) =>
+      docs(s, dir)
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ",
+            element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+          .as("bg"))
+        .groupBy("bg")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bg"))
+        .limit(20)),
+
     // Multimodal plumbing: binary payload + typed metadata round-trip.
     "mm_binary" -> ((s, dir) =>
       Multimodal.packText(docs(s, dir), "doc_id", "text")
@@ -101,6 +120,13 @@ object TextQueries {
         |    AS fp_set,
         |  md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS fp_prefix8
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "t_ngrams" ->
+      """SELECT bg, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 2)
+        |GROUP BY bg ORDER BY cnt DESC, bg LIMIT 20""".stripMargin,
     "mm_binary" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS payload_bytes,

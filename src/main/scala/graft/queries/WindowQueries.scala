@@ -103,6 +103,23 @@ object WindowQueries {
         .select("c_nationkey", "c_custkey", "c_acctbal", "pr", "cd", "quartile")
         .orderBy("c_nationkey", "c_acctbal", "c_custkey")
     }),
+
+    // RANGE frame (value-based, not row-based): how many same-nation
+    // customers sit within 500 balance units below each customer, and
+    // their summed balance. Peers at equal balance are all in-frame, so
+    // the result is tie-order-independent by construction.
+    "w_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"))
+        .rangeBetween(-500, 0)
+      t(s, dir, "customer")
+        .filter(col("c_nationkey") <= 3)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          count(lit(1)).over(w).as("peers_500"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("bal_500"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -158,5 +175,13 @@ object WindowQueries {
         |FROM customer WHERE c_nationkey <= 5
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin,
+    "w_range_frame" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  count(*) OVER w AS peers_500,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS bal_500
+        |FROM customer WHERE c_nationkey <= 3
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+        |  RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
   )
 }
