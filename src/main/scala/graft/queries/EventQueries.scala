@@ -115,6 +115,47 @@ object EventQueries {
         .select("event_type", "rn", "h", "cnt")
         .orderBy("event_type", "rn")
     }),
+
+    // Ordered funnel: view → click-after-view → purchase-after-click,
+    // counted once per user. Each stage is a conditional min over the
+    // previous stage's survivors — three slim aggregates joined on
+    // user_id (no window over the raw event stream, no row explosion;
+    // each stage's join input shrinks monotonically).
+    "e_funnel" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val tv = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val tc = e.filter(col("event_type") === "click")
+        .join(tv, "user_id").filter(col("ts") >= col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val tp = e.filter(col("event_type") === "purchase")
+        .join(tc, "user_id").filter(col("ts") >= col("tc"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      tv.join(tc, Seq("user_id"), "left")
+        .join(tp, Seq("user_id"), "left")
+        .agg(count(col("tv")).as("n_view"),
+          count(col("tc")).as("n_click"),
+          count(col("tp")).as("n_purchase"))
+    }),
+
+    // Cohort retention: users grouped by first-signup date, activity
+    // counted per day offset 0..7. The cohort map is one slim aggregate
+    // (distinct users) joined back broadcast-style; the count is a
+    // single distinct-agg shuffle on (cohort, offset).
+    "e_retention" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val first = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(to_date(min(col("ts"))).as("cohort"))
+      e.join(broadcast(first), "user_id")
+        .select(col("cohort"),
+          datediff(to_date(col("ts")), col("cohort")).as("day_offset"),
+          col("user_id"))
+        .filter(col("day_offset").between(0, 7))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_s"),
+          col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_s", "day_offset")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,6 +210,29 @@ object EventQueries {
         |      ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "e_funnel" ->
+      """WITH tv AS (SELECT user_id, min(ts) AS tv FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |  tc AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |    JOIN tv ON e.user_id = tv.user_id
+        |    WHERE e.event_type = 'click' AND e.ts >= tv.tv GROUP BY 1),
+        |  tp AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |    JOIN tc ON e.user_id = tc.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts >= tc.tc GROUP BY 1)
+        |SELECT count(tv.tv) AS n_view, count(tc.tc) AS n_click,
+        |  count(tp.tp) AS n_purchase
+        |FROM tv
+        |LEFT JOIN tc ON tv.user_id = tc.user_id
+        |LEFT JOIN tp ON tv.user_id = tp.user_id""".stripMargin,
+    "e_retention" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+        |    FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_s,
+        |  date_diff('day', cohort, CAST(ts AS DATE)) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |WHERE date_diff('day', cohort, CAST(ts AS DATE)) BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY cohort_s, day_offset""".stripMargin,
     "e_enrich" ->
       """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
         |  count(*) AS cnt,
