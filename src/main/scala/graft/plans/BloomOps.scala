@@ -72,13 +72,21 @@ object BloomOps {
     bos.toByteArray
   }
 
-  /** Membership-probe Column over `key` for a filter built from `dim`. */
+  /** Membership-probe Column over `key` for a filter built from `dim`.
+    *
+    * An EMPTY build side would make `bloom_filter_agg` return NULL bytes
+    * (Spark NPEs deserializing them); semantically no key can match, so
+    * the probe degenerates to constant false and the planner prunes the
+    * scan entirely.
+    */
   def mightContain(dim: DataFrame, dimKey: String, key: Column,
-      expectedItems: Long, fpp: Double): Column = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    GraftColumns.column(BloomMightContainLong(toBytes(bf),
-      GraftColumns.expression(key.cast("long"))))
-  }
+      expectedItems: Long, fpp: Double): Column =
+    if (dim.select(dimKey).take(1).isEmpty) lit(false)
+    else {
+      val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+      GraftColumns.column(BloomMightContainLong(toBytes(bf),
+        GraftColumns.expression(key.cast("long"))))
+    }
 
   /** Exact left-semi join of `fact` against `dim`, Bloom-prefiltered
     * map-side so only probable matches reach the shuffle.

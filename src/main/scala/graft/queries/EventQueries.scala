@@ -116,6 +116,27 @@ object EventQueries {
         .orderBy("event_type", "rn")
     }),
 
+    // Batch twin of the stream-stream join
+    // ([[graft.streaming.EventStreams.clickPurchaseJoin]]): same-user
+    // click→purchase pairs within 30 minutes, aggregated per user. The
+    // time-bound condition is what lets the streaming variant expire
+    // state; the batch plan is one shuffle on user_id with the range
+    // condition as a residual.
+    "e_stream_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+      c.join(p, col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        .groupBy(col("c_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("p_value")).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // Ordered funnel: view → click-after-view → purchase-after-click,
     // counted once per user. Each stage is a conditional min over the
     // previous stage's survivors — three slim aggregates joined on
@@ -210,6 +231,15 @@ object EventQueries {
         |      ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "e_stream_join" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |  p AS (SELECT user_id, ts, value FROM events
+        |    WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
     "e_funnel" ->
       """WITH tv AS (SELECT user_id, min(ts) AS tv FROM events
         |    WHERE event_type = 'view' GROUP BY 1),

@@ -302,13 +302,15 @@ object RelationalQueries {
         .limit(20)
     }),
 
-    // Bloom-prefiltered semi join: lineitems of premium parts, revenue
-    // per return flag. The Bloom filter (built on the ~2% premium dim
+    // Bloom-prefiltered semi join: lineitems of a selected 2% of parts,
+    // revenue per return flag. The Bloom filter (built on the ~2% dim
     // keys, probed map-side in codegen) keeps non-matching fact rows out
     // of the shuffle; no false negatives ⇒ identical output to a plain
-    // EXISTS. See [[graft.plans.BloomOps]].
+    // EXISTS. See [[graft.plans.BloomOps]]. (Key-modulus selection keeps
+    // the dim ~2% at every SF; a price threshold would be empty at
+    // sf0.001.)
     "q_bloom_semi" -> ((s, dir) => {
-      val premium = t(s, dir, "part").filter(col("p_retailprice") > 990)
+      val premium = t(s, dir, "part").filter(col("p_partkey") % 50 === 0)
       graft.plans.BloomOps.bloomSemiJoin(
           t(s, dir, "lineitem"), premium, "l_partkey", "p_partkey",
           expectedItems = 1L << 16)
@@ -529,7 +531,7 @@ object RelationalQueries {
         |  count(*) AS n_items
         |FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM part
-        |  WHERE p_partkey = l_partkey AND p_retailprice > 990)
+        |  WHERE p_partkey = l_partkey AND p_partkey % 50 = 0)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q19_disjunctive" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -79,6 +79,29 @@ object EventStreams {
       eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
 
+  /** Stream-stream inner join: each click pairs with same-user purchases
+    * within the next `boundMinutes`. BOTH sides carry watermarks and the
+    * join condition bounds event time in both directions, so the state
+    * store provably expires rows (clicks older than the purchase
+    * watermark minus the bound; purchases older than the click
+    * watermark) — the shape that holds state constant at 100 TB/day
+    * instead of growing without bound.
+    */
+  def clickPurchaseJoin(events: DataFrame, boundMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $boundMinutes MINUTES"))
+  }
+
   final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom keyed state: running per-user totals via mapGroupsWithState —

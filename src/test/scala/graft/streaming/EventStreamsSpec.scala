@@ -85,6 +85,26 @@ class EventStreamsSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("stream-stream click/purchase join == batch time-bounded join") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    EventStreams.runToMemory(
+      EventStreams.clickPurchaseJoin(stream), "ss_join_out")
+    val got = spark.sql(
+      "SELECT c_user, count(*) AS n FROM ss_join_out GROUP BY c_user")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = batchEvents
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val want = c.join(p, col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("c_user").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("mapGroupsWithState running totals match batch aggregation") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     EventStreams.runToMemory(
