@@ -93,23 +93,23 @@ object Dedup {
 
   /** Band keys from a prebuilt (id, shingle) relation.
     *
-    * Hashes are computed once per DISTINCT shingle (k md5s each) and
-    * joined back — a shingle's hash doesn't depend on the document, so
-    * hashing per (doc, shingle, i) occurrence would redo the same md5
-    * `corpus_frequency ×` times. The per-doc signature is then one
-    * groupBy with k min() aggregates (single shuffle, map-side combine),
-    * and band keys explode from an inline array (no second shuffle).
+    * Hashes are computed INLINE per (doc, shingle) occurrence and
+    * min-aggregated in the same pass: the whole signature table costs ONE
+    * shuffle (groupBy id with k min() aggregates, map-side combined to k
+    * minima per id per partition). The alternative — hash each DISTINCT
+    * shingle once and join back — saves `corpus_frequency ×` redundant
+    * md5s (~10× here) but pays two extra full-relation shuffles (the
+    * distinct and the join-back on long string keys); md5 of a ~20-char
+    * shingle is ~100ns of map-side CPU, so at any scale the shuffles cost
+    * orders of magnitude more than the recomputed hashes. Band keys then
+    * explode from an inline array (no further shuffle).
     */
   def bandsFromRelation(rel: DataFrame,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val hashCols = (0 until k).map(i =>
-      md5(concat(col("shingle"), lit(":" + i))).as(s"h$i"))
-    val shingleHashes = rel.select(col("shingle")).distinct()
-      .select(col("shingle") +: hashCols: _*)
-    val relH = rel.join(shingleHashes, "shingle")
-    val minCols = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
-    val sigs = relH.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val minCols = (0 until k).map(i =>
+      min(md5(concat(col("shingle"), lit(":" + i)))).as(s"m$i"))
+    val sigs = rel.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       val keyCols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("|", keyCols: _*).as("key"))
@@ -126,38 +126,58 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
+  /** Exact Jaccard for a given (id_a, id_b) candidate set, via candidate-
+    * keyed joins rather than an inverted-index self-join: the pair list
+    * joins to id_a's shingles (producing (id_a, id_b, shingle)), that
+    * joins to id_b's shingles on (id_b, shingle) equality, and the match
+    * count per pair is the intersection size. No broadcast hints — at
+    * small SF AQE turns both joins into broadcasts (the pair×shingle side
+    * is kilobytes); at 100 TB they degrade gracefully to hash shuffles
+    * keyed by (id, shingle), still bounded by the candidate count, never
+    * all-pairs. Pairs sharing zero shingles drop out of the inner join,
+    * which is correct for any threshold > 0 (their Jaccard is 0).
+    */
+  def jaccardForCandidates(rel: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val aSide = rel.as("ra").join(cand,
+        col("ra.id") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("ra.shingle").as("sh_a"))
+    val inter = aSide.join(rel.as("rb"),
+        col("rb.id") === col("id_b") && col("rb.shingle") === col("sh_a"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    val sizes = rel.groupBy("id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") /
+          (col("sa.n") + col("sb.n") - col("c")).cast("double"), 6).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** MinHash-LSH near-dup pipeline: bucket-join candidates, then exact
-    * Jaccard verification of CANDIDATES ONLY — the shingle relation is
-    * computed once (persisted) and the expensive inverted-index self-join
-    * runs over candidate documents, not the whole corpus. This is the
-    * shape that survives 100 TB: signatures are a map-side pass, the
+    * Jaccard verification of CANDIDATES ONLY. This is the shape that
+    * survives 100 TB: signatures are one map-side-combined shuffle, the
     * bucket join shuffles tiny band keys, and pairwise work is bounded by
-    * the candidate count.
+    * the candidate count — never n². The whole pipeline is 5 shuffle
+    * stages (signatures, bucket join, candidate distinct, intersection
+    * count, sizes), which also keeps small-SF latency scheduler-bound
+    * rather than stage-count-bound.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // The shingle relation feeds signatures AND verification (3 scans);
-    // the band table self-joins; the candidate set is referenced twice.
-    // Persist each small intermediate so the signature pipeline runs
-    // exactly once, run the verification eagerly while the caches are
-    // hot (the pair result is tiny — localCheckpoint materializes it on
-    // executors), then unpersist everything: nothing stays cached in the
-    // session after this call (the round-1 leak).
-    val rel = shingleRelation(df, idCol, textCol).persist(MEMORY_AND_DISK)
-    val bandsDf = bandsFromRelation(rel, bands, rowsPerBand).persist(MEMORY_AND_DISK)
-    val cand = lshCandidates(bandsDf).persist(MEMORY_AND_DISK)
-    cand.count() // materialize: rel → bands → candidates, once
-    try {
-      val candIds = cand.select(col("id_a").as("id"))
-        .union(cand.select(col("id_b").as("id"))).distinct()
-      val relC = rel.join(broadcast(candIds), Seq("id"), "left_semi")
-      jaccardFromRelation(relC, threshold, Some(cand)).localCheckpoint()
-    } finally {
-      rel.unpersist(blocking = false)
-      bandsDf.unpersist(blocking = false)
-      cand.unpersist(blocking = false)
-    }
+    // Deliberately NO persist and NO eager materialization: the shingle
+    // relation is map-only lineage off the corpus scan, so recomputing it
+    // per consumer is a few extra scans of source parquet — cheaper at any
+    // scale than writing a corpus-sized intermediate to cache (memory
+    // pressure, spill, eviction), and it keeps the whole pipeline ONE
+    // Spark job instead of four (persist-materialize jobs dominate
+    // wall-clock at small SF). The band table's self-join deduplicates
+    // its shuffle via ReuseExchange (both sides canonicalize identically),
+    // so signatures are still computed once.
+    val rel = shingleRelation(df, idCol, textCol)
+    val cand = lshCandidates(bandsFromRelation(rel, bands, rowsPerBand))
+    jaccardForCandidates(rel, cand, threshold)
   }
 
   /** 32-bit SimHash over the distinct-word set, as a '0'/'1' bit string.

@@ -239,7 +239,7 @@ object EventQueries {
         |  CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-        |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "e_funnel" ->
       """WITH tv AS (SELECT user_id, min(ts) AS tv FROM events
         |    WHERE event_type = 'view' GROUP BY 1),
