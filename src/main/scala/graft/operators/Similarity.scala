@@ -110,55 +110,41 @@ object Similarity {
     * index SHAPE — assign → cell-equality join → rerank — is identical,
     * and this choice keeps the operator oracle-checkable.)
     *
-    * Scale notes: centroids broadcast (nlist rows); assignment computes
-    * the n·nlist exact-decimal dot matrix as posexplode → broadcast
-    * position join → ONE codegen'd hash aggregation (the interpreted
-    * higher-order `aggregate` fold is ~50× slower at this pair count —
-    * measured 79 s vs ~2 s at sf0.1), with squared norms computed once
-    * per vector and once per centroid, not once per pair. The per-vector
-    * argmax shuffles n·nlist slim rows by vector id; the probe join
-    * broadcasts q·nProbe slim rows, so search reads only the probed
-    * cells. The assignment output is the persistable "index" — amortize
-    * it across query batches.
+    * Scale notes: centroids broadcast (nlist rows); assignment is ONE
+    * map-side pass — a broadcast nested-loop against the nlist centroids
+    * computing each of the nlist cosines with the codegen [[graft.plans
+    * .FloatVecDot]] tight loop (no posexplode row blowup; norms computed
+    * once per vector and once per centroid, not once per pair) — followed
+    * by a `max_by` argmax aggregation whose map-side combine reduces the
+    * shuffle to one slim row per vector. Double-vs-exact-decimal makes no
+    * observable difference here: the cosine is rounded to 6 dp before the
+    * argmax (both engines), and the two accumulations agree to ~1e-13;
+    * the exact-decimal path is kept for the FINAL rerank, where output
+    * values are hash-compared. The probe join broadcasts q·nProbe slim
+    * rows, so search reads only the probed cells. The assignment output
+    * is the persistable "index" — amortize it across query batches.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.FloatVecOps.{floatDot, floatNorm2}
     val cents = corpus.filter(col(idCol) < nlist)
       .select(col(idCol).as("cid"), col(vecCol).as("centvec"))
 
-    // Exact-decimal components: the same term construction as dotExact /
-    // norm2Exact (double product → DECIMAL(25,12)), but summed by the
-    // codegen'd hash aggregate instead of an interpreted fold — exact
-    // either way, so the resulting doubles (and the oracle compare) are
-    // unchanged.
-    def term(x: Column, y: Column): Column =
-      (x.cast("double") * y.cast("double")).cast(TermType)
-
-    val centComp = cents.select(col("cid"),
-      posexplode(col("centvec")).as(Seq("i", "y")))
-    val centNorm = centComp.groupBy("cid")
-      .agg(sum(term(col("y"), col("y"))).as("cn2")) // nlist rows
-    val corpComp = corpus.select(col(idCol).as("vid"),
-      posexplode(col(vecCol)).as(Seq("i", "x")))
-    val corpNorm = corpComp.groupBy("vid")
-      .agg(sum(term(col("x"), col("x"))).as("vn2"))
-    val ascored = corpComp.join(broadcast(centComp), "i")
-      .groupBy("vid", "cid")
-      .agg(sum(term(col("x"), col("y"))).as("dot"))
-      .join(broadcast(centNorm), "cid")
-      .join(corpNorm, "vid")
-      .select(col("vid"), col("cid"),
-        round(col("dot").cast("double") /
-          (sqrt(col("vn2").cast("double")) * sqrt(col("cn2").cast("double"))),
-          6).as("acos"))
-
-    val aw = Window.partitionBy(col("vid")).orderBy(col("acos").desc, col("cid"))
-    val assigned = ascored
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("cid").as("cell"))
-      .join(corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec")), "vid")
+    val centsN = cents.select(col("cid"), col("centvec"),
+      sqrt(floatNorm2(col("centvec"))).as("cnrm"))
+    val assigned = corpus
+      .select(col(idCol).as("vid"), col(vecCol).as("cvec"),
+        sqrt(floatNorm2(col(vecCol))).as("vnrm"))
+      .join(broadcast(centsN))
+      .select(col("vid"), col("cvec"),
+        col("cid"),
+        round(floatDot(col("cvec"), col("centvec")) /
+          (col("vnrm") * col("cnrm")), 6).as("acos"))
+      .groupBy("vid")
+      .agg(
+        max_by(col("cid"), struct(col("acos"), -col("cid"))).as("cell"),
+        first(col("cvec")).as("cvec"))
 
     // Queries are few — the per-pair exact fold is fine at q·nlist
     // pairs, and produces the same doubles as the hash-agg path.
