@@ -155,9 +155,17 @@ final class Migrator(
             import scala.concurrent.{Await, ExecutionContext, Future}
             import scala.concurrent.duration.Duration
             implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(p)
+            // Each future is wrapped in Try so the Await completes only
+            // after EVERY sibling copy has finished (success or failure).
+            // Failing fast here would release the table lock while orphan
+            // copies were still writing into staging — a retrying process
+            // could then acquire the lock and race those writes in the
+            // same partition dirs. The first failure rethrows AFTER the
+            // whole wave has quiesced.
             Await.result(
-              Future.sequence(group.map(part => Future(copyAndCheck(part)))),
-              Duration.Inf)
+              Future.sequence(group.map(part =>
+                Future(scala.util.Try(copyAndCheck(part))))),
+              Duration.Inf).map(_.get)
           case _ => group.map(copyAndCheck)
         }
         checks ++= groupChecks
@@ -175,7 +183,12 @@ final class Migrator(
             Some(s"count mismatch for partition ${bad.partition}: " +
               s"src=${bad.srcCount} dst=${bad.dstCount}"))
         }
-        if (insertIntervalSec > 0) Thread.sleep((insertIntervalSec * 1000).toLong)
+        // The reference throttles once per partition insert
+        // (migration.py:505-507). With K partitions per scheduling wave
+        // the sleep scales by the wave size, preserving the configured
+        // per-partition insert rate regardless of concurrency.
+        if (insertIntervalSec > 0)
+          Thread.sleep((insertIntervalSec * 1000 * group.size).toLong)
       }
     } finally pool.foreach(_.shutdown())
 

@@ -97,10 +97,14 @@ final class TableLock(lockDir: String, db: String, table: String,
       }
       if (l != null) l.release() // locked an orphaned inode — retry fresh
       ch.close()
-      if (l == null) { // genuinely contended: honor timeout/retry pacing
-        if (System.nanoTime() > deadline) return false
-        Thread.sleep((retrySec * 1000).toLong)
-      }
+      // Deadline applies to EVERY retry path. The orphaned-inode branch
+      // can recur (another process may keep unlinking/recreating the
+      // file), so without this check it could spin past the configured
+      // timeout; a short backoff keeps the spin from being a busy loop
+      // while staying much faster than the contended-path pacing.
+      if (System.nanoTime() > deadline) return false
+      if (l == null) Thread.sleep((retrySec * 1000).toLong) // contended
+      else Thread.sleep(10L) // orphan retry: brief backoff
     }
     false
   }

@@ -188,6 +188,47 @@ class MigratorSpec extends SparkFunSuite {
     assert(ckpt.tableProgress("testdb", "lineitem").get.status == TableStatus.Failed)
   }
 
+  test("width stress: 100 partitions at K=8, injected failure, checkpoint ordering holds") {
+    val (dir, ckpt, _) = freshEnv()
+    val mig = new Migrator(spark, ckpt,
+      lockDir = dir.resolve("locks").toString, maxConcurrentPartitions = 8)
+    val dest = s"$dir/dest/wide"
+    val ref = TableRef("testdb", "wide")
+    val wideKeys = Seq("pid")
+    val wideExprs = Seq(col("id") % 100)
+    val src = spark.range(1000).toDF("id")
+    // Poison ONE partition's payload: enumeration and counting prune to
+    // the key column, so only the copy of pid=42 throws, mid-wave.
+    val poisoned = src.withColumn("payload",
+      when(col("id") % 100 === 42, raise_error(lit("injected width failure")))
+        .otherwise(lit(1)))
+    val res = mig.migrateTable(ref, poisoned, wideKeys, wideExprs, dest)
+    assert(res.status == TableStatus.Failed)
+    assert(!Files.exists(Paths.get(dest)))
+
+    // Checkpoint ordering under concurrency: work proceeds in waves of 8
+    // over the enumerated order; a throw anywhere in a wave must leave
+    // that ENTIRE wave (and everything after it) unmarked, while every
+    // earlier wave is fully marked.
+    val withKey = src.withColumn("pid", wideExprs.head.cast("string"))
+    val allParts = graft.operators.Partitions.enumeratePartitions(withKey, wideKeys)
+    assert(allParts.size == 100)
+    val stillTodo = ckpt.uncompleted(ref.db, ref.table, allParts).toSet
+    val completed = allParts.filterNot(stillTodo)
+    val failIdx = allParts.indexOf(PartitionId.single("42"))
+    val waveStart = failIdx - failIdx % 8
+    assert(completed.toSet == allParts.take(waveStart).toSet,
+      s"expected exactly the $waveStart partitions before the failing wave")
+
+    // Resume with a healed source: only the unmarked partitions re-copy,
+    // and the published table is complete.
+    val healed = src.withColumn("payload", lit(1))
+    val res2 = mig.migrateTable(ref, healed, wideKeys, wideExprs, dest)
+    assert(res2.status == TableStatus.Completed, res2.error)
+    assert(res2.checkResults.size == 100 - waveStart)
+    assert(spark.read.option("basePath", dest).parquet(dest).count() == 1000)
+  }
+
   test("report JSON carries reference field names") {
     val (dir, ckpt, mig) = freshEnv()
     val dest = s"$dir/dest/lineitem"
