@@ -50,7 +50,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The result line goes to a FILE first (truncation-proof — a capture
+    // of the process tail once lost the round's total), then stdout
+    // BEFORE spark.stop() so no shutdown logging can interleave after it.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case _: Exception => () } // stdout remains the contract
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

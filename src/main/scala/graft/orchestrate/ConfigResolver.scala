@@ -17,24 +17,76 @@ import graft.model.MigrationConfig
   * and `or`-based merging lets falsy CLI values (port 0, empty password)
   * silently fall through to env defaults (SURVEY.md A45 quirks). Here the
   * documented semantics are implemented rather than the buggy ones: the
-  * file layer is a real precedence tier (java.util.Properties `key=value`
-  * format instead of YAML — no extra dependency; same flat keys as the
-  * CLI flags), and the chain is explicit `Option` precedence, so empty
-  * strings and zeros supplied on the CLI are respected.
+  * file layer is a real precedence tier, and the chain is explicit
+  * `Option` precedence, so empty strings and zeros supplied on the CLI
+  * are respected.
+  *
+  * File formats: `.yaml`/`.yml` files parse with a dependency-free YAML
+  * subset matching the reference's config shape (two-level sections with
+  * scalar leaves, reference: clickhouse_migrator/config.py:78 and the
+  * section structure at config.py:83-105); anything else parses as
+  * java.util.Properties `key=value` with the same flat keys as the CLI
+  * flags.
   */
 object ConfigResolver {
 
   val EnvPrefix = "GRAFT_"
 
-  /** Load a `key = value` properties config file. Keys use the same
-    * spelling as the CLI flags (e.g. `insert-interval`). Missing path →
-    * error; no file configured → empty layer (handled by [[resolve]]).
+  /** Reference-YAML spellings → flat CLI keys, so a config file written
+    * for the reference tool drops in unchanged.
+    */
+  private val YamlAliases = Map(
+    "migration.insert_interval" -> "insert-interval",
+    "migration.resume" -> "resume",
+    "migration.checkpoint" -> "checkpoint",
+    "migration.lock_dir" -> "lock-dir")
+
+  /** Load a config file; format chosen by extension (see class doc).
+    * Missing path → error; no file configured → empty layer (handled by
+    * [[resolve]]).
     */
   def loadConfigFile(path: String): Map[String, String] = {
     val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
-    val props = new Properties()
-    props.load(new StringReader(text))
-    props.asScala.toMap
+    val lower = path.toLowerCase
+    if (lower.endsWith(".yaml") || lower.endsWith(".yml")) parseFlatYaml(text)
+    else {
+      val props = new Properties()
+      props.load(new StringReader(text))
+      props.asScala.toMap
+    }
+  }
+
+  /** Dependency-free parser for the YAML subset the reference actually
+    * uses: top-level `section:` headers, 2-space-indented scalar
+    * `key: value` leaves (flattened to `section.key`), full-line and
+    * trailing `#` comments, single/double-quoted values. Flattened
+    * reference keys rename via [[YamlAliases]]; unknown keys pass
+    * through (and are ignored by [[resolve]]'s lookups), so extra
+    * reference sections like `clickhouse:` are harmless.
+    */
+  def parseFlatYaml(text: String): Map[String, String] = {
+    val line = """^(\s*)([A-Za-z0-9_-]+):\s*(.*)$""".r
+    var section = ""
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (raw <- text.linesIterator if raw.trim.nonEmpty && !raw.trim.startsWith("#"))
+      raw match {
+        case line(indent, key, rest) =>
+          val value = rest.trim match {
+            case v if v.startsWith("\"") && v.length > 1 && v.contains('"') =>
+              v.substring(1, v.lastIndexOf('"'))
+            case v if v.startsWith("'") && v.length > 1 && v.contains('\'') =>
+              v.substring(1, v.lastIndexOf('\''))
+            case v => v.split(" #", 2)(0).split("\t#", 2)(0).trim
+          }
+          if (value.isEmpty) section = if (indent.isEmpty) key else s"$section.$key"
+          else {
+            val flat = if (indent.isEmpty) key else s"$section.$key"
+            out += (YamlAliases.getOrElse(flat, flat) -> value)
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unsupported YAML line: $other")
+      }
+    out.toMap
   }
 
   def resolve(

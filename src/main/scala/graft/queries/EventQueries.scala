@@ -159,6 +159,30 @@ object EventQueries {
           count(col("tp")).as("n_purchase"))
     }),
 
+    // Per-cohort funnel: the same conditional-min chain as e_funnel,
+    // grouped by the date of the user's first view — exercises the
+    // stage joins at output width instead of collapsing to one row.
+    // The cohort key derives from the funnel's own first stage, so the
+    // plan adds only the final groupBy (slim: three per-user timestamps).
+    "e_funnel_cohort" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val tv = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val tc = e.filter(col("event_type") === "click")
+        .join(tv, "user_id").filter(col("ts") >= col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val tp = e.filter(col("event_type") === "purchase")
+        .join(tc, "user_id").filter(col("ts") >= col("tc"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      tv.join(tc, Seq("user_id"), "left")
+        .join(tp, Seq("user_id"), "left")
+        .groupBy(date_format(to_date(col("tv")), "yyyy-MM-dd").as("cohort"))
+        .agg(count(col("tv")).as("n_view"),
+          count(col("tc")).as("n_click"),
+          count(col("tp")).as("n_purchase"))
+        .orderBy("cohort")
+    }),
+
     // Cohort retention: users grouped by first-signup date, activity
     // counted per day offset 0..7. The cohort map is one slim aggregate
     // (distinct users) joined back broadcast-style; the count is a
@@ -279,5 +303,21 @@ object EventQueries {
         |      count(*) AS cnt
         |    FROM events GROUP BY 1, 2))
         |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "e_funnel_cohort" ->
+      """WITH tv AS (SELECT user_id, min(ts) AS tv FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |  tc AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |    JOIN tv ON e.user_id = tv.user_id
+        |    WHERE e.event_type = 'click' AND e.ts >= tv.tv GROUP BY 1),
+        |  tp AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |    JOIN tc ON e.user_id = tc.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts >= tc.tc GROUP BY 1)
+        |SELECT strftime(CAST(tv.tv AS DATE), '%Y-%m-%d') AS cohort,
+        |  count(tv.tv) AS n_view, count(tc.tc) AS n_click,
+        |  count(tp.tp) AS n_purchase
+        |FROM tv
+        |LEFT JOIN tc ON tv.user_id = tc.user_id
+        |LEFT JOIN tp ON tv.user_id = tp.user_id
+        |GROUP BY 1 ORDER BY cohort""".stripMargin,
   )
 }

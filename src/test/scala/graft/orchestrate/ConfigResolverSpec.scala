@@ -63,6 +63,42 @@ class ConfigResolverSpec extends AnyFunSuite {
     assert(cfg.table == "")              // CLI empty string beats env
   }
 
+  test("reference-style YAML config file loads as a precedence tier") {
+    // Shape mirrors the reference's sections (config.py:83-105): nested
+    // scalar leaves, comments, quotes; unknown sections are ignored.
+    val p = Files.createTempFile("graft", ".yaml")
+    Files.write(p,
+      """# migration config
+        |mode: full
+        |db: "yamldb"
+        |clickhouse:
+        |  host: 127.0.0.1   # ignored by the Spark engine
+        |  port: 8123
+        |migration:
+        |  insert_interval: 2.5
+        |  resume: 'false'
+        |  lock_dir: /tmp/locks
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val cfg = ConfigResolver.resolve(Map("config" -> p.toString), env = Map.empty)
+    assert(cfg.mode == "full")
+    assert(cfg.db == "yamldb")
+    assert(cfg.insertIntervalSec == 2.5)
+    assert(!cfg.resume)
+    assert(cfg.lockDir == "/tmp/locks")
+    assert(cfg.table == "") // untouched key falls to default
+  }
+
+  test("YAML tier still loses to env and CLI") {
+    val p = Files.createTempFile("graft", ".yml")
+    Files.write(p, "db: yamldb\nmigration:\n  resume: false\n"
+      .getBytes(StandardCharsets.UTF_8))
+    val cfg = ConfigResolver.resolve(
+      Map("config" -> p.toString, "resume" -> "true"),
+      env = Map("GRAFT_DB" -> "envdb"))
+    assert(cfg.db == "envdb")
+    assert(cfg.resume)
+  }
+
   test("--config is an accepted CLI flag") {
     val m = ConfigResolver.parseArgs(Array("--config", "/tmp/x.conf"))
     assert(m("config") == "/tmp/x.conf")
