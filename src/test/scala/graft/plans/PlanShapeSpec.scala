@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkFunSuite
+
+/** Physical-plan regression guards: the scale properties SCALING.md
+  * documents (broadcast star joins, scan-level predicate pushdown,
+  * top-k without a global sort, exchange reuse, no row-explosion /
+  * cartesian shapes in the LLM operators) asserted against the FINAL
+  * (post-AQE) executed plan, so a refactor that silently reintroduces a
+  * scale-killer fails a spec rather than a bench round.
+  */
+class PlanShapeSpec extends SparkFunSuite {
+
+  /** Execute, then render the AQE-final physical plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def plan(name: String): String =
+    finalPlan(graft.SparkEntry.queries(name)(spark, sf0001))
+
+  test("q5_region_revenue: all dims broadcast, no sort-merge join") {
+    val p = plan("q5_region_revenue")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("m_partition_count: partition predicate reaches the parquet scan") {
+    val p = plan("m_partition_count")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+  }
+
+  test("q_topk: global top-k uses per-partition heaps, not a full sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("d_minhash: band self-join reuses the signature exchange; no cartesian") {
+    val p = plan("d_minhash")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s_ann_ivf: assignment has no row explosion and no cartesian") {
+    val p = plan("s_ann_ivf")
+    assert(!p.contains("Generate"), p) // no posexplode in the assignment
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s_embed_neardup: candidates from equality joins only") {
+    val p = plan("s_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("e_funnel_cohort: conditional-min chain runs without window operators") {
+    val p = plan("e_funnel_cohort")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("t_quality: text scoring is map-only — no shuffle before the sort") {
+    val p = plan("t_quality")
+    // one exchange for the final presentation sort is allowed; no
+    // aggregate/join exchanges should appear.
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+  }
+}
