@@ -180,6 +180,55 @@ object Dedup {
     jaccardForCandidates(rel, cand, threshold)
   }
 
+  /** Connected components over an undirected near-dup pair graph
+    * (id_a, id_b) — the cluster-formation step that follows pair
+    * detection in a dedup pipeline: each component keeps one canonical
+    * document (its minimum id, which is also the cluster label).
+    *
+    * Algorithm: iterative min-label propagation (hash-min) — every
+    * vertex adopts the minimum label in its closed neighborhood until
+    * fixpoint. One shuffle join + one aggregate per round, converging in
+    * O(component diameter) rounds; near-dup clusters are shallow, so a
+    * handful of rounds suffices at any corpus size (this is the standard
+    * large-graph CC shape on Spark; GraphX/large-star small-star reduce
+    * round count, not per-round shape). Lineage is cut per round with
+    * `localCheckpoint` — iterative plans otherwise grow exponentially.
+    * Throws if `maxIter` rounds don't reach the fixpoint (a truncated
+    * result would silently mislabel clusters).
+    *
+    * Vertices are pair endpoints only: documents with no near-dup pair
+    * are trivially their own singleton cluster and are not re-emitted.
+    * Output: (id, cluster) with cluster = min id reachable from id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
+      val updated = labels
+        .join(nbrMin.withColumnRenamed("src", "id2"), col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.cluster") =!= col("l.cluster"))
+      val done = changed.isEmpty
+      labels = updated
+      iter += 1
+      if (done) return labels
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
+  }
+
   /** 32-bit SimHash over the distinct-word set, as a '0'/'1' bit string.
     * Bit j is derived from hex digit j/4 of each word's md5 (portable
     * nibble arithmetic, no engine-specific bit ops): the bit is set when

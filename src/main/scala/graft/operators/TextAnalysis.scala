@@ -63,6 +63,20 @@ object TextAnalysis {
     ceil(nChars.cast("double") / 4.0).cast("long"),
     size(regexp_extract_all(text, lit("[a-z]+"), lit(0))))
 
+  /** Deterministic train/val/test assignment by content-free id hashing:
+    * the first two hex chars of `md5(salt || id)` partition the id space
+    * into 256 uniform bands, split 205/26/25 ≈ 80/10/10. Pure map-side
+    * arithmetic — reproducible across engines, runs, and cluster sizes
+    * (no RNG, no sampling shuffle), and stable under corpus growth: a
+    * document's split never changes when other documents are added,
+    * which is the property a training pipeline needs to avoid
+    * train/test contamination across dataset versions.
+    */
+  def hashSplit(id: Column, salt: String = "split:"): Column = {
+    val band = substring(md5(concat(lit(salt), id.cast("string"))), 1, 2)
+    when(band < "cd", "train").when(band < "e7", "val").otherwise("test")
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set — a deterministic stand-in for a rolling hash that both
     * engines compute identically. Documents with equal fingerprints have

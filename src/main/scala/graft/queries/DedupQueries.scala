@@ -56,6 +56,17 @@ object DedupQueries {
       Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", 0.5)
         .orderBy("id_a", "id_b")),
 
+    // Near-dup cluster formation: connected components over the Jaccard
+    // pair graph (min-label propagation to fixpoint); the cluster label
+    // is the canonical (minimum) doc_id.
+    "d_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardPairs(
+          docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text", 0.3)
+          .select(col("id_a"), col("id_b")))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // SimHash signatures: 32-bit majority-vote over word hashes.
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashBits(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
@@ -102,6 +113,17 @@ object DedupQueries {
         |FROM jac j JOIN cand USING (id_a, id_b)
         |WHERE j.jac >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_components" ->
+      s"""WITH RECURSIVE ${shingleCte("WHERE doc_id < 300")},
+        |$jaccardCte,
+        |pr AS (SELECT id_a, id_b FROM jac WHERE jac >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "d_simhash" ->
       """WITH words AS (SELECT DISTINCT doc_id,
         |    unnest(list_distinct(string_split(text, ' '))) AS word

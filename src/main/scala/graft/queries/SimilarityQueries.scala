@@ -62,6 +62,29 @@ object SimilarityQueries {
       Similarity.nearDupPairs(emb(s, dir), threshold = 0.4, prefilter = 0.35)
         .orderBy("id_a", "id_b")),
 
+    // ANN quality measurement: recall@5 of the sign-LSH index against
+    // the brute-force ground truth, per query — the metric that decides
+    // whether an approximate index is usable for a given corpus. Both
+    // sides are slim (qid, vid) top-k lists; the compare is a broadcast
+    // left join + one aggregate.
+    "s_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(QueryIds: _*))
+      val truth = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("qid"), col("vid"))
+      val approx = Similarity.signLshTopK(e, q, k = 5)
+        .select(col("qid").as("aqid"), col("vid").as("avid"))
+      truth.join(broadcast(approx),
+          col("qid") === col("aqid") && col("vid") === col("avid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("avid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("qid"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true").cast("double"), 6)
+            .as("recall"))
+        .orderBy("qid")
+    }),
+
     // IVF ANN: assign every vector to its nearest of 16 deterministic
     // centroids, probe the 4 nearest cells per query, exact rerank top-5.
     "s_ann_ivf" -> ((s, dir) => {
@@ -142,6 +165,37 @@ object SimilarityQueries {
         |SELECT qid AS id_a, vid AS id_b, cos
         |FROM scored WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "s_ann_recall" -> {
+      val bucket = (v: String) => Similarity.DefaultLshDims
+        .map(d => s"(CASE WHEN $v[$d] > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH bcand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    q.embedding AS qvec, c.embedding AS cvec
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2)),
+        |${cosBlock("bcand", "qid", "vid", "qvec", "cvec", "bscored")},
+        |btop AS (SELECT qid, vid FROM (SELECT qid, vid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM bscored) WHERE rank <= 5),
+        |lcand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    q.embedding AS qvec, c.embedding AS cvec
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    AND ${bucket("q.embedding")} = ${bucket("c.embedding")}
+        |  WHERE q.vec_id IN (0, 1, 2)),
+        |${cosBlock("lcand", "qid", "vid", "qvec", "cvec", "lscored")},
+        |ltop AS (SELECT qid, vid FROM (SELECT qid, vid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM lscored) WHERE rank <= 5)
+        |SELECT b.qid, count(*) AS n_true,
+        |  CAST(sum(CASE WHEN l.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hit,
+        |  round(CAST(sum(CASE WHEN l.vid IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+        |FROM btop b LEFT JOIN ltop l ON b.qid = l.qid AND b.vid = l.vid
+        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
     },
     "s_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS centvec

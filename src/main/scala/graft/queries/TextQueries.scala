@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, TextAnalysis => TA}
 import graft.sources.Sources
@@ -71,6 +72,33 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("bg"))
         .limit(20)),
 
+    // Deterministic train/val/test split by salted-md5 id bands: a
+    // document's split never changes as the corpus grows (no RNG, no
+    // sampling shuffle — the contamination-safety property a training
+    // pipeline needs). Map-only; the aggregate is just the check.
+    "t_split" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TA.hashSplit(col("doc_id")).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("split")),
+
+    // Per-language quality quota: keep the top-5 docs per language by
+    // quality score — the curation shape ("cap each source/language at
+    // N best docs"). One hash exchange on lang, per-key heap sort.
+    "t_quota" -> ((s, dir) => {
+      val scored = docs(s, dir).select(
+        col("doc_id"), TA.langId(col("text")).as("lang"),
+        TA.qualityScore(col("text")).as("score"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("lang", "rn", "doc_id", "score")
+        .orderBy("lang", "rn")
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata round-trip.
     "mm_binary" -> ((s, dir) =>
       Multimodal.packText(docs(s, dir), "doc_id", "text")
@@ -127,6 +155,35 @@ object TextQueries {
         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
         |  WHERE len(ws) >= 2)
         |GROUP BY bg ORDER BY cnt DESC, bg LIMIT 20""".stripMargin,
+    "t_split" ->
+      """WITH s AS (SELECT doc_id,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |        < 'cd' THEN 'train'
+        |      WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |        < 'e7' THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "t_quota" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |scored AS (SELECT doc_id,
+        |  CASE WHEN CAST(len(list_filter(w, x -> x IN ($StopList))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) >= 0.05
+        |    THEN 'en' ELSE 'unk' END AS lang,
+        |  round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 0.4
+        |    + CASE WHEN (CAST(len(list_filter(w, x -> x IN ($StopList))) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) BETWEEN 0.02 AND 0.3
+        |      THEN 0.2 ELSE 0.0 END, 6) AS score
+        |  FROM t)
+        |SELECT lang, rn, doc_id, score FROM (
+        |  SELECT lang, doc_id, score,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     "mm_binary" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS payload_bytes,

@@ -51,6 +51,56 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(near.subsetOf(exact))
   }
 
+  test("connectedComponents: chain + separate pair + symmetry, min-id labels") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // 1-2-3-4-5 is a 5-node PATH (diameter 4 → needs several propagation
+    // rounds); (10,11) is a separate component; edge direction mixed to
+    // prove symmetrization.
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: throws instead of truncating when maxIter too small") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val chain = (1L to 9L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+  }
+
+  // ---- Text analysis ----
+
+  test("hashSplit: total, deterministic, ~80/10/10, stable under growth") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val ids = spark.range(10000).toDF("doc_id")
+    val splits = ids.select(col("doc_id"),
+      TextAnalysis.hashSplit(col("doc_id")).as("split"))
+    val counts = splits.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test")) // total assignment
+    assert(counts("train") > 7700 && counts("train") < 8300)
+    assert(counts("val") > 800 && counts("val") < 1250)
+    assert(counts("test") > 800 && counts("test") < 1250)
+    // growth stability: the first 1000 ids keep their splits when the
+    // corpus is 10× larger (content-free hashing — no contamination
+    // across dataset versions).
+    val small = spark.range(1000).toDF("doc_id").select(col("doc_id"),
+      TextAnalysis.hashSplit(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bigFirst1000 = splits.filter(col("doc_id") < 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small == bigFirst1000)
+  }
+
   test("simhash: 32-bit strings, equal vocab ⇒ equal signature") {
     val s = graft.SparkTestBase.spark
     import s.implicits._
