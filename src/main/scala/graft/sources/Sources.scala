@@ -50,6 +50,13 @@ object Sources {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC — the other splittable columnar interchange format Spark ships
+    * natively; same scan machinery (vectorized reader, predicate
+    * pushdown, column pruning) as parquet.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JDBC source for a live ClickHouse (the reference's source system).
     * Partitioned reads: supply a numeric/temporal partition column so the
     * scan fans out across executors instead of a single connection —
