@@ -129,6 +129,54 @@ object EventStreams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  final case class FunnelState(tv: Option[Long], tc: Option[Long], tp: Option[Long])
+  final case class FunnelOut(userId: Long, stage: Int)
+
+  /** Streaming ordered funnel (view → click-after-view →
+    * purchase-after-click) as a per-user state machine via
+    * flatMapGroupsWithState — the multi-stage custom state that windowed
+    * aggregation can't express. Each user's state is three optional
+    * event-time micros (first view, first qualifying click, first
+    * qualifying purchase); every micro-batch sorts ITS OWN rows by event
+    * time before folding (a micro-batch iterator carries no time order),
+    * emits the user's current stage in Update mode, and keeps state O(1)
+    * per user.
+    *
+    * Semantics note (inherent to incremental funnels): a view arriving
+    * AFTER a batch that already latched a later view cannot retroactively
+    * lower `tv` — within-batch processing is exact (the spec proves
+    * stream ≡ batch on single-batch input), across batches the funnel is
+    * monotone latch-on-first, the standard production trade.
+    */
+  def funnelStages(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(_._3).foreach { case (_, et, ts) =>
+            et match {
+              case "view" if st.tv.isEmpty =>
+                st = st.copy(tv = Some(ts))
+              case "click" if st.tv.exists(_ <= ts) && st.tc.isEmpty =>
+                st = st.copy(tc = Some(ts))
+              case "purchase" if st.tc.exists(_ <= ts) && st.tp.isEmpty =>
+                st = st.copy(tp = Some(ts))
+              case _ =>
+            }
+          }
+          state.update(st)
+          val stage = Seq(st.tv, st.tc, st.tp).takeWhile(_.nonEmpty).size
+          Iterator.single(FunnelOut(uid, stage))
+      }
+      .toDF("user_id", "stage")
+  }
+
   /** Run any of the above to a named in-memory sink synchronously
     * (test/demo harness; production sinks swap the format).
     */

@@ -105,6 +105,37 @@ class EventStreamsSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("flatMapGroupsWithState streaming funnel == batch conditional-min chain") {
+    val stream = EventStreams.readEvents(spark, eventsPath)
+    EventStreams.runToMemory(
+      EventStreams.funnelStages(spark, stream), "funnel_out",
+      OutputMode.Update())
+    // final stage per user (max across updates) → stage-reach counts
+    val got = spark.sql(
+      """SELECT sum(CASE WHEN s >= 1 THEN 1 ELSE 0 END) AS n_view,
+        |  sum(CASE WHEN s >= 2 THEN 1 ELSE 0 END) AS n_click,
+        |  sum(CASE WHEN s >= 3 THEN 1 ELSE 0 END) AS n_purchase
+        |FROM (SELECT user_id, max(stage) AS s FROM funnel_out
+        |  GROUP BY user_id)""".stripMargin)
+      .head()
+    // batch twin: the e_funnel conditional-min chain
+    val e = batchEvents
+    val tv = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val tc = e.filter(col("event_type") === "click")
+      .join(tv, "user_id").filter(col("ts") >= col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val tp = e.filter(col("event_type") === "purchase")
+      .join(tc, "user_id").filter(col("ts") >= col("tc"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val want = tv.join(tc, Seq("user_id"), "left")
+      .join(tp, Seq("user_id"), "left")
+      .agg(count(col("tv")), count(col("tc")), count(col("tp")))
+      .head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      (want.getLong(0), want.getLong(1), want.getLong(2)))
+  }
+
   test("mapGroupsWithState running totals match batch aggregation") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     EventStreams.runToMemory(
