@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.plans.FloatVecDot
+import graft.plans.{FloatVecDot, HammingDist}
 
 /** Session extension registering graft's native SQL functions.
   *
@@ -14,6 +14,8 @@ import graft.plans.FloatVecDot
   *
   *  - `float_dot(array<float>, array<float>) -> double` — codegen dot
   *    product ([[graft.plans.FloatVecDot]]).
+  *  - `hamming_dist(string, string) -> bigint` — codegen byte-wise
+  *    Hamming distance ([[graft.plans.HammingDist]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -23,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "float_dot takes exactly 2 arguments")
         FloatVecDot(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[HammingDist].getName, "hamming_dist"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "hamming_dist takes exactly 2 arguments")
+        HammingDist(exprs.head, exprs(1))
       }))
   }
 }

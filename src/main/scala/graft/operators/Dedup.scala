@@ -288,11 +288,11 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
       .distinct()
-    val dist = aggregate(sequence(lit(1), lit(bits)), lit(0L),
-      (acc, p) => acc + when(
-        col("sig_a").substr(p, lit(1)) =!= col("sig_b").substr(p, lit(1)),
-        1L).otherwise(0L))
-    cand.select(col("id_a"), col("id_b"), dist.as("dist"))
+    // Native codegen byte loop (graft.plans.HammingDist) — the
+    // interpreted `aggregate(sequence(...))` fold paid 2·bits substring
+    // calls per candidate pair.
+    cand.select(col("id_a"), col("id_b"),
+        graft.plans.StringOps.hammingDist(col("sig_a"), col("sig_b")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 

@@ -24,5 +24,12 @@ object GraftFunctionRegistry {
         graft.plans.FloatVecDot(exprs.head, exprs(1))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_dist",
+      exprs => {
+        require(exprs.length == 2, "hamming_dist takes exactly 2 arguments")
+        graft.plans.HammingDist(exprs.head, exprs(1))
+      },
+      "scala_udf")
   }
 }

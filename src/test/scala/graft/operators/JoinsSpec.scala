@@ -52,6 +52,32 @@ class JoinsSpec extends SparkFunSuite {
     assert(res.getAs[String]("b_asof") == "y2")
   }
 
+  test("hamming_dist: codegen, interpreted, and SQL paths agree") {
+    val s = graft.SparkTestBase.spark
+    graft.GraftExtensions.register(s)
+    import org.apache.spark.sql.functions._
+    // SQL registration
+    assert(s.sql("SELECT hamming_dist('10110', '10011') AS d")
+      .head().getLong(0) == 2L)
+    // Column API over real rows (codegen path) vs the HOF formulation
+    val sigs = graft.operators.Dedup.simhashBits(
+      s.read.parquet(s"$sf0001/documents.parquet").limit(50), "doc_id", "text")
+    val pairs = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.simhash").as("x"), col("b.simhash").as("y"))
+    val hof = aggregate(sequence(lit(1), lit(32)), lit(0L),
+      (acc, p) => acc + when(
+        col("x").substr(p, lit(1)) =!= col("y").substr(p, lit(1)), 1L)
+        .otherwise(0L))
+    val mismatches = pairs.select(
+      graft.plans.StringOps.hammingDist(col("x"), col("y")).as("fast"),
+      hof.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mismatches == 0L)
+    // null propagation (interpreted eval path)
+    assert(s.sql("SELECT hamming_dist(CAST(NULL AS STRING), '1') IS NULL")
+      .head().getBoolean(0))
+  }
+
   test("float_dot is SQL-registered and matches the Column API") {
     val s = graft.SparkTestBase.spark
     graft.GraftExtensions.register(s)
