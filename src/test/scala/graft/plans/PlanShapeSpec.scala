@@ -62,6 +62,38 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    val s = spark
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "4")
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      import org.apache.spark.sql.functions._
+      // one hot key (0) carrying ~97% of the rows, plus a long payload
+      // so the hot partition clears the size threshold
+      val skewed = s.range(50000).select(
+        when(col("id") % 30 =!= 0, 0L).otherwise(col("id") % 1000).as("k"),
+        concat(lit("x"), col("id").cast("string"),
+          lit("p" * 64)).as("payload"))
+      val other = s.range(1000).select(col("id").as("k"),
+        col("id").cast("string").as("name"))
+      val joined = skewed.join(other, "k")
+      // collect() executes THIS dataset's queryExecution (count() would
+      // build and run a separate one, leaving this plan un-finalized)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(4000))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("t_quality: text scoring is map-only — no shuffle before the sort") {
     val p = plan("t_quality")
     // one exchange for the final presentation sort is allowed; no
