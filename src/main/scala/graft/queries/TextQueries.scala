@@ -108,6 +108,18 @@ object TextQueries {
           col("meta.kind").as("kind"),
           ascii(substring(col("payload").cast("string"), 1, 1)).as("first_byte"))
         .orderBy("media_id")),
+
+    // Multimodal frame sampling: every 2nd 32-byte chunk of the payload
+    // (the video-frame-sampling shape); counts/sizes are exact integer
+    // arithmetic, so the oracle reproduces the mapPartitions kernel in
+    // closed form.
+    "mm_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(
+        Multimodal.packText(docs(s, dir), "doc_id", "text"),
+        chunkBytes = 32, stride = 2)
+        .orderBy("media_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -190,5 +202,18 @@ object TextQueries {
         |  'text/plain' AS kind,
         |  ascii(substring(text, 1, 1)) AS first_byte
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) AS len FROM documents),
+        |c AS (SELECT media_id, len,
+        |    CAST(ceil(CAST(len AS DOUBLE) / 32.0) AS BIGINT) AS n_chunks
+        |  FROM m)
+        |SELECT media_id,
+        |  CAST((n_chunks + 1) // 2 AS INT) AS n_frames,
+        |  CASE WHEN n_chunks = 0 THEN 0
+        |    WHEN (n_chunks - 1) % 2 = 0 THEN
+        |      32 * ((n_chunks + 1) // 2 - 1) + (len - 32 * (n_chunks - 1))
+        |    ELSE 32 * ((n_chunks + 1) // 2) END AS sampled_bytes
+        |FROM c ORDER BY media_id""".stripMargin,
   )
 }
