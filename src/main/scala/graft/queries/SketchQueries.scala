@@ -1,16 +1,20 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Joins
 import graft.sources.Sources
 
 /** Sketch/approximate operators and the as-of join.
   *
-  * The `x_*` sketch queries have NO oracle entry on purpose: HLL and
-  * t-digest internals differ across engines, so the driver records the
-  * rows-only check (per the contract comment in SparkEntry). Their exact
-  * twins (q_distinct_agg, a_percentile) ARE oracle-checked.
+  * `x_approx_distinct` / `x_approx_quantiles` have NO oracle entry on
+  * purpose: HLL and t-digest internals differ across engines, so the
+  * driver records the rows-only check (per the contract comment in
+  * SparkEntry); their exact twins (q_distinct_agg, a_percentile) ARE
+  * oracle-checked. `x_kmv_distinct` shows the alternative: a sketch
+  * whose hash function is engine-portable (md5) is deterministic and
+  * fully oracle-checkable, estimate and error included.
   */
 object SketchQueries {
 
@@ -40,6 +44,36 @@ object SketchQueries {
           element_at(col("approx_p"), 3).cast("double").as("p99"))
         .orderBy("o_orderstatus")),
 
+    // KMV (k-minimum-values) distinct-count sketch, k=64: estimate =
+    // (k-1)·2³² / kth-smallest-hash over DISTINCT md5-prefix hashes.
+    // Engine-portable (md5, integer hash space) → deterministic →
+    // oracle-checked INCLUDING the estimate and its signed error vs the
+    // exact count. The scale shape: the k smallest hashes per group are
+    // a bounded (k-row) state mergeable across partitions — at 100 TB
+    // the same sketch runs as a partial aggregate, never a full distinct.
+    "x_kmv_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val k = 64
+      val hashes = li.select(col("l_returnflag"),
+          conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
+      val kth = hashes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === k)
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      val estRaw = lit((k - 1).toDouble) * lit(4294967296.0) /
+        col("h").cast("double")
+      kth.join(exact, "l_returnflag")
+        .select(col("l_returnflag"),
+          round(estRaw, 4).as("est_distinct"),
+          col("exact_distinct"),
+          round((estRaw / col("exact_distinct").cast("double") - 1) * 100, 4)
+            .as("err_pct"))
+        .orderBy("l_returnflag")
+    }),
+
     // As-of join: every event picks up the user's latest prior (or
     // simultaneous) signup. DuckDB's native ASOF LEFT JOIN is the
     // oracle; the Spark side is the union-window composition
@@ -66,6 +100,25 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_kmv_distinct" ->
+      """WITH ks AS (SELECT DISTINCT l_returnflag,
+        |    CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM lineitem),
+        |kth AS (SELECT l_returnflag, h FROM (
+        |    SELECT l_returnflag, h, row_number() OVER (
+        |        PARTITION BY l_returnflag ORDER BY h) AS rn
+        |    FROM ks) WHERE rn = 64),
+        |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey)
+        |    AS exact_distinct
+        |  FROM lineitem GROUP BY 1)
+        |SELECT k.l_returnflag,
+        |  round(63.0 * 4294967296.0 / CAST(h AS DOUBLE), 4) AS est_distinct,
+        |  ex.exact_distinct,
+        |  round((63.0 * 4294967296.0 / CAST(h AS DOUBLE)
+        |    / CAST(exact_distinct AS DOUBLE) - 1) * 100, 4) AS err_pct
+        |FROM kth k JOIN ex ON k.l_returnflag = ex.l_returnflag
+        |ORDER BY k.l_returnflag""".stripMargin,
     "j_asof_signup" ->
       """WITH su AS (SELECT user_id, ts, max(event_id) AS sid
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
