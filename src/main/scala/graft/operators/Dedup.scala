@@ -59,19 +59,15 @@ object Dedup {
       threshold: Double): DataFrame =
     jaccardFromRelation(shingleRelation(df, idCol, textCol), threshold)
 
-  /** Jaccard pairs from a prebuilt (id, shingle) relation; `restrictTo`
-    * limits the pairwise work to the given (id_a, id_b) candidates — the
-    * LSH path uses this so verification touches candidates only, not the
-    * full inverted-index cross product.
+  /** Jaccard pairs from a prebuilt (id, shingle) relation via the
+    * inverted-index self-join (all shared-shingle pairs). The LSH path
+    * verifies candidates with [[jaccardForCandidates]] instead.
     */
-  def jaccardFromRelation(rel: DataFrame, threshold: Double,
-      restrictTo: Option[DataFrame] = None): DataFrame = {
+  def jaccardFromRelation(rel: DataFrame, threshold: Double): DataFrame = {
     val sizes = rel.groupBy("id").agg(count(lit(1)).as("n"))
-    val interAll = rel.as("a").join(rel.as("b"),
+    val inter = rel.as("a").join(rel.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val inter = restrictTo.fold(interAll)(cand =>
-        interAll.join(broadcast(cand), Seq("id_a", "id_b"), "left_semi"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("c"))
     inter

@@ -99,6 +99,31 @@ object TextQueries {
         .orderBy("lang", "rn")
     }),
 
+    // Benchmark-contamination check: for every test-split document, the
+    // fraction of its 3-gram shingles that appear anywhere in the train
+    // split. The join is inverted-index on the shingle key (only shared
+    // shingles meet — never test×train doc pairs), the standard shape
+    // for cross-corpus overlap at 100 TB.
+    "t_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val splits = d.select(col("doc_id").as("id"),
+        TA.hashSplit(col("doc_id")).as("split"))
+      val rel = graft.operators.Dedup.shingleRelation(d, "doc_id", "text")
+        .join(splits, "id")
+      val test = rel.filter(col("split") === "test")
+      val trainShingles = rel.filter(col("split") === "train")
+        .select("shingle").distinct()
+      val shared = test.join(trainShingles, "shingle")
+        .groupBy("id").agg(count(lit(1)).as("shared"))
+      val totals = test.groupBy("id").agg(count(lit(1)).as("total"))
+      totals.join(shared, Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("total"),
+          coalesce(col("shared"), lit(0L)).as("shared"),
+          round(coalesce(col("shared"), lit(0L)).cast("double") /
+            col("total").cast("double"), 6).as("contam_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata round-trip.
     "mm_binary" -> ((s, dir) =>
       Multimodal.packText(docs(s, dir), "doc_id", "text")
@@ -196,6 +221,32 @@ object TextQueries {
         |      ORDER BY score DESC, doc_id) AS rn
         |  FROM scored)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "t_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM toks, generate_series(1, 97) AS t(i)
+        |  WHERE i + 2 <= len(w)),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |        < 'cd' THEN 'train'
+        |      WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |        < 'e7' THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents),
+        |te AS (SELECT s.doc_id, s.shingle FROM sh s
+        |  JOIN sp ON s.doc_id = sp.doc_id WHERE sp.split = 'test'),
+        |tr AS (SELECT DISTINCT shingle FROM sh s
+        |  JOIN sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'),
+        |shared AS (SELECT te.doc_id, count(*) AS shared FROM te
+        |  JOIN tr ON te.shingle = tr.shingle GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS total FROM te GROUP BY 1)
+        |SELECT tot.doc_id, total, COALESCE(shared, 0) AS shared,
+        |  round(CAST(COALESCE(shared, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS contam_ratio
+        |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
     "mm_binary" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS payload_bytes,
