@@ -136,6 +136,31 @@ class EventStreamsSpec extends SparkFunSuite {
       (want.getLong(0), want.getLong(1), want.getLong(2)))
   }
 
+  test("checkpointed parquet file sink is exactly-once across restarts") {
+    val outDir = tmpDir("stream_sink")
+    val ckpt = tmpDir("stream_ckpt")
+    def runOnce(): Unit = {
+      val stream = EventStreams.readEvents(spark, eventsPath)
+        .select("event_id", "user_id", "event_type")
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst == batchEvents.count())
+    // restart with the same checkpoint and no new input: the sink's
+    // transaction log must prevent any re-emission
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == afterFirst)
+    assert(spark.read.parquet(outDir).select("event_id").distinct().count()
+      == batchEvents.select("event_id").distinct().count())
+  }
+
   test("mapGroupsWithState running totals match batch aggregation") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     EventStreams.runToMemory(
