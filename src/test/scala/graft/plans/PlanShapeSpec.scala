@@ -62,6 +62,27 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("hive-layout partition dirs prune at the scan (PartitionFilters)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    s.read.parquet(s"$sf0001/lineitem.parquet")
+      .withColumn("l_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .write.partitionBy("l_month").mode("overwrite").parquet(dir)
+    val one = s.read.option("basePath", dir).parquet(dir)
+      .filter(col("l_month") === "1995-03")
+      .select("l_orderkey", "l_quantity")
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_month"), plan)
+    // the scan must touch ONE partition's files, not all of them
+    val scanned = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(1), s"expected 1 selected partition, got $scanned")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
     val s = spark
     val confs = Map(
