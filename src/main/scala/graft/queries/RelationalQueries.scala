@@ -177,6 +177,25 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
+    // Full outer join on day-of-month: orders exclude days 29-30 (so
+    // those are events-only) and events never land on day 31 (orders-
+    // only), leaving days 1-28 matched — all three outer-join cases are
+    // exercised; one shuffle per side on the slim day key.
+    "q_full_outer" -> ((s, dir) => {
+      val od = t(s, dir, "orders")
+        .withColumn("day", dayofmonth(col("o_orderdate")))
+        .filter(!col("day").isin(29, 30))
+        .groupBy("day").agg(count(lit(1)).as("n_orders"))
+      val ed = t(s, dir, "events")
+        .groupBy(dayofmonth(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      od.join(ed, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("day")
+    }),
+
     // Distinct aggregation: exact COUNT(DISTINCT) per group.
     "q_distinct_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -451,6 +470,16 @@ object RelationalQueries {
         |  EXCEPT
         |  SELECT c_custkey FROM customer WHERE c_acctbal < 0
         |) ORDER BY c_custkey""".stripMargin,
+    "q_full_outer" ->
+      """WITH od AS (SELECT day(o_orderdate) AS day, count(*) AS n_orders
+        |  FROM orders WHERE day(o_orderdate) NOT IN (29, 30) GROUP BY 1),
+        |ed AS (SELECT day(ts) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT COALESCE(od.day, ed.day) AS day,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_events, 0) AS n_events
+        |FROM od FULL OUTER JOIN ed ON od.day = ed.day
+        |ORDER BY day""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,
