@@ -208,16 +208,16 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr"))
+      // the changed flag rides the same projection, so convergence is a
+      // filter over the already-materialized checkpoint — no extra join
+      val newCluster = least(col("cluster"), coalesce(col("nbr"), col("cluster")))
       val updated = labels
         .join(nbrMin.withColumnRenamed("src", "id2"), col("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .select(col("id"), newCluster.as("new_cluster"),
+          (newCluster < col("cluster")).as("changed"))
         .localCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.cluster") =!= col("l.cluster"))
-      val done = changed.isEmpty
-      labels = updated
+      val done = updated.filter(col("changed")).isEmpty
+      labels = updated.select(col("id"), col("new_cluster").as("cluster"))
       iter += 1
       if (done) return labels
     }

@@ -72,13 +72,24 @@ object ConfigResolver {
       raw match {
         case line(indent, key, rest) =>
           val value = rest.trim match {
-            case v if v.startsWith("\"") && v.length > 1 && v.contains('"') =>
-              v.substring(1, v.lastIndexOf('"'))
-            case v if v.startsWith("'") && v.length > 1 && v.contains('\'') =>
-              v.substring(1, v.lastIndexOf('\''))
+            case v if v.startsWith("#") => "" // pure trailing comment
+            case v if v.startsWith("\"") =>
+              val close = v.indexOf('"', 1)
+              if (close < 0) throw new IllegalArgumentException(
+                s"unterminated quote in YAML line: $raw")
+              v.substring(1, close)
+            case v if v.startsWith("'") =>
+              val close = v.indexOf('\'', 1)
+              if (close < 0) throw new IllegalArgumentException(
+                s"unterminated quote in YAML line: $raw")
+              v.substring(1, close)
             case v => v.split(" #", 2)(0).split("\t#", 2)(0).trim
           }
-          if (value.isEmpty) section = if (indent.isEmpty) key else s"$section.$key"
+          // Only a TOP-LEVEL empty-valued key opens a section (the
+          // reference shape nests exactly one level); a nested empty
+          // value is a real (empty) value — treating it as a section
+          // would silently mis-flatten every later key in the section.
+          if (value.isEmpty && indent.isEmpty) section = key
           else {
             val flat = if (indent.isEmpty) key else s"$section.$key"
             out += (YamlAliases.getOrElse(flat, flat) -> value)

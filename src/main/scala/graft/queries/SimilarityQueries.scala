@@ -19,6 +19,14 @@ object SimilarityQueries {
 
   private val QueryIds = Seq(0L, 1L, 2L)
 
+  /** Oracle SQL for the sign-LSH bucket of a vector expression — shared
+    * by the s_ann_lsh index and the s_ann_recall metric so the two can
+    * never drift apart.
+    */
+  private def lshBucketSql(v: String): String = Similarity.DefaultLshDims
+    .map(d => s"(CASE WHEN $v[$d] > 0 THEN '1' ELSE '0' END)")
+    .mkString(" || ")
+
   /** Oracle CTE: exact-decimal cosine for candidate (qid, vid) pairs laid
     * out by the enclosing query as cand(qid, vid, qvec, cvec).
     */
@@ -128,9 +136,7 @@ object SimilarityQueries {
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
     "s_ann_lsh" -> {
-      val bucket = (v: String) => Similarity.DefaultLshDims
-        .map(d => s"(CASE WHEN $v[$d] > 0 THEN '1' ELSE '0' END)")
-        .mkString(" || ")
+      val bucket = lshBucketSql _
       s"""WITH cand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
         |    q.embedding AS qvec, c.embedding AS cvec
         |  FROM embeddings q JOIN embeddings c
@@ -167,9 +173,7 @@ object SimilarityQueries {
         |ORDER BY id_a, id_b""".stripMargin
     },
     "s_ann_recall" -> {
-      val bucket = (v: String) => Similarity.DefaultLshDims
-        .map(d => s"(CASE WHEN $v[$d] > 0 THEN '1' ELSE '0' END)")
-        .mkString(" || ")
+      val bucket = lshBucketSql _
       s"""WITH bcand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
         |    q.embedding AS qvec, c.embedding AS cvec
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id

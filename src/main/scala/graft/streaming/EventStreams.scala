@@ -159,7 +159,12 @@ object EventStreams {
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(None, None, None))
-          rows.toSeq.sortBy(_._3).foreach { case (_, et, ts) =>
+          // tie-break equal timestamps by stage precedence: the batch
+          // twin's `ts >= prev` comparisons include equality, so a
+          // same-instant view+click must fold view first to latch both
+          val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+          rows.toSeq.sortBy(r => (r._3, stageRank.getOrElse(r._2, 3)))
+            .foreach { case (_, et, ts) =>
             et match {
               case "view" if st.tv.isEmpty =>
                 st = st.copy(tv = Some(ts))

@@ -99,6 +99,27 @@ class ConfigResolverSpec extends AnyFunSuite {
     assert(cfg.resume)
   }
 
+  test("YAML edge cases: empty nested value, commented section header, bad quote") {
+    // empty nested value is a VALUE (respected as empty), not a section
+    // opener — later keys in the section must still flatten correctly
+    val p1 = Files.createTempFile("graft", ".yaml")
+    Files.write(p1,
+      """migration: # timing knobs
+        |  checkpoint:
+        |  insert_interval: 2.5
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val cfg = ConfigResolver.resolve(Map("config" -> p1.toString), env = Map.empty)
+    assert(cfg.insertIntervalSec == 2.5) // survived the empty sibling
+    assert(cfg.checkpointPath == "")     // empty value respected, not dropped
+    // unterminated quote is a clean parse error, not an index crash
+    val p2 = Files.createTempFile("graft", ".yaml")
+    Files.write(p2, "db: \"proddb\n".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      ConfigResolver.resolve(Map("config" -> p2.toString), env = Map.empty)
+    }
+    assert(e.getMessage.contains("unterminated quote"))
+  }
+
   test("--config is an accepted CLI flag") {
     val m = ConfigResolver.parseArgs(Array("--config", "/tmp/x.conf"))
     assert(m("config") == "/tmp/x.conf")
