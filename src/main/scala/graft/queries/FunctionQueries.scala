@@ -97,6 +97,27 @@ object FunctionQueries {
           col("label"))
         .orderBy("vec_id")),
 
+    // Higher-order array functions: transform/filter/exists/forall over
+    // embedding vectors — all codegen-free lambda evaluation but still
+    // map-only (fused with the scan); element values cast to double
+    // BEFORE comparison so both engines compare identical doubles.
+    "f_higher_order" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(
+          col("vec_id"),
+          size(filter(col("embedding"), x => x.cast("double") > 0.0))
+            .as("n_pos"),
+          size(filter(transform(col("embedding"), x => abs(x.cast("double"))),
+            a => a > 1.0)).as("n_big_abs"),
+          exists(col("embedding"), x => x.cast("double") < -2.0)
+            .as("has_very_neg"),
+          forall(col("embedding"), x => abs(x.cast("double")) < lit(10.0))
+            .as("all_small"),
+          round(array_max(col("embedding")).cast("double"), 6).as("max_val"),
+          round(array_min(col("embedding")).cast("double"), 6).as("min_val"))
+        .orderBy("vec_id")),
+
     // Explode with position: per-dimension aggregate over vectors.
     // posexplode is 0-based; the oracle uses generate_series(1,64)-1.
     "f_explode" -> ((s, dir) =>
@@ -244,6 +265,18 @@ object FunctionQueries {
         |  CAST(embedding[64] AS DOUBLE) AS last_d,
         |  label
         |FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id""".stripMargin,
+    "f_higher_order" ->
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS n_pos,
+        |  len(list_filter(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), a -> a > 1.0)) AS n_big_abs,
+        |  len(list_filter(embedding, x -> CAST(x AS DOUBLE) < -2.0)) > 0
+        |    AS has_very_neg,
+        |  len(list_filter(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)) >= 10.0)) = 0 AS all_small,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
     "f_explode" ->
       """SELECT i - 1 AS dim, count(*) AS n,
         |  CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
