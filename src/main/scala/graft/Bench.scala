@@ -47,11 +47,19 @@ object Bench {
     }.toMap
     val p1 = pass(); val p2 = pass()
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) per-query precision: the driver captures only the
+    // last ~2.7 KB of stdout, and at 95+ queries the full-precision map
+    // (~3 KB) overflowed that window, truncating the JSON head — r4/r5
+    // recorded `parsed: null`. Rounding keeps the whole line inside the
+    // tail capture; the timing signal at this SF is scheduler-bound well
+    // above 0.1 ms anyway.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The result line goes to a FILE first (truncation-proof — a capture
     // of the process tail once lost the round's total), then stdout
     // BEFORE spark.stop() so no shutdown logging can interleave after it.

@@ -187,8 +187,14 @@ object Dedup {
     * O(component diameter) rounds; near-dup clusters are shallow, so a
     * handful of rounds suffices at any corpus size (this is the standard
     * large-graph CC shape on Spark; GraphX/large-star small-star reduce
-    * round count, not per-round shape). Lineage is cut per round with
-    * `localCheckpoint` — iterative plans otherwise grow exponentially.
+    * round count, not per-round shape). Lineage is cut per round —
+    * iterative plans otherwise grow exponentially. The default cut is
+    * `localCheckpoint` (executor block storage: no extra I/O, but an
+    * executor loss makes the truncated lineage unrecoverable mid-job);
+    * pass `checkpointDir` to switch to RELIABLE `checkpoint()` into that
+    * fault-tolerant path (HDFS/S3 on a cluster) — the setting a
+    * 1000-executor multi-round job wants, where losing one executor is
+    * routine, at the price of one durable write per round.
     * Throws if `maxIter` rounds don't reach the fixpoint (a truncated
     * result would silently mislabel clusters).
     *
@@ -196,13 +202,18 @@ object Dedup {
     * are trivially their own singleton cluster and are not re-emitted.
     * Output: (id, cluster) with cluster = min id reachable from id.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
-      .localCheckpoint()
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")))
     var iter = 0
     while (iter < maxIter) {
       val nbrMin = edges
@@ -211,11 +222,10 @@ object Dedup {
       // the changed flag rides the same projection, so convergence is a
       // filter over the already-materialized checkpoint — no extra join
       val newCluster = least(col("cluster"), coalesce(col("nbr"), col("cluster")))
-      val updated = labels
+      val updated = cut(labels
         .join(nbrMin.withColumnRenamed("src", "id2"), col("id") === col("id2"), "left")
         .select(col("id"), newCluster.as("new_cluster"),
-          (newCluster < col("cluster")).as("changed"))
-        .localCheckpoint()
+          (newCluster < col("cluster")).as("changed")))
       val done = updated.filter(col("changed")).isEmpty
       labels = updated.select(col("id"), col("new_cluster").as("cluster"))
       iter += 1

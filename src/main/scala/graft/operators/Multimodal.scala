@@ -7,12 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, batched decode / feature-extract / resize / frame-sample.
   *
-  * The decode kernels themselves are STUBBED with deterministic fakes
-  * (image/audio codecs are not available in this environment) — the
-  * Spark-side contract is real and tested: schema, partitioning, batch
-  * shape (mapPartitions processes a whole partition's rows through one
-  * "decoder" instance, the same lifecycle a JNI/FFI codec needs), and
-  * the metadata struct that downstream operators filter/join on.
+  * The IMAGE path is a real decoder: `javax.imageio` (JDK built-in —
+  * PNG/JPEG/GIF/BMP, zero external dependencies) decodes the payload
+  * and extracts width / height / band-count / per-channel means / luma
+  * / aspect. Non-image kinds fall back to a deterministic stub
+  * (audio/video codecs are not available in this environment). Either
+  * way the Spark-side contract is identical and tested: schema,
+  * partitioning, batch shape (mapPartitions streams a whole
+  * partition's rows through one decoder instance, the same lifecycle a
+  * JNI/FFI codec needs), and the metadata struct that downstream
+  * operators filter/join on.
   */
 object Multimodal {
 
@@ -43,6 +47,22 @@ object Multimodal {
         lit(0L).as("duration_ms"),
         lit("utf-8").as("codec")).as("meta"))
 
+  /** Wrap arbitrary binary payloads (image/audio/video bytes) as media
+    * rows under a caller-supplied MIME kind — the generic ingest step;
+    * `decodeFeatures` dispatches its decoder on that kind.
+    */
+  def packBinary(df: DataFrame, idCol: String, binCol: String, kind: String,
+      width: Int = 0, height: Int = 0): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(binCol).cast("binary").as("payload"),
+      struct(
+        lit(kind).as("kind"),
+        lit(width).as("width"),
+        lit(height).as("height"),
+        lit(0L).as("duration_ms"),
+        lit(kind.dropWhile(_ != '/').drop(1)).as("codec")).as("meta"))
+
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -51,20 +71,26 @@ object Multimodal {
 
   /** Batched "decode + feature extract": one decoder instance per
     * partition (the expensive-init lifecycle), rows streamed through it.
-    * The decode itself is a deterministic fake — an 8-dim byte-histogram
-    * projection of the payload — standing in for
-    * `imageDecode(payload).resize(…).embed(…)`.
+    * Dispatch is on `meta.kind`: image payloads go through the real
+    * `javax.imageio` decoder; anything else through the deterministic
+    * stub (an 8-dim byte-histogram projection) standing in for the
+    * audio/video codecs this environment lacks. Both emit the same
+    * 8-float feature shape, so downstream schema is kind-independent.
     */
   def decodeFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "meta.kind", "payload").mapPartitions { rows =>
       // decoder init happens once per partition, NOT per row:
-      val decoder = new StubDecoder(featureDim = 8)
+      val imageDecoder = new ImageIoDecoder
+      val stub = new StubDecoder(featureDim = 8)
       rows.map { r =>
         val id = r.getLong(0)
         val kind = r.getString(1)
         val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-        MediaFeatures(id, kind, payload.length, decoder.decode(payload))
+        val feature =
+          if (kind.startsWith("image/")) imageDecoder.decode(payload)
+          else stub.decode(payload)
+        MediaFeatures(id, kind, payload.length, feature)
       }
     }
   }
@@ -85,6 +111,52 @@ object Multimodal {
       (id, frames.length, frames.map(_.length.toLong).sum)
     }
     sampled.toDF("media_id", "n_frames", "sampled_bytes")
+  }
+
+  /** Real image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP,
+    * no external dependency). Feature layout (8 floats, matching the
+    * stub's dimensionality so the output schema is kind-independent):
+    * `[width, height, bands, meanR, meanG, meanB, luma, aspect]` with
+    * channel means and Rec.601 luma normalized to [0,1]. Undecodable or
+    * empty payloads yield the all-zero vector rather than failing the
+    * task — at 100 TB a corrupt image is data, not an error.
+    *
+    * One instance per partition: the in-memory-cache setting is flipped
+    * once (ImageIO otherwise spills decode scratch to temp FILES — a
+    * per-row disk write an executor decoding millions of images cannot
+    * afford).
+    */
+  private final class ImageIoDecoder extends Serializable {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val zero = new Array[Float](8)
+      if (payload.isEmpty) return zero
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return zero
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // sRGB regardless of storage layout
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(w.toDouble * h, 1.0) * 255.0
+      Array(w.toFloat, h.toFloat, img.getRaster.getNumBands.toFloat,
+        (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+        ((0.299 * sr + 0.587 * sg + 0.114 * sb) / n).toFloat,
+        if (h > 0) w.toFloat / h else 0f)
+    }
   }
 
   /** Deterministic stand-in for a native codec: byte-histogram projection.

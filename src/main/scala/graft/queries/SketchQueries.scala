@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Joins
 import graft.sources.Sources
@@ -48,24 +47,23 @@ object SketchQueries {
     // (k-1)·2³² / kth-smallest-hash over DISTINCT md5-prefix hashes.
     // Engine-portable (md5, integer hash space) → deterministic →
     // oracle-checked INCLUDING the estimate and its signed error vs the
-    // exact count. The scale shape: the k smallest hashes per group are
-    // a bounded (k-row) state mergeable across partitions — at 100 TB
-    // the same sketch runs as a partial aggregate, never a full distinct.
+    // exact count. EXECUTION runs the bounded-state [[graft.functions
+    // .KmvSketch]] UDAF — the k smallest hashes per group are a k-row
+    // mergeable partial aggregate (map-side combined, shuffles k longs
+    // per group regardless of group size; at 100 TB never a global
+    // per-group sort). The ORACLE stays the window/row_number
+    // formulation, which KmvSketchSpec proves bit-identical.
     "x_kmv_distinct" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val k = 64
-      val hashes = li.select(col("l_returnflag"),
-          conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
-            .cast("long").as("h"))
-        .distinct()
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
-      val kth = hashes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === k)
-      val exact = li.groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
-      val estRaw = lit((k - 1).toDouble) * lit(4294967296.0) /
-        col("h").cast("double")
-      kth.join(exact, "l_returnflag")
+      val kmv = udaf(new graft.functions.KmvSketch(k))
+      val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val estRaw = col("est_raw")
+      li.select(col("l_returnflag"), h.as("h"), col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(kmv(col("h")).as("est_raw"),
+          countDistinct(col("l_orderkey")).as("exact_distinct"))
         .select(col("l_returnflag"),
           round(estRaw, 4).as("est_distinct"),
           col("exact_distinct"),

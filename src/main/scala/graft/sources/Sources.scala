@@ -73,6 +73,7 @@ object Sources {
       table: String,
       partitionColumn: Option[(String, Long, Long, Int)] = None,
       props: Map[String, String] = Map.empty): DataFrame = {
+    ClickHouseDialect.ensureRegistered()
     val base = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)

@@ -87,7 +87,24 @@ object EventStreams {
     * watermark) — the shape that holds state constant at 100 TB/day
     * instead of growing without bound.
     */
-  def clickPurchaseJoin(events: DataFrame, boundMinutes: Int = 30): DataFrame = {
+  def clickPurchaseJoin(events: DataFrame, boundMinutes: Int = 30): DataFrame =
+    clickPurchase(events, boundMinutes, "inner")
+
+  /** Stream-stream LEFT OUTER click/purchase join: same watermarks and
+    * two-sided time bound as the inner join, plus watermark-driven null
+    * emission — a click whose join window `[c_ts, c_ts + bound]` falls
+    * entirely below the watermark can provably never match, so the state
+    * store evicts it AND emits it once with null purchase columns. The
+    * null rows therefore arrive one watermark-advance after the data
+    * batch (they need a later batch to push the watermark past the
+    * window) — the inherent outer-join latency trade; state stays
+    * bounded exactly as in the inner case.
+    */
+  def clickPurchaseLeftJoin(events: DataFrame, boundMinutes: Int = 30): DataFrame =
+    clickPurchase(events, boundMinutes, "leftOuter")
+
+  private def clickPurchase(events: DataFrame, boundMinutes: Int,
+      joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
@@ -99,7 +116,8 @@ object EventStreams {
     clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $boundMinutes MINUTES"))
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $boundMinutes MINUTES"),
+      joinType)
   }
 
   final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)

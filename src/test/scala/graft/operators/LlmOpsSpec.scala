@@ -66,6 +66,24 @@ class LlmOpsSpec extends SparkFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: reliable checkpoint dir gives identical labels on a 50-node chain") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // A 50-node path has diameter 49 — enough propagation rounds that a
+    // per-round lineage cut is load-bearing, not decorative.
+    val chain = (1L to 50L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("id_a", "id_b")
+    val dir = tmpDir("cc-checkpoint")
+    val got = Dedup.connectedComponents(chain, maxIter = 60,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 50L).map(_ -> 1L).toMap)
+    // the reliable path actually wrote RDD checkpoints into the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+    assert(wrote, s"no rdd-* checkpoint dirs under $dir")
+  }
+
   test("connectedComponents: throws instead of truncating when maxIter too small") {
     val s = graft.SparkTestBase.spark
     import s.implicits._
@@ -198,6 +216,58 @@ class LlmOpsSpec extends SparkFunSuite {
       assert(math.abs(f.feature.sum - 1.0f) < 1e-4) // normalized histogram
       assert(f.payload_bytes > 0)
     }
+  }
+
+  test("decodeFeatures: real PNG via javax.imageio — exact dims and channel means") {
+    implicit val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // 4×2 TYPE_INT_RGB: top row red (255,0,0), bottom row blue (0,0,255)
+    // → meanR = meanB = 0.5, meanG = 0, luma = (0.299+0.114)/2.
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4) {
+      img.setRGB(x, 0, 0xff0000)
+      img.setRGB(x, 1, 0x0000ff)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    val media = Multimodal.packBinary(
+      Seq((7L, png)).toDF("id", "bytes"), "id", "bytes", "image/png",
+      width = 4, height = 2)
+    val f = Multimodal.decodeFeatures(media).collect().head
+    assert(f.media_id == 7L && f.kind == "image/png")
+    assert(f.payload_bytes == png.length)
+    val Array(w, h, bands, mr, mg, mb, luma, aspect) = f.feature
+    assert(w == 4f && h == 2f && bands == 3f && aspect == 2f)
+    assert(math.abs(mr - 0.5f) < 1e-6)
+    assert(mg == 0f)
+    assert(math.abs(mb - 0.5f) < 1e-6)
+    assert(math.abs(luma - (0.299f + 0.114f) / 2) < 1e-6)
+  }
+
+  test("decodeFeatures: JPEG dims exact, corrupt image → zero vector, stub fallback intact") {
+    implicit val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val img = new java.awt.image.BufferedImage(6, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val rows = Seq(
+      (1L, baos.toByteArray, "image/jpeg"),
+      (2L, Array[Byte](1, 2, 3, 4), "image/png"), // not an image
+      (3L, "abc".getBytes("UTF-8"), "audio/wav")  // non-image → stub
+    ).toDF("id", "bytes", "kind")
+    val media = rows.select(
+      col("id").as("media_id"), col("bytes").as("payload"),
+      struct(col("kind"), lit(0).as("width"), lit(0).as("height"),
+        lit(0L).as("duration_ms"), lit("x").as("codec")).as("meta"))
+    val by = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // JPEG is lossy but dimensions survive decode exactly
+    assert(by(1L).feature(0) == 6f && by(1L).feature(1) == 3f)
+    assert(by(2L).feature.forall(_ == 0f)) // corrupt → zeros, no crash
+    assert(math.abs(by(3L).feature.sum - 1f) < 1e-4) // stub histogram path
   }
 
   test("sampleFrames: stride-2 over 10-byte chunks") {

@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.sql.Types
+
+import org.apache.spark.sql.jdbc.JdbcDialects
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClickHouseDialectSpec extends AnyFunSuite {
+
+  private val d = ClickHouseDialect
+  private val md = new MetadataBuilder()
+
+  private def catalyst(typeName: String, sqlType: Int = Types.OTHER) =
+    d.getCatalystType(sqlType, typeName, 0, md)
+
+  test("canHandle: clickhouse/ch schemes only") {
+    assert(d.canHandle("jdbc:clickhouse://host:8123/db"))
+    assert(d.canHandle("jdbc:ch://host:8443/db?ssl=true"))
+    assert(d.canHandle("JDBC:CLICKHOUSE://host:8123/db")) // case-insensitive
+    assert(!d.canHandle("jdbc:derby:memory:db"))
+    assert(!d.canHandle("jdbc:postgresql://host/db"))
+  }
+
+  test("registration: dialect registry resolves clickhouse URLs to this dialect") {
+    ClickHouseDialect.ensureRegistered()
+    ClickHouseDialect.ensureRegistered() // idempotent
+    assert(JdbcDialects.get("jdbc:clickhouse://host:8123/db") eq d)
+    // other URLs are untouched by the registration
+    assert(JdbcDialects.get("jdbc:derby:memory:db") ne d)
+  }
+
+  test("quoteIdentifier: backticks, embedded backtick doubled") {
+    assert(d.quoteIdentifier("order") == "`order`")
+    assert(d.quoteIdentifier("we`ird") == "`we``ird`")
+  }
+
+  test("read mapping: unsigned widths widen, UInt64 is exact decimal") {
+    assert(catalyst("UInt8").contains(ShortType))
+    assert(catalyst("UInt16").contains(IntegerType))
+    assert(catalyst("UInt32").contains(LongType))
+    assert(catalyst("UInt64").contains(DecimalType(20, 0)))
+    assert(catalyst("Int8").contains(ByteType))
+    assert(catalyst("Int64").contains(LongType))
+  }
+
+  test("read mapping: temporal, string-ish, bool, wrappers") {
+    assert(catalyst("DateTime").contains(TimestampType))
+    assert(catalyst("DateTime64(3)").contains(TimestampType))
+    assert(catalyst("DateTime64(9, 'UTC')").contains(TimestampType))
+    assert(catalyst("Date").contains(DateType))
+    assert(catalyst("Date32").contains(DateType))
+    assert(catalyst("FixedString(16)", Types.BINARY).contains(StringType))
+    assert(catalyst("Enum8('a' = 1)").contains(StringType))
+    assert(catalyst("UUID").contains(StringType))
+    assert(catalyst("Bool").contains(BooleanType))
+    // Nullable/LowCardinality wrappers unwrap (nested too)
+    assert(catalyst("Nullable(UInt64)").contains(DecimalType(20, 0)))
+    assert(catalyst("LowCardinality(Nullable(String))").contains(StringType))
+    assert(catalyst("Nullable(DateTime64(6))").contains(TimestampType))
+    // unknown/complex types defer to the generic mapping
+    assert(catalyst("Array(String)").isEmpty)
+    assert(catalyst("Map(String, UInt8)").isEmpty)
+  }
+
+  test("write mapping: native ClickHouse DDL types, µs-precision DateTime64") {
+    def ddl(dt: DataType) = d.getJDBCType(dt).map(_.databaseTypeDefinition)
+    assert(ddl(StringType).contains("String"))
+    assert(ddl(BooleanType).contains("Bool"))
+    assert(ddl(IntegerType).contains("Int32"))
+    assert(ddl(LongType).contains("Int64"))
+    assert(ddl(FloatType).contains("Float32"))
+    assert(ddl(DoubleType).contains("Float64"))
+    assert(ddl(TimestampType).contains("DateTime64(6)"))
+    assert(ddl(DateType).contains("Date32"))
+    assert(ddl(DecimalType(20, 0)).contains("Decimal(20, 0)"))
+  }
+
+  test("round-trip: write type re-reads to the same catalyst type") {
+    // for each writable type: the ClickHouse DDL it emits, read back
+    // through getCatalystType, lands on a type that loses nothing.
+    val cases: Seq[(DataType, DataType)] = Seq(
+      (StringType, StringType),
+      (BooleanType, BooleanType),
+      (ByteType, ByteType),
+      (ShortType, ShortType),
+      (IntegerType, IntegerType),
+      (LongType, LongType),
+      (FloatType, FloatType),
+      (DoubleType, DoubleType),
+      (DateType, DateType),
+      (TimestampType, TimestampType))
+    cases.foreach { case (written, expected) =>
+      val ddl = d.getJDBCType(written).get.databaseTypeDefinition
+      assert(catalyst(ddl).contains(expected),
+        s"$written → $ddl did not read back as $expected")
+    }
+  }
+
+  test("truncate: ClickHouse TRUNCATE TABLE, non-cascading") {
+    assert(d.getTruncateQuery("`db`.`t`") == "TRUNCATE TABLE `db`.`t`")
+    assert(d.isCascadingTruncateTable.contains(false))
+  }
+}
