@@ -32,11 +32,27 @@ import org.apache.spark.sql.types._
   *     µs; DateTime64 precision beyond 6 truncates, documented).
   *   - `Date`/`Date32` → DateType; `Enum8/16` and `UUID` → StringType;
   *     `Bool` → BooleanType.
+  *   - `Array(T)` / `Map(K, V)` parse recursively → `ArrayType` /
+  *     `MapType`, with nested `Nullable(...)` driving
+  *     containsNull/valueContainsNull (embeddings in ClickHouse are
+  *     canonically `Array(Float32)` — the flagship read for an
+  *     LLM-data pipeline). `Tuple`/`Nested`/`AggregateFunction` still
+  *     defer to the generic mapping.
   *
   * WRITE side (`getJDBCType`): Spark's defaults emit ANSI-ish DDL
   * (`TEXT`, `BIT(1)`, `TIMESTAMP`) that ClickHouse rejects — emit
   * native ClickHouse types instead, with TimestampType as
-  * `DateTime64(6)` to preserve Spark's full µs precision.
+  * `DateTime64(6)` to preserve Spark's full µs precision, and
+  * ArrayType/MapType as native `Array(...)`/`Map(...)` (nullable
+  * elements become `Nullable(T)`; ClickHouse forbids Nullable around
+  * composite types, so those stay bare).
+  *
+  * Known asymmetry (documented, intentional): BinaryType writes as
+  * ClickHouse `String` (its canonical byte container — CH String is
+  * arbitrary bytes, not UTF-8) but reads back as Catalyst StringType,
+  * as does `FixedString(N)`. A binary round trip therefore lands on
+  * StringType; callers with non-UTF8 FixedString payloads should cast
+  * back (`$"col".cast(BinaryType)`) on read.
   *
   * Registered automatically the first time [[Sources.clickhouseJdbc]]
   * runs (idempotent — `ensureRegistered` can also be called directly by
@@ -58,53 +74,153 @@ object ClickHouseDialect extends JdbcDialect {
 
   /** Strip `Nullable(...)` / `LowCardinality(...)` wrappers — the JDBC
     * driver reports them verbatim in the column type name, but the
-    * inner type drives the Catalyst mapping (nullability arrives via
-    * ResultSetMetaData separately).
+    * inner type drives the Catalyst mapping. Returns the stripped type
+    * and whether a `Nullable` wrapper was present (top-level column
+    * nullability arrives via ResultSetMetaData separately, but NESTED
+    * nullability — `Array(Nullable(String))` — only exists in the type
+    * name).
     */
-  private def unwrap(typeName: String): String = {
+  private def stripWrappers(typeName: String): (String, Boolean) = {
     var t = typeName.trim
+    var nullable = false
     var changed = true
     while (changed) {
       changed = false
-      for (w <- Seq("Nullable(", "LowCardinality(")) {
-        if (t.startsWith(w) && t.endsWith(")")) {
-          t = t.substring(w.length, t.length - 1).trim
-          changed = true
-        }
+      if (t.startsWith("Nullable(") && t.endsWith(")")) {
+        t = t.substring("Nullable(".length, t.length - 1).trim
+        nullable = true; changed = true
+      }
+      if (t.startsWith("LowCardinality(") && t.endsWith(")")) {
+        t = t.substring("LowCardinality(".length, t.length - 1).trim
+        changed = true
       }
     }
-    t
+    (t, nullable)
+  }
+
+  /** Split `Map(String, Array(UInt8))`'s argument list at top-level
+    * commas only — parentheses nest and single-quoted literals (enum
+    * labels, timezone names) may themselves contain commas or parens.
+    */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case '(' if !inQuote => depth += 1; cur += '('
+      case ')' if !inQuote => depth -= 1; cur += ')'
+      case ',' if !inQuote && depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.toSeq
+  }
+
+  /** Recursive ClickHouse-type-name → (Catalyst type, nullable) parse.
+    *
+    * `topLevel` distinguishes the one case where the JDBC metadata is
+    * MORE precise than the type name needs to be: a top-level
+    * `Decimal(P, S)` defers to the driver's JDBC DECIMAL
+    * precision/scale (`None` → generic mapping); a Decimal NESTED
+    * inside Array/Map has no per-element metadata, so its
+    * precision/scale must come from the parsed name.
+    */
+  private def parseType(raw: String, topLevel: Boolean): Option[(DataType, Boolean)] = {
+    val (t, nullable) = stripWrappers(raw)
+    val base = t.takeWhile(_ != '(') // "DateTime64(3, 'UTC')" → "DateTime64"
+    def args: Seq[String] =
+      if (t.length > base.length && t.endsWith(")"))
+        splitArgs(t.substring(base.length + 1, t.length - 1))
+      else Nil
+    val parsed: Option[DataType] = base match {
+      case "Array" => args match {
+        case Seq(inner) =>
+          parseType(inner, topLevel = false)
+            .map { case (et, en) => ArrayType(et, containsNull = en) }
+        case _ => None
+      }
+      case "Map" => args match {
+        case Seq(k, v) =>
+          for {
+            (kt, _) <- parseType(k, topLevel = false) // CH map keys are non-nullable
+            (vt, vn) <- parseType(v, topLevel = false)
+          } yield MapType(kt, vt, valueContainsNull = vn)
+        case _ => None
+      }
+      case "Decimal" if topLevel =>
+        None // driver reports exact precision/scale via JDBC DECIMAL
+      case "Decimal" => args.map(_.toIntOption) match {
+        case Seq(Some(p), Some(s)) => Some(DecimalType(math.min(p, 38), s))
+        case _ => None
+      }
+      case "Decimal32" | "Decimal64" | "Decimal128" | "Decimal256" =>
+        if (topLevel) None
+        else args.map(_.toIntOption) match {
+          case Seq(Some(s)) =>
+            val p = base match {
+              case "Decimal32" => 9
+              case "Decimal64" => 18
+              case _ => 38 // Decimal128 exactly; Decimal256 best-effort cap
+            }
+            Some(DecimalType(p, s))
+          case _ => None
+        }
+      case other => scalarType(other)
+    }
+    parsed.map(dt => (dt, nullable))
+  }
+
+  private def scalarType(base: String): Option[DataType] = base match {
+    case "String" => Some(StringType)
+    case "FixedString" => Some(StringType)
+    case "UUID" => Some(StringType)
+    case "Enum8" | "Enum16" => Some(StringType)
+    case "Bool" => Some(BooleanType)
+    case "Int8" => Some(ByteType)
+    case "Int16" => Some(ShortType)
+    case "Int32" => Some(IntegerType)
+    case "Int64" => Some(LongType)
+    case "UInt8" => Some(ShortType)    // 0…255 exceeds ByteType
+    case "UInt16" => Some(IntegerType) // 0…65535 exceeds ShortType
+    case "UInt32" => Some(LongType)    // 0…2³²−1 exceeds IntegerType
+    case "UInt64" => Some(DecimalType(20, 0)) // 0…2⁶⁴−1 exceeds LongType
+    case "Int128" | "UInt128" | "Int256" | "UInt256" =>
+      Some(DecimalType(38, 0)) // best-effort: Spark's max decimal
+    case "Float32" => Some(FloatType)
+    case "Float64" => Some(DoubleType)
+    case "Date" | "Date32" => Some(DateType)
+    case "DateTime" | "DateTime32" | "DateTime64" => Some(TimestampType)
+    case "IPv4" => Some(StringType)
+    case "IPv6" => Some(StringType)
+    case _ => None // Tuple/Nested/AggregateFunction etc.: defer to generic
   }
 
   override def getCatalystType(sqlType: Int, typeName: String, size: Int,
-      md: MetadataBuilder): Option[DataType] = {
-    val t = unwrap(typeName)
-    val base = t.takeWhile(_ != '(') // "DateTime64(3, 'UTC')" → "DateTime64"
-    base match {
-      case "String" => Some(StringType)
-      case "FixedString" => Some(StringType)
-      case "UUID" => Some(StringType)
-      case "Enum8" | "Enum16" => Some(StringType)
-      case "Bool" => Some(BooleanType)
-      case "Int8" => Some(ByteType)
-      case "Int16" => Some(ShortType)
-      case "Int32" => Some(IntegerType)
-      case "Int64" => Some(LongType)
-      case "UInt8" => Some(ShortType)    // 0…255 exceeds ByteType
-      case "UInt16" => Some(IntegerType) // 0…65535 exceeds ShortType
-      case "UInt32" => Some(LongType)    // 0…2³²−1 exceeds IntegerType
-      case "UInt64" => Some(DecimalType(20, 0)) // 0…2⁶⁴−1 exceeds LongType
-      case "Int128" | "UInt128" | "Int256" | "UInt256" =>
-        Some(DecimalType(38, 0)) // best-effort: Spark's max decimal
-      case "Float32" => Some(FloatType)
-      case "Float64" => Some(DoubleType)
-      case "Date" | "Date32" => Some(DateType)
-      case "DateTime" | "DateTime32" | "DateTime64" => Some(TimestampType)
-      case "Decimal" | "Decimal32" | "Decimal64" | "Decimal128" =>
-        None // driver reports exact precision/scale via JDBC DECIMAL
-      case "IPv4" => Some(StringType)
-      case "IPv6" => Some(StringType)
-      case _ => None // Array/Map/Tuple etc.: defer to the generic mapping
+      md: MetadataBuilder): Option[DataType] =
+    parseType(typeName, topLevel = true).map(_._1)
+
+  /** Write-side DDL for a NESTED position: wraps nullable scalar
+    * elements as `Nullable(T)` (the only way element nullability exists
+    * in ClickHouse DDL). Composite types are never Nullable-wrapped —
+    * ClickHouse forbids `Nullable(Array(...))`/`Nullable(Map(...))`.
+    */
+  private def chNestedDdl(dt: DataType, nullable: Boolean): Option[String] = {
+    val inner: Option[String] = dt match {
+      case ArrayType(et, en) => chNestedDdl(et, en).map(i => s"Array($i)")
+      case MapType(kt, vt, vn) =>
+        for {
+          k <- chNestedDdl(kt, nullable = false) // CH map keys are non-nullable
+          v <- chNestedDdl(vt, vn)
+        } yield s"Map($k, $v)"
+      case other => getJDBCType(other).map(_.databaseTypeDefinition)
+    }
+    dt match {
+      case _: ArrayType | _: MapType => inner
+      case _ if nullable => inner.map(i => s"Nullable($i)")
+      case _ => inner
     }
   }
 
@@ -125,6 +241,10 @@ object ClickHouseDialect extends JdbcDialect {
     // second-precision and would silently truncate.
     case TimestampType => Some(JdbcType("DateTime64(6)", Types.TIMESTAMP))
     case TimestampNTZType => Some(JdbcType("DateTime64(6)", Types.TIMESTAMP))
+    case a: ArrayType =>
+      chNestedDdl(a, nullable = false).map(JdbcType(_, Types.ARRAY))
+    case m: MapType =>
+      chNestedDdl(m, nullable = false).map(JdbcType(_, Types.OTHER))
     case _ => None
   }
 

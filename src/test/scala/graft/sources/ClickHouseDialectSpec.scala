@@ -58,9 +58,72 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(catalyst("Nullable(UInt64)").contains(DecimalType(20, 0)))
     assert(catalyst("LowCardinality(Nullable(String))").contains(StringType))
     assert(catalyst("Nullable(DateTime64(6))").contains(TimestampType))
-    // unknown/complex types defer to the generic mapping
-    assert(catalyst("Array(String)").isEmpty)
-    assert(catalyst("Map(String, UInt8)").isEmpty)
+    // genuinely unknown/complex types still defer to the generic mapping
+    assert(catalyst("Tuple(String, UInt8)").isEmpty)
+    assert(catalyst("AggregateFunction(sum, UInt64)").isEmpty)
+  }
+
+  test("read mapping: Array(T) parses recursively with nested nullability") {
+    // the flagship LLM-pipeline column type: embeddings
+    assert(catalyst("Array(Float32)")
+      .contains(ArrayType(FloatType, containsNull = false)))
+    assert(catalyst("Array(Nullable(String))")
+      .contains(ArrayType(StringType, containsNull = true)))
+    assert(catalyst("Array(Array(UInt32))")
+      .contains(ArrayType(ArrayType(LongType, containsNull = false),
+        containsNull = false)))
+    // wrappers at any depth
+    assert(catalyst("Nullable(Array(LowCardinality(Nullable(String))))")
+      .contains(ArrayType(StringType, containsNull = true)))
+    // unsigned widening applies inside arrays too
+    assert(catalyst("Array(UInt64)")
+      .contains(ArrayType(DecimalType(20, 0), containsNull = false)))
+    // nested Decimal has no JDBC metadata → parse precision/scale from the name
+    assert(catalyst("Array(Decimal(18, 4))")
+      .contains(ArrayType(DecimalType(18, 4), containsNull = false)))
+    assert(catalyst("Array(Decimal64(4))")
+      .contains(ArrayType(DecimalType(18, 4), containsNull = false)))
+    // malformed / unknown element types defer rather than mis-map
+    assert(catalyst("Array(Tuple(UInt8, String))").isEmpty)
+    assert(catalyst("Array()").isEmpty)
+  }
+
+  test("read mapping: Map(K, V) parses recursively; quoted args don't confuse the split") {
+    assert(catalyst("Map(String, UInt8)")
+      .contains(MapType(StringType, ShortType, valueContainsNull = false)))
+    assert(catalyst("Map(String, Nullable(Float64))")
+      .contains(MapType(StringType, DoubleType, valueContainsNull = true)))
+    assert(catalyst("Map(LowCardinality(String), Array(UInt32))")
+      .contains(MapType(StringType, ArrayType(LongType, containsNull = false),
+        valueContainsNull = false)))
+    // a comma inside a quoted enum label or tz must not split the args
+    assert(catalyst("Map(String, DateTime64(3, 'UTC'))")
+      .contains(MapType(StringType, TimestampType, valueContainsNull = false)))
+    assert(catalyst("Map(Enum8('a,b' = 1), UInt8)")
+      .contains(MapType(StringType, ShortType, valueContainsNull = false)))
+    assert(catalyst("Map(String)").isEmpty) // wrong arity defers
+  }
+
+  test("write mapping: ArrayType/MapType emit native CH DDL, Nullable on scalar elements only") {
+    def ddl(dt: DataType) = d.getJDBCType(dt).map(_.databaseTypeDefinition)
+    assert(ddl(ArrayType(FloatType, containsNull = false)).contains("Array(Float32)"))
+    assert(ddl(ArrayType(StringType, containsNull = true)).contains("Array(Nullable(String))"))
+    assert(ddl(MapType(StringType, ShortType, valueContainsNull = false))
+      .contains("Map(String, Int16)"))
+    // composite elements are never Nullable-wrapped (CH forbids it)
+    assert(ddl(ArrayType(ArrayType(LongType, containsNull = false), containsNull = true))
+      .contains("Array(Array(Int64))"))
+    assert(ddl(MapType(StringType, ArrayType(DoubleType, containsNull = false),
+      valueContainsNull = true)).contains("Map(String, Array(Float64))"))
+  }
+
+  test("round-trip: Array(Float32) embedding column write → read is lossless") {
+    val written = ArrayType(FloatType, containsNull = false)
+    val ddl = d.getJDBCType(written).get.databaseTypeDefinition
+    assert(catalyst(ddl).contains(written))
+    val withNulls = ArrayType(DoubleType, containsNull = true)
+    val ddl2 = d.getJDBCType(withNulls).get.databaseTypeDefinition
+    assert(catalyst(ddl2).contains(withNulls))
   }
 
   test("write mapping: native ClickHouse DDL types, µs-precision DateTime64") {
