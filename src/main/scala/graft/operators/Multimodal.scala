@@ -132,26 +132,42 @@ object Multimodal {
     def decode(payload: Array[Byte]): Array[Float] = {
       val zero = new Array[Float](8)
       if (payload.isEmpty) return zero
+      // NonFatal, not just IOException: ImageIO plugins throw
+      // RuntimeExceptions on malformed payloads (CMMException on bad
+      // ICC profiles, IndexOutOfBounds/NegativeArraySize on truncated
+      // JPEG/GIF headers) — a corrupt image must stay data, not an
+      // error, so ANY decode failure yields the zero vector.
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return zero
       val w = img.getWidth
       val h = img.getHeight
+      if (w <= 0 || h <= 0) return zero
+      // Bulk getRGB over row strips: one virtual dispatch + one
+      // color-model conversion pass per strip instead of per PIXEL
+      // (several-fold faster on megapixel inputs), with the buffer
+      // capped at ~1M ints (4 MB) so a pathological 100-megapixel
+      // payload can't allocate a 400 MB frame on the executor heap.
+      val stripH = math.max(1, math.min(h, (1 << 20) / w))
+      val buf = new Array[Int](w * stripH)
       var sr = 0.0; var sg = 0.0; var sb = 0.0
       var y = 0
       while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y) // sRGB regardless of storage layout
+        val rows = math.min(stripH, h - y)
+        img.getRGB(0, y, w, rows, buf, 0, w) // sRGB regardless of storage layout
+        var i = 0
+        val end = w * rows
+        while (i < end) {
+          val rgb = buf(i)
           sr += (rgb >> 16) & 0xff
           sg += (rgb >> 8) & 0xff
           sb += rgb & 0xff
-          x += 1
+          i += 1
         }
-        y += 1
+        y += rows
       }
-      val n = math.max(w.toDouble * h, 1.0) * 255.0
+      val n = w.toDouble * h * 255.0
       Array(w.toFloat, h.toFloat, img.getRaster.getNumBands.toFloat,
         (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
         ((0.299 * sr + 0.587 * sg + 0.114 * sb) / n).toFloat,

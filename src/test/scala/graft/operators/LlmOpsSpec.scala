@@ -82,6 +82,30 @@ class LlmOpsSpec extends SparkFunSuite {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
     assert(wrote, s"no rdd-* checkpoint dirs under $dir")
+    // ...and is self-cleaning: a ~50-round job leaves only the edges
+    // cut plus the final round that backs the returned DataFrame, not
+    // one durable labels copy per round.
+    val cutDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cc-cut-")).map(_.getName)
+    assert(cutDirs.length == 2, s"expected 2 surviving cut dirs, got: ${cutDirs.sorted.mkString(", ")}")
+    assert(cutDirs.contains("cc-cut-0"), "edges checkpoint (cut 0) must survive the job")
+  }
+
+  test("connectedComponents: caller's SparkContext checkpoint dir is restored") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val sc = s.sparkContext
+    val callerDir = tmpDir("caller-checkpoint")
+    val saved = sc.getCheckpointDir
+    sc.setCheckpointDir(callerDir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      Dedup.connectedComponents(pairs, checkpointDir = Some(tmpDir("cc-other")))
+        .collect()
+      // reliable mode must not leave its own subdir as the global setting
+      assert(sc.getCheckpointDir.exists(_.contains("caller-checkpoint")),
+        s"checkpoint dir not restored: ${sc.getCheckpointDir}")
+    } finally sc.setCheckpointDir(saved.orNull)
   }
 
   test("connectedComponents: throws instead of truncating when maxIter too small") {
@@ -268,6 +292,58 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(by(1L).feature(0) == 6f && by(1L).feature(1) == 3f)
     assert(by(2L).feature.forall(_ == 0f)) // corrupt → zeros, no crash
     assert(math.abs(by(3L).feature.sum - 1f) < 1e-4) // stub histogram path
+  }
+
+  test("decodeFeatures: adversarially-corrupt payloads (plugin RuntimeExceptions) → zero vector") {
+    implicit val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // a real PNG, truncated at several offsets — plus magic-only GIF/JPEG
+    // heads with garbage bodies. ImageIO plugins throw RuntimeExceptions
+    // (not just IOException) on some of these; the contract is: ANY
+    // undecodable payload is data, not an error → zero vector, no crash.
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    val garbage = Array.tabulate[Byte](64)(i => ((i * 37 + 11) & 0xff).toByte)
+    val payloads = Seq(
+      1L -> png.take(8),                           // PNG magic only
+      2L -> png.take(png.length / 2),              // mid-chunk truncation
+      3L -> ("GIF89a".getBytes("US-ASCII") ++ garbage), // GIF head, garbage body
+      4L -> (Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ garbage), // JPEG SOI
+      5L -> ("BM".getBytes("US-ASCII") ++ garbage) // BMP head, bogus size fields
+    ).toDF("id", "bytes")
+    val media = Multimodal.packBinary(payloads, "id", "bytes", "image/png")
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 5)
+    feats.foreach(f => assert(f.feature.forall(_ == 0f),
+      s"payload ${f.media_id} should decode to the zero vector"))
+  }
+
+  test("decodeFeatures: megapixel image spans multiple bulk-getRGB strips, means exact") {
+    implicit val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // 2048×1024 = 2M pixels → stripH = 2^20/2048 = 512 → exactly 2
+    // strips; top half red, bottom half blue makes any strip-boundary
+    // slip show up as a wrong mean.
+    val (w, h) = (2048, 1024)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.RED); g.fillRect(0, 0, w, h / 2)
+    g.setColor(java.awt.Color.BLUE); g.fillRect(0, h / 2, w, h / 2)
+    g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val media = Multimodal.packBinary(
+      Seq((9L, baos.toByteArray)).toDF("id", "bytes"), "id", "bytes", "image/png")
+    val f = Multimodal.decodeFeatures(media).collect().head
+    val Array(fw, fh, _, mr, mg, mb, _, aspect) = f.feature
+    assert(fw == w.toFloat && fh == h.toFloat && aspect == 2f)
+    assert(math.abs(mr - 0.5f) < 1e-6)
+    assert(mg == 0f)
+    assert(math.abs(mb - 0.5f) < 1e-6)
   }
 
   test("sampleFrames: stride-2 over 10-byte chunks") {
