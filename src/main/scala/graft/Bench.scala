@@ -69,5 +69,15 @@ object Bench {
     println(json)
     System.out.flush()
     spark.stop()
+    // Final program output: a compact total-only line (<200 bytes, no
+    // per-query map). The driver's tail capture keeps only the last ~2.7 KB
+    // of stdout and parses the last JSON-looking line; sbt appends a
+    // `[success] Total time: …` trailer after us, but this line is short
+    // enough to land intact inside any tail window even with that trailer,
+    // so the driver can recover the round total even when the full line
+    // above is clipped. Printed AFTER spark.stop() so no executor-shutdown
+    // logging can interleave into it.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -98,23 +98,32 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Sub-k convention (matches KmvSketch.finish): a group holding fewer
+    // than k=64 distinct hashes reports the EXACT distinct-hash count, so
+    // the oracle keys on rn = LEAST(nh, 64) instead of rn = 64 — a bare
+    // rn = 64 would silently DROP such groups (latent mismatch at tiny
+    // SFs or under a higher-cardinality group column).
     "x_kmv_distinct" ->
       """WITH ks AS (SELECT DISTINCT l_returnflag,
         |    CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
         |      AS BIGINT) AS h
         |  FROM lineitem),
-        |kth AS (SELECT l_returnflag, h FROM (
-        |    SELECT l_returnflag, h, row_number() OVER (
-        |        PARTITION BY l_returnflag ORDER BY h) AS rn
-        |    FROM ks) WHERE rn = 64),
+        |r AS (SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS nh
+        |  FROM ks),
+        |kth AS (SELECT l_returnflag,
+        |    CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+        |         ELSE 63.0 * 4294967296.0 / CAST(h AS DOUBLE) END AS est
+        |  FROM r WHERE rn = LEAST(nh, 64)),
         |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey)
         |    AS exact_distinct
         |  FROM lineitem GROUP BY 1)
         |SELECT k.l_returnflag,
-        |  round(63.0 * 4294967296.0 / CAST(h AS DOUBLE), 4) AS est_distinct,
+        |  round(est, 4) AS est_distinct,
         |  ex.exact_distinct,
-        |  round((63.0 * 4294967296.0 / CAST(h AS DOUBLE)
-        |    / CAST(exact_distinct AS DOUBLE) - 1) * 100, 4) AS err_pct
+        |  round((est / CAST(exact_distinct AS DOUBLE) - 1) * 100, 4)
+        |    AS err_pct
         |FROM kth k JOIN ex ON k.l_returnflag = ex.l_returnflag
         |ORDER BY k.l_returnflag""".stripMargin,
     "j_asof_signup" ->

@@ -200,6 +200,36 @@ object EventStreams {
       .toDF("user_id", "stage")
   }
 
+  /** Spark's built-in RocksDB state store provider (ships with the
+    * distribution, `rocksdbjni` included).
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the RocksDB state store provider enabled, restoring
+    * the previous provider (or the default) afterwards.
+    *
+    * Why this exists: every stateful operator above (windowed aggs,
+    * dropDuplicates, stream-stream join state, mapGroupsWithState) rides
+    * the default HDFSBackedStateStoreProvider, which holds ALL live state
+    * on executor heap. At the 100 TB/day framing the state for a
+    * stream-stream join or a billions-of-keys dedup does not fit in heap
+    * — RocksDB spills it to local disk with an off-heap block cache, the
+    * standard production configuration. The conf is read at QUERY START,
+    * so wrapping the `start()` call is sufficient; already-running
+    * queries are unaffected.
+    */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run any of the above to a named in-memory sink synchronously
     * (test/demo harness; production sinks swap the format).
     */

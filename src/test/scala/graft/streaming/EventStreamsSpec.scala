@@ -303,4 +303,30 @@ class EventStreamsSpec extends SparkFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("stateful agg under RocksDB state store matches batch; conf restored") {
+    // Same assertion as the tumbling test, but with state held in the
+    // RocksDB provider — the disk-backed store a 100 TB/day deployment
+    // needs (heap-resident HDFSBacked state OOMs long before that).
+    // Verifies the provider actually loads (rocksdbjni is in the distro)
+    // and produces identical results, and that the helper restores the
+    // session conf on exit.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    EventStreams.withRocksDbStateStore(spark) {
+      assert(spark.conf.get(key) == EventStreams.RocksDbProvider)
+      val stream = EventStreams.readEvents(spark, eventsPath)
+      EventStreams.runToMemory(
+        EventStreams.tumblingCounts(stream), "tumble_rocks",
+        OutputMode.Complete())
+    }
+    assert(spark.conf.getOption(key) == before)
+    val got = spark.sql("SELECT win_start, event_type, cnt FROM tumble_rocks")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = batchEvents
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
 }
