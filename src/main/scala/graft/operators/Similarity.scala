@@ -190,6 +190,29 @@ object Similarity {
     * The oracle reproduces the same candidate rule, so output is
     * deterministic.
     */
+  /** Expected candidate recall of banded sign-LSH for a pair at cosine
+    * `cos`: sign agreement per dim is p = 1 − acos(cos)/π, a band of
+    * `bandBits` dims matches with p^bits, and OR-amplification over
+    * `bands` bands captures the pair with 1 − (1 − p^bits)^bands.
+    *
+    * Use this to budget band geometry at scale: expected candidate
+    * PAIRS are ~`bands · n² / 2^bandBits` (uniform-bucket estimate), so
+    * holding recall while growing n means raising `bandBits` (each +1
+    * bit halves candidates) until the recall target at YOUR threshold
+    * breaks, not scanning more pairs. Measured on this repo's 10×
+    * scale-up (SCALING.md): 16 bands × 4 bits = 128.8M candidates /
+    * 293 s; 8 bands × 8 bits = 6.2M candidates / 18 s — at a 0.9
+    * near-dup threshold the 8-bit geometry still gives 0.93 recall,
+    * while at the demo query's deliberately-low 0.4 threshold only the
+    * coarse 4-bit geometry keeps recall ≥0.9 (candidates ~n²/2^4 are
+    * then the price of that threshold — low-threshold similarity at
+    * scale belongs to [[ivfTopK]]-style probing, not banding).
+    */
+  def bandRecall(cos: Double, bands: Int, bandBits: Int): Double = {
+    val p = 1.0 - math.acos(cos) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bandBits.toDouble), bands.toDouble)
+  }
+
   def nearDupPairs(df: DataFrame, threshold: Double, prefilter: Double,
       bands: Int = 16, bandBits: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

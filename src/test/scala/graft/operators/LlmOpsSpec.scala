@@ -355,4 +355,20 @@ class LlmOpsSpec extends SparkFunSuite {
       assert(r.getLong(2) <= 10L * r.getInt(1))
     }
   }
+
+  test("bandRecall: limits, monotonicity, and the documented design points") {
+    // identical vectors always collide; orthogonal ones (p=0.5) rarely
+    assert(Similarity.bandRecall(1.0, 16, 4) == 1.0)
+    assert(Similarity.bandRecall(0.0, 8, 8) < 0.04)
+    // recall rises with cosine and with band count, falls with band width
+    assert(Similarity.bandRecall(0.9, 16, 4) > Similarity.bandRecall(0.4, 16, 4))
+    assert(Similarity.bandRecall(0.4, 16, 4) > Similarity.bandRecall(0.4, 8, 4))
+    assert(Similarity.bandRecall(0.4, 8, 4) > Similarity.bandRecall(0.4, 8, 8))
+    // the two geometries SCALING.md discusses: at the demo threshold 0.4
+    // only 16×4 keeps recall ≥0.9; at a production near-dup threshold
+    // 0.9 the 21×-cheaper 8×8 geometry still clears 0.9
+    assert(Similarity.bandRecall(0.4, 16, 4) > 0.9)
+    assert(Similarity.bandRecall(0.4, 8, 8) < 0.4)
+    assert(Similarity.bandRecall(0.9, 8, 8) > 0.9)
+  }
 }
