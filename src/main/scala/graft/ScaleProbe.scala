@@ -34,6 +34,10 @@ object ScaleProbe {
       val df = SparkEntry.queries(q)(spark, sfDir)
       df.explain("formatted")
       timed(q)(df.count())
+      // AQE finalizes the plan during execution; the formatted explain
+      // above shows only the initial plan, so dump the executed one too.
+      println("=== executed plan (post-AQE) ===")
+      println(df.queryExecution.executedPlan.toString.take(60000))
     }
     if (what == "stages") {
       val docs = Sources.table(spark, sfDir, "documents")

@@ -85,6 +85,24 @@ object FunctionQueries {
           max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // Spark 4 VARIANT path over the same JSON column: parse once into
+    // the binary variant encoding, then typed path extraction
+    // (`variant_get`). At scale this beats per-access string parsing
+    // (f_json's get_json_object re-parses the string per expression) —
+    // variant columns store a parsed binary form that downstream
+    // accesses navigate directly, and parquet writers can shred them
+    // into columns. The oracle extracts the same values with DuckDB's
+    // JSON functions, so results (not the encoding) are hash-compared.
+    "f_variant" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k",
+          variant_get(parse_json(col("props")), "$.k", "int"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("k_mod")),
+
     // Array basics over embeddings (1-indexed element access both sides).
     "f_array" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -259,6 +277,14 @@ object FunctionQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f_variant" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+        |    AS k_mod,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_array" ->
       """SELECT vec_id, len(embedding) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first_d,
