@@ -165,6 +165,24 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_totalprice"),
           dateStr(col("o_orderdate")).as("o_orderdate_s"))),
 
+    // Correlated LATERAL subquery: top-2 suppliers by balance PER
+    // nation, expressed as the lateral join both engines support (the
+    // per-group-limit idiom that windowless SQL users reach for).
+    // Catalyst decorrelates the LIMIT-per-group into a ranked join —
+    // verify with explain: no nested-loop re-execution per outer row,
+    // so the shape scales like the window formulation it rewrites to.
+    "q_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("lat_nation")
+      t(s, dir, "supplier").createOrReplaceTempView("lat_supplier")
+      s.sql(
+        """SELECT n_name, t.s_name, t.s_acctbal
+          |FROM lat_nation JOIN LATERAL (
+          |  SELECT s_name, s_acctbal, s_suppkey FROM lat_supplier
+          |  WHERE s_nationkey = n_nationkey
+          |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+          |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+    }),
+
     // Set operations: UNION / INTERSECT / EXCEPT over customer key sets.
     "q_setops" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -458,6 +476,13 @@ object RelationalQueries {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+    "q_lateral" ->
+      """SELECT n_name, t.s_name, t.s_acctbal
+        |FROM nation JOIN LATERAL (
+        |  SELECT s_name, s_acctbal, s_suppkey FROM supplier
+        |  WHERE s_nationkey = n_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t ON true
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin,
     "q_setops" ->
       """SELECT c_custkey FROM (
         |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000
