@@ -90,4 +90,39 @@ object TextAnalysis {
     */
   def prefixFingerprint(text: Column, n: Int): Column =
     md5(array_join(slice(tokens(text), 1, n), " "))
+
+  /** Per-document word bigram array via two aligned slices zipped —
+    * map-only (no explode, no shuffle): the shape that lets repetition
+    * scoring fuse into the scan alongside the other quality columns.
+    * Empty for documents shorter than 2 words.
+    */
+  def wordBigrams(text: Column): Column = {
+    val t = tokens(text)
+    val m = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), m), slice(t, lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Per-document word trigram array (three aligned slices). */
+  def wordTrigrams(text: Column): Column = {
+    val t = tokens(text)
+    val m = greatest(size(t) - 2, lit(0))
+    zip_with(
+      zip_with(slice(t, lit(1), m), slice(t, lit(2), m),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(t, lit(3), m),
+      (ab, c) => concat(ab, lit(" "), c))
+  }
+
+  /** Fraction of array elements that are repeats of an earlier element:
+    * 1 − distinct/total (0 for empty arrays). Applied to n-gram arrays
+    * this is the duplicate-n-gram fraction — the standard repetition
+    * signal for filtering degenerate (looping/boilerplate) documents
+    * from training corpora.
+    */
+  def dupFraction(arr: Column): Column =
+    when(size(arr) > 0,
+      lit(1.0) - size(array_distinct(arr)).cast("double")
+        / size(arr).cast("double"))
+      .otherwise(lit(0.0))
 }

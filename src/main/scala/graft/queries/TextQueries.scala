@@ -45,6 +45,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Repetition scoring (Gopher/C4-style quality signal): duplicate
+    // bigram/trigram fraction per document — degenerate looping or
+    // boilerplate text scores high and gets filtered before training.
+    // Entirely map-only (aligned-slice zip_with n-grams + distinct/total
+    // on the per-row array): fuses into the scan with zero shuffles,
+    // like the rest of the t_* quality columns.
+    "t_repetition" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TA.wordCount(col("text")).as("n_words"),
+        round(TA.dupFraction(TA.wordBigrams(col("text"))), 6)
+          .as("dup_bigram_frac"),
+        round(TA.dupFraction(TA.wordTrigrams(col("text"))), 6)
+          .as("dup_trigram_frac"))
+        .orderBy("doc_id")),
+
     // Content fingerprints: set-hash + positional prefix hash.
     "t_fingerprint" -> ((s, dir) =>
       docs(s, dir).filter(col("doc_id") < 100).select(
@@ -179,6 +195,21 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[a-z]+')) AS n_re,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, len(w) AS n_words,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg,
+        |    list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  round(CASE WHEN len(bg) > 0 THEN 1.0
+        |      - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_bigram_frac,
+        |  round(CASE WHEN len(tg) > 0 THEN 1.0
+        |      - CAST(len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_trigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))

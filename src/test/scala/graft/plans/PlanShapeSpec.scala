@@ -115,6 +115,16 @@ class PlanShapeSpec extends SparkFunSuite {
     }
   }
 
+  test("q_lateral: correlated LIMIT-per-group decorrelates, never re-executes") {
+    val p = plan("q_lateral")
+    // Catalyst must rewrite the lateral subquery into a ranked join with
+    // WindowGroupLimit (map-side partial top-k per group) — a
+    // nested-loop re-execution per outer row would be the scale-killer.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t_quality: text scoring is map-only — no shuffle before the sort") {
     val p = plan("t_quality")
     // one exchange for the final presentation sort is allowed; no
