@@ -67,6 +67,24 @@ object DedupQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // The dedup pipeline's END PRODUCT: the corpus with every near-dup
+    // cluster collapsed to its canonical (minimum-id) document —
+    // pairs → connected components → anti-join of the non-canonical
+    // members against the corpus. The anti-join is the scale shape for
+    // materializing a deduplicated training set: the drop-list is tiny
+    // relative to the corpus and shuffles by id, never by content.
+    "d_dedup_corpus" -> ((s, dir) => {
+      val sub = docs(s, dir).filter(col("doc_id") < 300)
+      val pairs = Dedup.jaccardPairs(sub, "doc_id", "text", 0.3)
+        .select(col("id_a"), col("id_b"))
+      val drop = Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      sub.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash signatures: 32-bit majority-vote over word hashes.
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashBits(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
@@ -124,6 +142,22 @@ object DedupQueries {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "d_dedup_corpus" ->
+      s"""WITH RECURSIVE ${shingleCte("WHERE doc_id < 300")},
+        |$jaccardCte,
+        |pr AS (SELECT id_a, id_b FROM jac WHERE jac >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id < 300
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster)
+        |ORDER BY d.doc_id""".stripMargin,
     "d_simhash" ->
       """WITH words AS (SELECT DISTINCT doc_id,
         |    unnest(list_distinct(string_split(text, ' '))) AS word
