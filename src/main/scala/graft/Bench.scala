@@ -45,7 +45,13 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val p1 = pass(); val p2 = pass()
+    val p1 = pass()
+    // Full GC between passes: the 10× scale investigation (SCALING.md)
+    // showed heavy queries inflate later queries in the same JVM 5-10×
+    // via accumulated heap pressure; starting pass 2 from a clean heap
+    // makes the per-query min reflect the code, not the neighbors.
+    System.gc()
+    val p2 = pass()
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
     // 4-decimal (0.1 ms) per-query precision: the driver captures only the
     // last ~2.7 KB of stdout, and at 95+ queries the full-precision map

@@ -200,6 +200,43 @@ object EventStreams {
       .toDF("user_id", "stage")
   }
 
+  /** Stream → JDBC sink via `foreachBatch` with batchId-keyed
+    * idempotent writes — the standard exactly-once-END-STATE recipe for
+    * sinks without native transaction-log support (reference analog:
+    * the tool's INSERT…SELECT copies into a database,
+    * clickhouse_migrator/services/migration.py:466-508, which duplicate
+    * on replay; this shape does not). Each micro-batch stamps its rows
+    * with `batch_id`, DELETEs its own batchId's rows, then appends:
+    *  - crash between delete and append → replay deletes again (no-op)
+    *    and re-inserts;
+    *  - crash between append and checkpoint commit → replay deletes the
+    *    orphaned rows and re-inserts them.
+    * Either way the final table state equals exactly-once. At scale the
+    * delete prunes on an indexed batch_id; the append is Spark's
+    * distributed JDBC writer (one connection per partition).
+    */
+  def sinkToJdbc(df: DataFrame, url: String, table: String,
+      checkpoint: String, props: Map[String, String] = Map.empty): StreamingQuery = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conn = java.sql.DriverManager.getConnection(url)
+        try conn.createStatement()
+          .executeUpdate(s"DELETE FROM $table WHERE batch_id = $batchId")
+        finally conn.close()
+        val writer = batch
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").format("jdbc")
+          .option("url", url).option("dbtable", table)
+        props.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }.save()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Spark's built-in RocksDB state store provider (ships with the
     * distribution, `rocksdbjni` included).
     */
