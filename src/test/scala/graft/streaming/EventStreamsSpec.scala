@@ -66,6 +66,38 @@ class EventStreamsSpec extends SparkFunSuite {
       == batchEvents.select("event_id").distinct().count())
   }
 
+  test("dropDuplicatesWithinWatermark suppresses same-id different-ts duplicates") {
+    // stage the events file TWICE with the duplicate copy's timestamps
+    // nudged +1ms — the at-least-once redelivery artifact that
+    // dropDuplicates(event_id, ts) would NOT suppress
+    val s = spark
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    val raw = try {
+      s.conf.set(key, "true")
+      s.read.parquet(s"$sf0001/events.parquet")
+    } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    // the file stream source lists FILES (not nested dirs): stage each
+    // copy as a single flat parquet file inside the stream directory
+    def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("dup_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    stageFlat(raw, "a.parquet")
+    stageFlat(raw.withColumn("ts", col("ts") + expr("1000000")), "b.parquet") // +1 ms in nanos
+    val stream = EventStreams.readEvents(s, dir.toString)
+    EventStreams.runToMemory(EventStreams.dedupStreamByKey(stream), "dedup_wm_out")
+    val got = s.sql("SELECT count(*) FROM dedup_wm_out").head().getLong(0)
+    // one row per distinct event_id, despite every id appearing twice
+    assert(got == raw.select("event_id").distinct().count())
+  }
+
   test("stream-static enrichment == batch left join (per-segment totals)") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     val dim = Sources.table(spark, sf0001, "customer")
