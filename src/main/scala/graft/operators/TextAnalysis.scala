@@ -114,6 +114,31 @@ object TextAnalysis {
       (ab, c) => concat(ab, lit(" "), c))
   }
 
+  /** Contiguous sequence packing: assign each document a pack id such
+    * that consecutive documents (in `orderCol` order within a bucket)
+    * accumulate into packs of ~`budget` tokens — the step that turns a
+    * filtered corpus into fixed-budget training examples. A pack may
+    * overrun the budget by at most one document (contiguous packing is
+    * the standard approximation; exact bin packing is sequential).
+    *
+    * Scale shape: a GLOBAL ordered cumulative sum would be a
+    * single-partition window — the classic scale-killer — so packing
+    * runs independently inside `numBuckets` deterministic buckets
+    * (`idCol % numBuckets`): one hash exchange, then per-bucket sorted
+    * windows in parallel. Pack identity is (bucket, pack_in_bucket);
+    * packing quality is unaffected because buckets are just parallel
+    * packers.
+    */
+  def packIds(tokensCol: Column, idCol: Column, budget: Int,
+      numBuckets: Int = 8): (Column, Column) = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = pmod(idCol, lit(numBuckets))
+    val w = Window.partitionBy(bucket).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = coalesce(sum(tokensCol).over(w), lit(0L))
+    (bucket, floor(before.cast("double") / budget).cast("long"))
+  }
+
   /** Fraction of array elements that are repeats of an earlier element:
     * 1 − distinct/total (0 for empty arrays). Applied to n-gram arrays
     * this is the duplicate-n-gram fraction — the standard repetition

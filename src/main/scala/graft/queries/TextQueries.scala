@@ -61,6 +61,21 @@ object TextQueries {
           .as("dup_trigram_frac"))
         .orderBy("doc_id")),
 
+    // Sequence packing: documents → fixed-token-budget training packs
+    // (per-pack doc count + token totals). Bucketed contiguous packing:
+    // one hash exchange on the bucket key, per-bucket sorted windows in
+    // parallel — never a global single-partition window.
+    "t_pack" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        ceil(col("n_chars").cast("double") / 4.0).cast("long").as("tok"))
+      val (bucket, pack) = TA.packIds(col("tok"), col("doc_id"), budget = 2048)
+      d.select(col("doc_id"), col("tok"),
+        bucket.as("bucket"), pack.as("pack_id"))
+        .groupBy("bucket", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
+        .orderBy("bucket", "pack_id")
+    }),
+
     // Content fingerprints: set-hash + positional prefix hash.
     "t_fingerprint" -> ((s, dir) =>
       docs(s, dir).filter(col("doc_id") < 100).select(
@@ -210,6 +225,19 @@ object TextQueries {
         |      - CAST(len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)
         |    ELSE 0.0 END, 6) AS dup_trigram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    "t_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS tok,
+        |    doc_id % 8 AS bucket
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, bucket,
+        |    COALESCE(sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM d)
+        |SELECT bucket,
+        |  CAST(floor(CAST(bef AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
