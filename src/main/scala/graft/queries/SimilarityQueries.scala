@@ -70,6 +70,17 @@ object SimilarityQueries {
       Similarity.nearDupPairs(emb(s, dir), threshold = 0.4, prefilter = 0.35)
         .orderBy("id_a", "id_b")),
 
+    // The SCALE geometry of the same operator, oracle-checked in its own
+    // right: 8 bands × 8 bits cuts candidates ~21× (measured, SCALING.md)
+    // at the cost of recall at this low threshold (bandRecall(0.4,8,8)
+    // ≈ 0.18 vs 0.94 for 16×4) — high-threshold production near-dup
+    // keeps ≥0.9 recall here. Identical thresholds to s_embed_neardup,
+    // so the two outputs differ ONLY by candidate geometry.
+    "s_embed_neardup_scaled" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), threshold = 0.4, prefilter = 0.35,
+        bands = 8, bandBits = 8)
+        .orderBy("id_a", "id_b")),
+
     // ANN quality measurement: recall@5 of the sign-LSH index against
     // the brute-force ground truth, per query — the metric that decides
     // whether an approximate index is usable for a given corpus. Both
@@ -159,6 +170,26 @@ object SimilarityQueries {
         .mkString(" || ")
       val anyBand = (0 until 16)
         .map(b => s"substring(a.sig, ${b * 4 + 1}, 4) = substring(b.sig, ${b * 4 + 1}, 4)")
+        .mkString(" OR ")
+      s"""WITH v AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+        |cand AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+        |    a.embedding AS qvec, b.embedding AS cvec
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |    AND ($anyBand)
+        |  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 8)
+        |    >= 0.35),
+        |$cosCte
+        |SELECT qid AS id_a, vid AS id_b, cos
+        |FROM scored WHERE cos >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+    "s_embed_neardup_scaled" -> {
+      // 8 bands × 8 bits over the same 64-char sign signature.
+      val sig = (1 to 64)
+        .map(i => s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      val anyBand = (0 until 8)
+        .map(b => s"substring(a.sig, ${b * 8 + 1}, 8) = substring(b.sig, ${b * 8 + 1}, 8)")
         .mkString(" OR ")
       s"""WITH v AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
         |cand AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
