@@ -88,6 +88,38 @@ class MigratorSpec extends SparkFunSuite {
     assert(spark.read.option("basePath", dest).parquet(dest).count() == lineitem.count())
   }
 
+  test("composite partition key: full lifecycle + resume over (month, returnflag)") {
+    // Hard part 1 (SURVEY.md §7.5): composite partitions are unit-specced
+    // at the render/parse/predicate level; this drives a TWO-key
+    // partitioning through the whole state machine including resume.
+    val (dir, ckpt, mig) = freshEnv()
+    val dest = s"$dir/dest/lineitem2k"
+    val ref = TableRef("testdb", "lineitem2k")
+    val cKeys = Seq("l_month", "l_rf")
+    def cExprs = Seq(date_format(col("l_shipdate"), "yyyy-MM"), col("l_returnflag"))
+    // simulate a prior run that completed one composite partition
+    val withKeys = cKeys.zip(cExprs).foldLeft(lineitem) {
+      case (df, (k, e)) => df.withColumn(k, e.cast("string"))
+    }
+    val pre = PartitionId(Seq("1995-01", "A"))
+    graft.copy.CopyService.copyPartition(
+      withKeys, cKeys, pre, cKeys.map(col), s"$dest.staging")
+    ckpt.markPartition(ref.db, ref.table, pre)
+    val res = mig.migrateTable(ref, lineitem, cKeys, cExprs, dest)
+    assert(res.status == TableStatus.Completed, res.error)
+    assert(res.migratedRows < lineitem.count()) // resumed: pre part skipped
+    // the pre-copied composite partition was NOT re-copied...
+    assert(res.checkResults.forall(_.partition != pre.render))
+    // ...and the published table is complete, with BOTH key dirs in the layout
+    val back = spark.read.option("basePath", dest).parquet(dest)
+    assert(back.count() == lineitem.count())
+    assert(back.select("l_month", "l_rf").distinct().count()
+      == withKeys.select("l_month", "l_rf").distinct().count())
+    // round-trip spot check: one composite partition's rows survive intact
+    assert(back.filter(col("l_month") === "1995-01" && col("l_rf") === "A").count()
+      == withKeys.filter(col("l_month") === "1995-01" && col("l_rf") === "A").count())
+  }
+
   test("failure injection: validation gate aborts, nothing published, source intact") {
     val (dir, ckpt, mig) = freshEnv()
     val dest = s"$dir/dest/lineitem"
