@@ -42,6 +42,23 @@ object MigrationQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("part")),
 
+    // Composite-key analogs of A24/A20 (SURVEY.md §7.5 hard part 1): the
+    // two-key (month, returnflag) partitioning at the oracle-checked
+    // query surface — enumeration and the one-pass per-partition counts.
+    "m_composite_enum" -> ((s, dir) =>
+      li(s, dir)
+        .select(monthStr(col("l_shipdate")).as("part_month"),
+          col("l_returnflag").as("part_rf"))
+        .distinct()
+        .orderBy("part_month", "part_rf")),
+
+    "m_composite_count" -> ((s, dir) =>
+      li(s, dir)
+        .groupBy(monthStr(col("l_shipdate")).as("part_month"),
+          col("l_returnflag").as("part_rf"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("part_month", "part_rf")),
+
     // A25: resume set-difference as a left_anti join (EXCEPT semantics).
     "m_resume_diff" -> ((s, dir) => {
       import s.implicits._
@@ -111,6 +128,14 @@ object MigrationQueries {
     "m_counts_by_partition" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS part, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY part""".stripMargin,
+    "m_composite_enum" ->
+      """SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS part_month,
+        |  l_returnflag AS part_rf
+        |FROM lineitem ORDER BY part_month, part_rf""".stripMargin,
+    "m_composite_count" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+        |  l_returnflag AS part_rf, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY part_month, part_rf""".stripMargin,
     "m_resume_diff" ->
       """SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS part FROM lineitem
         |WHERE strftime(l_shipdate, '%Y-%m')
