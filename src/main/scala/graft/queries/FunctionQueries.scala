@@ -74,6 +74,33 @@ object FunctionQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("status_label", "prio_or_none")),
 
+    // Null-safe equality (<=>): join on a NULLABLE key where NULL must
+    // match NULL — the semantics a plain '=' join silently drops (rows
+    // with a null key vanish from an equi-join). The oracle's analog is
+    // IS NOT DISTINCT FROM.
+    "f_null_safe" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(nullif(col("o_orderstatus"), lit("P")).as("k"))
+      val d = o.distinct().withColumnRenamed("k", "dk")
+      o.join(d, col("k") <=> col("dk"))
+        .groupBy(coalesce(col("dk"), lit("(null)")).as("k_label"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("k_label")
+    }),
+
+    // Schema-flexible union: unionByName(allowMissingColumns) aligns by
+    // column NAME and null-fills the gaps — the ingest shape for
+    // unioning corpus shards whose schemas drifted.
+    "f_union_by_name" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val a = n.select(col("n_name"), col("n_regionkey"))
+      val b = n.select(col("n_nationkey"), col("n_name"))
+      a.unionByName(b, allowMissingColumns = true)
+        .agg(count(lit(1)).as("n"),
+          count(col("n_regionkey")).as("n_region"),
+          count(col("n_nationkey")).as("n_nation"))
+    }),
+
     // JSON extraction from the events.props string column.
     "f_json" -> ((s, dir) =>
       t(s, dir, "events")
@@ -277,6 +304,18 @@ object FunctionQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f_null_safe" ->
+      """WITH o AS (SELECT nullif(o_orderstatus, 'P') AS k FROM orders),
+        |d AS (SELECT DISTINCT k FROM o)
+        |SELECT COALESCE(d.k, '(null)') AS k_label, count(*) AS cnt
+        |FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+        |GROUP BY 1 ORDER BY k_label""".stripMargin,
+    "f_union_by_name" ->
+      """SELECT count(*) AS n, count(n_regionkey) AS n_region,
+        |  count(n_nationkey) AS n_nation
+        |FROM (SELECT n_name, n_regionkey FROM nation
+        |  UNION ALL BY NAME
+        |  SELECT n_nationkey, n_name FROM nation)""".stripMargin,
     "f_variant" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
         |    AS k_mod,
