@@ -36,16 +36,25 @@ import org.apache.spark.sql.types._
   *     `MapType`, with nested `Nullable(...)` driving
   *     containsNull/valueContainsNull (embeddings in ClickHouse are
   *     canonically `Array(Float32)` — the flagship read for an
-  *     LLM-data pipeline). `Tuple`/`Nested`/`AggregateFunction` still
-  *     defer to the generic mapping.
+  *     LLM-data pipeline).
+  *   - `Tuple(T1, T2, …)` → `StructType` with positional `_1`…`_N`
+  *     field names; named tuples — `Tuple(a UInt8, b Array(String))`,
+  *     the modern ClickHouse spelling — keep their declared names
+  *     (backtick-quoted names are unquoted). Tuples nest freely inside
+  *     Array/Map and vice versa. `Nested(...)`/`AggregateFunction`
+  *     still defer to the generic mapping (`Nested` is physically
+  *     per-subcolumn arrays in ClickHouse and has no faithful single
+  *     Catalyst column).
   *
   * WRITE side (`getJDBCType`): Spark's defaults emit ANSI-ish DDL
   * (`TEXT`, `BIT(1)`, `TIMESTAMP`) that ClickHouse rejects — emit
   * native ClickHouse types instead, with TimestampType as
   * `DateTime64(6)` to preserve Spark's full µs precision, and
-  * ArrayType/MapType as native `Array(...)`/`Map(...)` (nullable
+  * ArrayType/MapType/StructType as native
+  * `Array(...)`/`Map(...)`/`Tuple(name T, ...)` (nullable scalar
   * elements become `Nullable(T)`; ClickHouse forbids Nullable around
-  * composite types, so those stay bare).
+  * composite types, so those stay bare; struct fields keep their
+  * Catalyst names as named-tuple elements).
   *
   * Known asymmetry (documented, intentional): BinaryType writes as
   * ClickHouse `String` (its canonical byte container — CH String is
@@ -150,6 +159,7 @@ object ClickHouseDialect extends JdbcDialect {
           } yield MapType(kt, vt, valueContainsNull = vn)
         case _ => None
       }
+      case "Tuple" if args.nonEmpty => parseTuple(args)
       case "Decimal" if topLevel =>
         None // driver reports exact precision/scale via JDBC DECIMAL
       case "Decimal" => args.map(_.toIntOption) match {
@@ -172,6 +182,84 @@ object ClickHouseDialect extends JdbcDialect {
     }
     parsed.map(dt => (dt, nullable))
   }
+
+  /** `Tuple(...)` argument list → `StructType`. ClickHouse spells tuple
+    * elements either bare (`Tuple(UInt8, String)` → positional `_1`,
+    * `_2` — the same convention Spark's own `struct(col, col)` and
+    * Scala tuples use) or named (`Tuple(a UInt8, b Array(String))`).
+    * Naming is all-or-nothing in ClickHouse DDL, and the parse mirrors
+    * that: if every element carries a name the declared names win;
+    * otherwise each element must itself parse as a type. A mixed or
+    * unparseable list yields None → generic mapping (same failure mode
+    * as before Tuple support).
+    */
+  private def parseTuple(args: Seq[String]): Option[DataType] = {
+    val named = args.map(splitNamedElement)
+    val fields: Option[Seq[StructField]] =
+      if (named.forall(_.isDefined)) {
+        val pairs = named.map(_.get)
+        sequence(pairs.map { case (name, tpe) =>
+          parseType(tpe, topLevel = false).map { case (dt, n) =>
+            StructField(name, dt, nullable = n)
+          }
+        })
+      } else {
+        sequence(args.zipWithIndex.map { case (tpe, i) =>
+          parseType(tpe, topLevel = false).map { case (dt, n) =>
+            StructField(s"_${i + 1}", dt, nullable = n)
+          }
+        })
+      }
+    fields.map(fs => StructType(fs.toArray))
+  }
+
+  /** `a UInt8` → Some(("a", "UInt8")); `` `odd name` String `` unquotes
+    * the backticks. A bare type (`Array(String)`, `Nullable(UInt8)`) has
+    * no top-level whitespace before its parenthesis and returns None.
+    */
+  private def splitNamedElement(arg: String): Option[(String, String)] = {
+    val s = arg.trim
+    if (s.startsWith("`")) {
+      val close = s.indexOf('`', 1)
+      if (close < 0) None
+      else {
+        val rest = s.substring(close + 1).trim
+        if (rest.isEmpty) None else Some((s.substring(1, close), rest))
+      }
+    } else {
+      var i = 0
+      var depth = 0
+      var inQuote = false
+      var split = -1
+      while (i < s.length && split < 0) {
+        s.charAt(i) match {
+          case '\'' => inQuote = !inQuote
+          case '(' if !inQuote => depth += 1
+          case ')' if !inQuote => depth -= 1
+          case c if c.isWhitespace && depth == 0 && !inQuote => split = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (split <= 0) None
+      else {
+        val name = s.substring(0, split)
+        val rest = s.substring(split + 1).trim
+        // A name is a plain identifier; "Enum8 ('a' = 1)"-style spacing
+        // would otherwise masquerade as a named element.
+        if (rest.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_') &&
+            !name.head.isDigit && scalarType(name).isEmpty &&
+            name != "Array" && name != "Map" && name != "Tuple" &&
+            name != "Nullable" && name != "LowCardinality" &&
+            !name.startsWith("Decimal") && !name.startsWith("Enum"))
+          Some((name, rest))
+        else None
+      }
+    }
+  }
+
+  private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
   private def scalarType(base: String): Option[DataType] = base match {
     case "String" => Some(StringType)
@@ -215,10 +303,22 @@ object ClickHouseDialect extends JdbcDialect {
           k <- chNestedDdl(kt, nullable = false) // CH map keys are non-nullable
           v <- chNestedDdl(vt, vn)
         } yield s"Map($k, $v)"
+      case st: StructType =>
+        // Named-tuple DDL keeps Catalyst field names (backtick-quoted
+        // when not a plain identifier), so a Spark→CH→Spark round trip
+        // preserves struct field access by name.
+        sequence(st.fields.toSeq.map { f =>
+          chNestedDdl(f.dataType, f.nullable).map { d =>
+            val plain = f.name.nonEmpty && !f.name.head.isDigit &&
+              f.name.forall(c => c.isLetterOrDigit || c == '_')
+            val n = if (plain) f.name else s"`${f.name.replace("`", "``")}`"
+            s"$n $d"
+          }
+        }).map(cols => s"Tuple(${cols.mkString(", ")})")
       case other => getJDBCType(other).map(_.databaseTypeDefinition)
     }
     dt match {
-      case _: ArrayType | _: MapType => inner
+      case _: ArrayType | _: MapType | _: StructType => inner
       case _ if nullable => inner.map(i => s"Nullable($i)")
       case _ => inner
     }
@@ -245,6 +345,8 @@ object ClickHouseDialect extends JdbcDialect {
       chNestedDdl(a, nullable = false).map(JdbcType(_, Types.ARRAY))
     case m: MapType =>
       chNestedDdl(m, nullable = false).map(JdbcType(_, Types.OTHER))
+    case st: StructType =>
+      chNestedDdl(st, nullable = false).map(JdbcType(_, Types.STRUCT))
     case _ => None
   }
 

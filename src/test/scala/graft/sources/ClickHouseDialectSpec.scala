@@ -59,8 +59,8 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(catalyst("LowCardinality(Nullable(String))").contains(StringType))
     assert(catalyst("Nullable(DateTime64(6))").contains(TimestampType))
     // genuinely unknown/complex types still defer to the generic mapping
-    assert(catalyst("Tuple(String, UInt8)").isEmpty)
     assert(catalyst("AggregateFunction(sum, UInt64)").isEmpty)
+    assert(catalyst("Nested(a UInt8, b String)").isEmpty)
   }
 
   test("read mapping: Array(T) parses recursively with nested nullability") {
@@ -84,7 +84,7 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(catalyst("Array(Decimal64(4))")
       .contains(ArrayType(DecimalType(18, 4), containsNull = false)))
     // malformed / unknown element types defer rather than mis-map
-    assert(catalyst("Array(Tuple(UInt8, String))").isEmpty)
+    assert(catalyst("Array(Nested(a UInt8))").isEmpty)
     assert(catalyst("Array()").isEmpty)
   }
 
@@ -102,6 +102,78 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(catalyst("Map(Enum8('a,b' = 1), UInt8)")
       .contains(MapType(StringType, ShortType, valueContainsNull = false)))
     assert(catalyst("Map(String)").isEmpty) // wrong arity defers
+  }
+
+  test("read mapping: bare Tuple → positional _1/_2 struct; named Tuple keeps names") {
+    assert(catalyst("Tuple(UInt8, String)").contains(StructType(Seq(
+      StructField("_1", ShortType, nullable = false),
+      StructField("_2", StringType, nullable = false)))))
+    assert(catalyst("Tuple(a UInt8, b Array(String))").contains(StructType(Seq(
+      StructField("a", ShortType, nullable = false),
+      StructField("b", ArrayType(StringType, containsNull = false),
+        nullable = false)))))
+    // nested Nullable drives per-field nullability; wrappers unwrap anywhere
+    assert(catalyst("Tuple(a Nullable(Int64), b LowCardinality(String))")
+      .contains(StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("b", StringType, nullable = false)))))
+    // backtick-quoted field names unquote
+    assert(catalyst("Tuple(`odd name` UInt16)").contains(StructType(Seq(
+      StructField("odd name", IntegerType, nullable = false)))))
+    // tuples nest inside arrays/maps and vice versa
+    assert(catalyst("Array(Tuple(Float32, Float32))")
+      .contains(ArrayType(StructType(Seq(
+        StructField("_1", FloatType, nullable = false),
+        StructField("_2", FloatType, nullable = false))),
+        containsNull = false)))
+    assert(catalyst("Tuple(xs Array(UInt32), kv Map(String, UInt8))")
+      .contains(StructType(Seq(
+        StructField("xs", ArrayType(LongType, containsNull = false),
+          nullable = false),
+        StructField("kv", MapType(StringType, ShortType,
+          valueContainsNull = false), nullable = false)))))
+    // a quoted enum label with spaces is a TYPE, not a named element
+    assert(catalyst("Tuple(Enum8('a b' = 1), UInt8)").contains(StructType(Seq(
+      StructField("_1", StringType, nullable = false),
+      StructField("_2", ShortType, nullable = false)))))
+    // nested Decimal parses precision/scale from the name (no JDBC metadata)
+    assert(catalyst("Tuple(d Decimal(18, 4))").contains(StructType(Seq(
+      StructField("d", DecimalType(18, 4), nullable = false)))))
+    // mixed named/unnamed or unknown element types defer, never mis-map
+    assert(catalyst("Tuple(a UInt8, String)").isEmpty)
+    assert(catalyst("Tuple(a AggregateFunction(sum, UInt64))").isEmpty)
+    assert(catalyst("Tuple()").isEmpty)
+  }
+
+  test("write mapping: StructType emits named-Tuple DDL and round-trips") {
+    def ddl(dt: DataType) = d.getJDBCType(dt).map(_.databaseTypeDefinition)
+    val pt = StructType(Seq(
+      StructField("x", FloatType, nullable = false),
+      StructField("y", FloatType, nullable = false)))
+    assert(ddl(pt).contains("Tuple(x Float32, y Float32)"))
+    // nullable scalar fields become Nullable(T); composite fields stay bare
+    val mixed = StructType(Seq(
+      StructField("n", LongType, nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = false),
+        nullable = true)))
+    assert(ddl(mixed).contains("Tuple(n Nullable(Int64), tags Array(String))"))
+    // non-identifier field names backtick-quote in the DDL
+    val odd = StructType(Seq(StructField("odd name", IntegerType, nullable = false)))
+    assert(ddl(odd).contains("Tuple(`odd name` Int32)"))
+    // write → read round trip preserves names, types, nullability
+    Seq(pt, odd,
+      StructType(Seq(StructField("pts",
+        ArrayType(pt, containsNull = false), nullable = false)))).foreach { st =>
+      val emitted = ddl(st).get
+      assert(catalyst(emitted).contains(st), s"$st → $emitted did not round-trip")
+    }
+    // documented asymmetry: a nullable COMPOSITE field can't be spelled in
+    // CH DDL (Nullable(Array) is forbidden), so its nullability is dropped
+    // on write and reads back as non-nullable; scalar nullability survives.
+    assert(catalyst(ddl(mixed).get).contains(StructType(Seq(
+      StructField("n", LongType, nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = false),
+        nullable = false)))))
   }
 
   test("write mapping: ArrayType/MapType emit native CH DDL, Nullable on scalar elements only") {
