@@ -172,24 +172,6 @@ object Similarity {
     concat((1 to dim).map(i =>
       when(element_at(vec, i) > 0f, "1").otherwise("0")): _*)
 
-  /** Embedding near-duplicate pairs via OR-amplified banded sign-LSH —
-    * the 100-TB shape (round 1 was an all-pairs theta join; this replaces
-    * it). Every vector's 64-bit sign signature splits into `bands` bands
-    * of `bandBits` bits; a pair is a CANDIDATE iff at least one band
-    * matches exactly. Candidates come from a self-join on slim
-    * (band, key) tuples — a hash-equality shuffle join, never n² — then
-    * join their vectors back and pay the cheap codegen double-cosine
-    * prefilter plus the exact-decimal rerank. Same band-OR amplification
-    * as MinHash-LSH ([[graft.operators.Dedup.lshCandidates]]).
-    *
-    * Semantics: approximate by design — a pair disagreeing somewhere in
-    * EVERY band is never considered. With 16 bands × 4 bits and sign
-    * agreement p = 1 − θ/π per dim, candidate recall is
-    * 1 − (1 − p⁴)¹⁶ (≈0.93 at cos 0.4, →1 as cos→1: the closer a pair,
-    * the surer its capture — the right trade for near-dup detection).
-    * The oracle reproduces the same candidate rule, so output is
-    * deterministic.
-    */
   /** Expected candidate recall of banded sign-LSH for a pair at cosine
     * `cos`: sign agreement per dim is p = 1 − acos(cos)/π, a band of
     * `bandBits` dims matches with p^bits, and OR-amplification over
@@ -213,6 +195,84 @@ object Similarity {
     1.0 - math.pow(1.0 - math.pow(p, bandBits.toDouble), bands.toDouble)
   }
 
+  /** A banded sign-LSH geometry chosen by [[chooseGeometry]]: `bands`
+    * bands of `bandBits` bits each (bands·bandBits = the signature
+    * width), with its predicted cost and quality at the inputs it was
+    * chosen for. `withinBudget` = false flags that even the cheapest
+    * recall-feasible banding exceeds the caller's candidate budget —
+    * the signal that this threshold/scale combination belongs to
+    * [[ivfTopK]]-style probing, not banding.
+    */
+  final case class Geometry(bands: Int, bandBits: Int,
+      expectedCandidates: Double, recall: Double, withinBudget: Boolean)
+
+  /** Pick the band geometry for [[nearDupPairs]] at a given scale —
+    * the executable form of the [[bandRecall]] calculus.
+    *
+    * Enumerates the full partitions of a `sigBits`-bit signature
+    * (bands × bandBits = sigBits, the shape [[signSignature]] hashes)
+    * and returns the one minimizing expected candidate pairs
+    * ~ bands · n²/2 / 2^bandBits (uniform-bucket estimate) subject to
+    * bandRecall(threshold, bands, bandBits) ≥ recallTarget. Ties (and
+    * the geometry lattice generally) resolve toward MORE bits per
+    * band — each +1 bit halves candidates, which is the only lever
+    * that survives growing n.
+    *
+    * Measured anchor (SCALING.md "Measured scale evidence"): at 10×
+    * data the 16×4 demo geometry produced 128.8M candidates where the
+    * 8×8 geometry produced 6.2M — the 21× cut this function predicts.
+    *
+    * @param n          corpus size the job will run at (not the test SF)
+    * @param threshold  cosine threshold whose pairs must be captured
+    * @param recallTarget minimum acceptable candidate recall AT the
+    *                   threshold (recall above it is strictly higher)
+    * @param candidateBudget max acceptable expected candidate pairs;
+    *                   when even the best feasible geometry exceeds it,
+    *                   that geometry is still returned with
+    *                   `withinBudget = false`
+    * @param sigBits    signature width in dims/bits (default 64, the
+    *                   [[signSignature]] default)
+    */
+  def chooseGeometry(n: Long, threshold: Double, recallTarget: Double,
+      candidateBudget: Double = Double.PositiveInfinity,
+      sigBits: Int = 64): Geometry = {
+    require(n > 0 && threshold > -1.0 && threshold < 1.0, "bad inputs")
+    require(recallTarget > 0.0 && recallTarget <= 1.0, "bad recall target")
+    val options = (1 to sigBits).filter(sigBits % _ == 0).reverse.flatMap { bits =>
+      val bands = sigBits / bits
+      val recall = bandRecall(threshold, bands, bits)
+      val cands = bands.toDouble * n.toDouble * n.toDouble / 2.0 /
+        math.pow(2.0, bits.toDouble)
+      if (recall >= recallTarget)
+        Some(Geometry(bands, bits, cands, recall, cands <= candidateBudget))
+      else None
+    }
+    require(options.nonEmpty,
+      s"no $sigBits-bit banding reaches recall $recallTarget at threshold " +
+        s"$threshold — lower the threshold's recall target or use IVF probing")
+    options.minBy(_.expectedCandidates) // .reverse above = ties prefer more bits
+  }
+
+  /** Embedding near-duplicate pairs via OR-amplified banded sign-LSH —
+    * the 100-TB shape (round 1 was an all-pairs theta join; this replaces
+    * it). Every vector's 64-bit sign signature splits into `bands` bands
+    * of `bandBits` bits; a pair is a CANDIDATE iff at least one band
+    * matches exactly. Candidates come from a self-join on slim
+    * (band, key) tuples — a hash-equality shuffle join, never n² — then
+    * join their vectors back and pay the cheap codegen double-cosine
+    * prefilter plus the exact-decimal rerank. Same band-OR amplification
+    * as MinHash-LSH ([[graft.operators.Dedup.lshCandidates]]).
+    *
+    * Semantics: approximate by design — a pair disagreeing somewhere in
+    * EVERY band is never considered. With 16 bands × 4 bits and sign
+    * agreement p = 1 − θ/π per dim, candidate recall is
+    * 1 − (1 − p⁴)¹⁶ (≈0.93 at cos 0.4, →1 as cos→1: the closer a pair,
+    * the surer its capture — the right trade for near-dup detection).
+    * The oracle reproduces the same candidate rule, so output is
+    * deterministic. Pick `bands`/`bandBits` for YOUR n and threshold
+    * with [[chooseGeometry]] (or pass its result to the [[Geometry]]
+    * overload).
+    */
   def nearDupPairs(df: DataFrame, threshold: Double, prefilter: Double,
       bands: Int = 16, bandBits: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -241,4 +301,10 @@ object Similarity {
         cosineExact(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** [[nearDupPairs]] with a [[chooseGeometry]]-selected geometry. */
+  def nearDupPairs(df: DataFrame, threshold: Double, prefilter: Double,
+      geometry: Geometry, idCol: String, vecCol: String): DataFrame =
+    nearDupPairs(df, threshold, prefilter, geometry.bands, geometry.bandBits,
+      idCol, vecCol)
 }

@@ -426,4 +426,39 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(Similarity.bandRecall(0.4, 8, 8) < 0.4)
     assert(Similarity.bandRecall(0.9, 8, 8) > 0.9)
   }
+
+  test("chooseGeometry: cheapest recall-feasible banding, per SCALING.md anchors") {
+    // the demo's low threshold: only the coarse 4-bit bands reach 0.9
+    // recall over a 64-bit signature, and 16×4 is the cheapest of them
+    val demo = Similarity.chooseGeometry(1000L, 0.4, 0.9)
+    assert(demo.bands == 16 && demo.bandBits == 4)
+    assert(demo.recall >= 0.9 && demo.withinBudget)
+    // production threshold at scale: ≥8 bits per band — candidates are
+    // ~bands·n²/2^bits, and bits are the only lever that survives n=1e7
+    val prod = Similarity.chooseGeometry(10_000_000L, 0.9, 0.9)
+    assert(prod.bandBits >= 8, s"got ${prod.bands}×${prod.bandBits}")
+    assert(prod.recall >= 0.9)
+    // the measured 21× cut: 8×8's expected candidates vs 16×4's at equal n
+    val coarse = 16.0 * 1e7 * 1e7 / 2.0 / 16.0
+    assert(coarse / prod.expectedCandidates >= 21.0)
+    // budget exhaustion flags, not throws — the "use IVF instead" signal
+    val over = Similarity.chooseGeometry(10_000_000L, 0.4, 0.9,
+      candidateBudget = 1e9)
+    assert(!over.withinBudget && over.bands == 16 && over.bandBits == 4)
+    // an unreachable recall target is a contract error (near-antipodal
+    // pairs: even 64 one-bit bands can't capture 99.9% of them)
+    assertThrows[IllegalArgumentException] {
+      Similarity.chooseGeometry(1000L, -0.99, 0.999)
+    }
+    // geometry feeds straight into the operator: same pairs as the
+    // explicit 16×4 call on a real frame
+    val vecs = emb.limit(200)
+    val viaGeom = Similarity
+      .nearDupPairs(vecs, 0.4, 0.35, demo, "vec_id", "embedding")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Similarity
+      .nearDupPairs(vecs, 0.4, 0.35, 16, 4, "vec_id", "embedding")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGeom == explicit && viaGeom.nonEmpty)
+  }
 }
