@@ -124,11 +124,40 @@ object FunctionQueries {
       t(s, dir, "events")
         .withColumn("k",
           variant_get(parse_json(col("props")), "$.k", "int"))
-        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        // `%`, not pmod: DuckDB's `%` keeps the dividend's sign, so the
+        // group keys only match the oracle for negative k with Spark's
+        // `%` (props.k is 0..99 today, but don't let testdata decide).
+        .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("k")).cast("long").as("sum_k"),
           max(col("k")).as("max_k"))
         .orderBy("k_mod")),
+
+    // Struct surface, driven through storage: build a nested struct
+    // column, WRITE it to parquet, read it back, access fields by name,
+    // aggregate. This is the Catalyst type the ClickHouse dialect's
+    // Tuple(...) mapping lands on — the round trip proves structs
+    // survive the same storage path arrays/maps already do. The oracle
+    // computes the identical aggregate from the flat base table, so
+    // every struct hop (build → write → read → field access) is
+    // hash-verified, not just smoke-tested.
+    "f_struct" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_f_struct_").toString
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          struct(
+            col("c_mktsegment").as("seg"),
+            col("c_acctbal").as("bal"),
+            struct(col("c_nationkey").as("nk")).as("geo")).as("info"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("info.seg").as("seg"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("info.bal")).as("sum_bal"),
+          countDistinct(col("info.geo.nk")).as("n_nations"))
+        .orderBy("seg")
+    }),
 
     // Array basics over embeddings (1-indexed element access both sides).
     "f_array" -> ((s, dir) =>
@@ -324,6 +353,11 @@ object FunctionQueries {
         |    AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f_struct" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_array" ->
       """SELECT vec_id, len(embedding) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first_d,

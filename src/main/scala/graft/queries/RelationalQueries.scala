@@ -172,15 +172,26 @@ object RelationalQueries {
     // verify with explain: no nested-loop re-execution per outer row,
     // so the shape scales like the window formulation it rewrites to.
     "q_lateral" -> ((s, dir) => {
-      t(s, dir, "nation").createOrReplaceTempView("lat_nation")
-      t(s, dir, "supplier").createOrReplaceTempView("lat_supplier")
-      s.sql(
-        """SELECT n_name, t.s_name, t.s_acctbal
-          |FROM lat_nation JOIN LATERAL (
-          |  SELECT s_name, s_acctbal, s_suppkey FROM lat_supplier
-          |  WHERE s_nationkey = n_nationkey
-          |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
-          |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+      // LATERAL needs SQL, and SQL needs views — but session-global view
+      // names leak across queries sharing the SparkSession. Unique names,
+      // dropped as soon as sql() has ANALYZED the plan (analysis binds the
+      // views' logical plans into the DataFrame, so the later execution
+      // doesn't re-resolve them).
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val (nv, sv) = (s"lat_nation_$tag", s"lat_supplier_$tag")
+      t(s, dir, "nation").createOrReplaceTempView(nv)
+      t(s, dir, "supplier").createOrReplaceTempView(sv)
+      try s.sql(
+        s"""SELECT n_name, t.s_name, t.s_acctbal
+           |FROM $nv JOIN LATERAL (
+           |  SELECT s_name, s_acctbal, s_suppkey FROM $sv
+           |  WHERE s_nationkey = n_nationkey
+           |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+           |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+      finally {
+        s.catalog.dropTempView(nv)
+        s.catalog.dropTempView(sv)
+      }
     }),
 
     // Set operations: UNION / INTERSECT / EXCEPT over customer key sets.
