@@ -228,20 +228,45 @@ object EventStreams {
     * Either way the final table state equals exactly-once. At scale the
     * delete prunes on an indexed batch_id; the append is Spark's
     * distributed JDBC writer (one connection per partition).
+    *
+    * Known limit (inherent to delete-then-append over plain JDBC): the
+    * guarantee is per BATCH REPLAY, not per task retry. Each append
+    * partition commits its own JDBC transaction, so a task that fails
+    * AFTER its commit and is retried within the same (ultimately
+    * successful) batch leaves that partition's rows twice, and no later
+    * delete runs for a batch that succeeded. Sinks needing task-retry
+    * immunity should put a unique key on the rows and MERGE/upsert
+    * instead of append — at which point the batch_id delete becomes
+    * unnecessary.
+    *
+    * The DELETE runs on the driver over one connection built from the
+    * same `props` the distributed append uses (user/password/driver are
+    * honored — an authenticated target behaves the same on both paths),
+    * with `table` quoted via Spark's dialect for the url and `batchId`
+    * bound as a parameter.
     */
   def sinkToJdbc(df: DataFrame, url: String, table: String,
       checkpoint: String, props: Map[String, String] = Map.empty): StreamingQuery = {
     val q = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val conn = java.sql.DriverManager.getConnection(url)
-        try conn.createStatement()
-          .executeUpdate(s"DELETE FROM $table WHERE batch_id = $batchId")
-        finally conn.close()
+        props.get("driver").foreach(Class.forName(_))
+        val connProps = new java.util.Properties()
+        props.foreach { case (k, v) => connProps.setProperty(k, v) }
+        val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+        // `table` may be schema-qualified — quote each path segment
+        val quoted = table.split('.').map(dialect.quoteIdentifier).mkString(".")
+        val conn = java.sql.DriverManager.getConnection(url, connProps)
+        try {
+          val st = conn.prepareStatement(
+            s"DELETE FROM $quoted WHERE batch_id = ?")
+          try { st.setLong(1, batchId); st.executeUpdate() }
+          finally st.close()
+        } finally conn.close()
         val writer = batch
           .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
           .write.mode("append").format("jdbc")
-          .option("url", url).option("dbtable", table)
+          .option("url", url).option("dbtable", quoted)
         props.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }.save()
         ()
       }

@@ -137,6 +137,37 @@ class EventStreamsSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("stream-stream join under RocksDB state store: identical output") {
+    // Stream-stream join state is the operator that actually MOTIVATES
+    // RocksDB — both sides buffer rows until the watermark passes, and
+    // at 100 TB/day that buffer outgrows executor heap long before any
+    // windowed agg does. Rerun the inner-join case with state in the
+    // RocksDB provider and require bit-identical grouped output.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    EventStreams.withRocksDbStateStore(spark) {
+      assert(spark.conf.get(key) == EventStreams.RocksDbProvider)
+      val stream = EventStreams.readEvents(spark, eventsPath)
+      EventStreams.runToMemory(
+        EventStreams.clickPurchaseJoin(stream), "ss_join_rocks")
+    }
+    assert(spark.conf.getOption(key) == before)
+    val got = spark.sql(
+      "SELECT c_user, count(*) AS n FROM ss_join_rocks GROUP BY c_user")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = batchEvents
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val want = c.join(p, col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("c_user").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState streaming funnel == batch conditional-min chain") {
     val stream = EventStreams.readEvents(spark, eventsPath)
     EventStreams.runToMemory(
@@ -347,7 +378,9 @@ class EventStreamsSpec extends SparkFunSuite {
     def run(checkpoint: String): Unit = {
       val stream = EventStreams.readEvents(spark, eventsPath)
         .select(col("event_id"), col("user_id"))
-      EventStreams.sinkToJdbc(stream, url, "events_sink", checkpoint,
+      // the sink dialect-quotes `table`, so pass it as the DB stores it
+      // (Derby normalized the unquoted DDL name to upper case)
+      EventStreams.sinkToJdbc(stream, url, "EVENTS_SINK", checkpoint,
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
     }
     def sinkCount(): Long = {
@@ -366,6 +399,37 @@ class EventStreamsSpec extends SparkFunSuite {
     // full REPLAY (fresh checkpoint, same sink): batch ids repeat, each
     // batch deletes its own prior rows before appending — count unchanged
     run(tmpDir("jdbc_sink_ckpt2"))
+    assert(sinkCount() == want)
+  }
+
+  test("JDBC sink survives a reserved-word table name (identifier quoting)") {
+    // DELETE FROM ORDER is a syntax error; DELETE FROM "ORDER" is a
+    // table. Proves both the driver-side delete and the distributed
+    // append route the identifier through the dialect's quoting.
+    val url = "jdbc:derby:memory:streamsink_q;create=true"
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      """CREATE TABLE "ORDER" (event_id BIGINT, user_id BIGINT, batch_id BIGINT)""")
+    finally conn.close()
+    def run(checkpoint: String): Unit = {
+      val stream = EventStreams.readEvents(spark, eventsPath)
+        .select(col("event_id"), col("user_id"))
+      EventStreams.sinkToJdbc(stream, url, "ORDER", checkpoint,
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    }
+    def sinkCount(): Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("""SELECT count(*) FROM "ORDER"""")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    run(tmpDir("jdbc_sink_q_ckpt"))
+    val want = batchEvents.count()
+    assert(sinkCount() == want)
+    // replay with a fresh checkpoint: the quoted delete keeps it idempotent
+    run(tmpDir("jdbc_sink_q_ckpt2"))
     assert(sinkCount() == want)
   }
 
