@@ -3,6 +3,52 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 object Bench {
+
+  /** Rerun one query in a fresh JVM and return its min-of-2 time, or
+    * None if the child fails (isolated numbers are best-effort garnish —
+    * a child crash must not take down the round's bench artifact).
+    *
+    * The child is this same main: same classpath (sbt forks `run`, so
+    * java.class.path is the real one), same JVM flags (--add-opens etc.
+    * from the running JVM), filtered to `name` via SPARK_GRAFT_QUERIES —
+    * which also suppresses the child's own isolated pass. Result comes
+    * back through the child's SPARK_GRAFT_BENCH_OUT file, not stdout
+    * (no log-interleaving risk).
+    */
+  private def isolatedRun(name: String, sfDir: String, cpus: String): Option[Double] = {
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempFile(s"graft_iso_$name", ".json")
+    try {
+      val javaBin = java.nio.file.Paths
+        .get(sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala
+        .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("-Xmx") || a.startsWith("-D"))
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.environment().put("SPARK_GRAFT_QUERIES", name)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.environment().remove("SPARK_GRAFT_ISOLATED")
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val done = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); None }
+      else if (proc.exitValue() != 0) None
+      else {
+        val line = java.nio.file.Files.readString(out)
+        // the child benched exactly one query; its total IS that query
+        raw""""value":([0-9.]+)""".r.findFirstMatchIn(line)
+          .map(_.group(1).toDouble)
+      }
+    } catch { case _: Exception => None }
+    finally { try java.nio.file.Files.deleteIfExists(out) catch { case _: Exception => () } }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,6 +99,27 @@ object Bench {
     System.gc()
     val p2 = pass()
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
+
+    // Isolated snapshot (SCALING.md protocol, now part of the artifact):
+    // rerun the N most expensive queries each in a FRESH JVM so their
+    // numbers carry no bench-JVM heap/GC contamination — r6→r7 showed
+    // in-bench totals inflate ~1.5× on unchanged code from accumulated
+    // session state plus host steal, which only fresh-JVM minimums cut
+    // through. Each child is this same main filtered to one query (so it
+    // gets the same warmup + min-of-2 discipline). On by default for the
+    // per-round artifact; SPARK_GRAFT_ISOLATED=off disables, =<k> resizes.
+    // Children inherit SPARK_GRAFT_QUERIES, which gates them out of
+    // recursing here.
+    val isolatedConf = sys.env.getOrElse("SPARK_GRAFT_ISOLATED", "top10")
+    val isolatedN =
+      if (sys.env.contains("SPARK_GRAFT_QUERIES")) 0
+      else if (Set("off", "0", "none", "false")(isolatedConf)) 0
+      else isolatedConf.stripPrefix("top").toIntOption.getOrElse(10)
+    val isolated: Seq[(String, Double)] =
+      if (isolatedN <= 0) Nil
+      else results.sortBy(-_._2).take(isolatedN).map(_._1).sorted.flatMap { name =>
+        isolatedRun(name, sfDir, cpus).map(name -> _)
+      }
     // 4-decimal (0.1 ms) per-query precision: the driver captures only the
     // last ~2.7 KB of stdout, and at 95+ queries the full-precision map
     // (~3 KB) overflowed that window, truncating the JSON head — r4/r5
@@ -64,8 +131,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // "value" stays the IN-BENCH total (comparable to prior rounds'
+    // artifacts and the round-1 anchor); "isolated" adds the fresh-JVM
+    // minimums for the heaviest queries, which ARE comparable across
+    // rounds/environments (see BASELINE.md's noise note).
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}"""
     // The result line goes to a FILE first (truncation-proof — a capture
     // of the process tail once lost the round's total), then stdout
     // BEFORE spark.stop() so no shutdown logging can interleave after it.
