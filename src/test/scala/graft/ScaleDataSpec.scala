@@ -85,4 +85,30 @@ class ScaleDataSpec extends SparkFunSuite {
     // ...and the flip is not a no-op
     assert((0L until n.toLong).exists(i => !orig(i).sameElements(flip(i))))
   }
+
+  test("regeneration is deterministic: per-table content hashes reproduce") {
+    // The scaled datasets live in /tmp (ephemeral), so the SCALING.md
+    // evidence is only reproducible if a REGENERATED dataset provably
+    // equals the one the measurements ran on. Generate factor-2 a second
+    // time and require every table's order-independent content hash
+    // (count + sum of per-row xxhash64 over all columns) to match the
+    // first generation bit-for-bit — any nondeterminism in the generator
+    // (partition-order-dependent ids, clock/random input, float drift)
+    // breaks this immediately.
+    val dir2 = tmpDir("scale2x_regen")
+    ScaleData.generate(spark, sf0001, dir2, 2)
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      def fingerprint(dir: String): (Long, java.math.BigDecimal) = {
+        val df = graft.sources.Sources.table(spark, dir, t)
+        val row = df.agg(
+          count(lit(1)),
+          sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).head()
+        (row.getLong(0), row.getDecimal(1))
+      }
+      assert(fingerprint(outDir) == fingerprint(dir2),
+        s"$t: regenerated content hash differs")
+    }
+  }
 }
