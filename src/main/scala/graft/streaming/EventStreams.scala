@@ -242,8 +242,11 @@ object EventStreams {
     * The DELETE runs on the driver over one connection built from the
     * same `props` the distributed append uses (user/password/driver are
     * honored — an authenticated target behaves the same on both paths),
-    * with `table` quoted via Spark's dialect for the url and `batchId`
-    * bound as a parameter.
+    * with `table` resolved via [[resolveTableName]] and `batchId` bound
+    * as a parameter.
+    *
+    * For task-retry immunity (a stronger guarantee), see
+    * [[sinkToJdbcUpsert]].
     */
   def sinkToJdbc(df: DataFrame, url: String, table: String,
       checkpoint: String, props: Map[String, String] = Map.empty): StreamingQuery = {
@@ -254,8 +257,7 @@ object EventStreams {
         val connProps = new java.util.Properties()
         props.foreach { case (k, v) => connProps.setProperty(k, v) }
         val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
-        // `table` may be schema-qualified — quote each path segment
-        val quoted = table.split('.').map(dialect.quoteIdentifier).mkString(".")
+        val quoted = resolveTableName(dialect, table)
         val conn = java.sql.DriverManager.getConnection(url, connProps)
         try {
           val st = conn.prepareStatement(
@@ -274,6 +276,207 @@ object EventStreams {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** Resolve a (possibly schema-qualified) table name for inline SQL,
+    * matching how unquoted names behaved before quoting was introduced:
+    * each dot-segment that is a PLAIN identifier (`[A-Za-z_][A-Za-z0-9_]*`)
+    * is passed through verbatim, so the database's own case
+    * normalization applies and legacy lowercase names (`events_sink`
+    * against a case-upper-folding database like Derby) keep resolving.
+    * A segment that is already wrapped in the dialect's quote string is
+    * trusted verbatim (use this for reserved words: pass `"ORDER"` with
+    * the literal quotes). Anything else — spaces, dashes, dots inside a
+    * name are not supported here — is quoted via the dialect.
+    */
+  private[streaming] def resolveTableName(
+      dialect: org.apache.spark.sql.jdbc.JdbcDialect, table: String): String = {
+    // leading quote char: "\"" for ANSI dialects, "`" for MySQL
+    val q = dialect.quoteIdentifier("").take(1)
+    table.split('.').map { seg =>
+      if (seg.matches("[A-Za-z_][A-Za-z0-9_]*")) seg
+      else if (q.nonEmpty && seg.startsWith(q) && seg.endsWith(q) && seg.length > 1) seg
+      else dialect.quoteIdentifier(seg)
+    }.mkString(".")
+  }
+
+  /** Stream → JDBC sink with KEYED UPSERT semantics — exactly-once end
+    * state under BOTH batch replays and task retries, closing the gap
+    * [[sinkToJdbc]]'s scaladoc documents. Every write is an idempotent
+    * per-key UPDATE-else-INSERT inside one transaction per partition:
+    *  - batch replay (crash before checkpoint commit) → the replayed
+    *    rows re-upsert to the same end state;
+    *  - task retry (a partition whose JDBC transaction committed but
+    *    whose Spark task is retried) → the retried partition re-upserts
+    *    the same keys, again a no-op on state. This is the case
+    *    delete-then-append cannot cover, because no later delete runs
+    *    for a batch that ultimately succeeds.
+    *
+    * Scale shape: writes stay fully distributed (one connection + one
+    * transaction per partition, statements batched in chunks of
+    * [[UpsertChunk]]); the driver never sees row data. On a database
+    * with a native MERGE the same contract can be met in one statement —
+    * this implementation uses portable UPDATE/INSERT so it runs on any
+    * JDBC target (the repo's live tests use embedded Derby).
+    *
+    * Contract: `keyCols` must uniquely identify rows WITHIN a
+    * micro-batch (dedupe upstream with `dropDuplicates` if the source
+    * can repeat keys); duplicate keys inside one chunk are defensively
+    * collapsed keep-last, and cross-chunk repeats resolve through the
+    * UPDATE path. The target table must exist with a matching schema —
+    * a unique index on `keyCols` is recommended (the database then also
+    * enforces the contract).
+    */
+  def sinkToJdbcUpsert(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String], checkpoint: String,
+      props: Map[String, String] = Map.empty): StreamingQuery = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, url, table, keyCols, props)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Statement-batch size for the upsert sink: large enough to amortize
+    * round-trips, small enough that a chunk's parameter buffers stay
+    * trivially in memory.
+    */
+  val UpsertChunk: Int = 500
+
+  /** One micro-batch of the upsert sink: distributed foreachPartition,
+    * each partition writing through [[upsertPartition]]. Factored out so
+    * the spec can invoke a batch (or a single partition) twice to
+    * simulate replays and retried tasks deterministically.
+    */
+  private[streaming] def upsertBatch(batch: DataFrame, url: String,
+      table: String, keyCols: Seq[String], props: Map[String, String]): Unit = {
+    val schema = batch.schema
+    require(keyCols.nonEmpty, "upsert sink needs at least one key column")
+    val missing = keyCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"key columns not in batch schema: $missing")
+    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      upsertPartition(rows, schema, url, table, keyCols, props)
+    }
+  }
+
+  /** Upsert one partition's rows in a single transaction. UPDATEs are
+    * statement-batched; rows whose update count is 0 are INSERTed in a
+    * second statement batch. A driver that hides update counts
+    * (`SUCCESS_NO_INFO`) cannot distinguish update-hit from miss, so we
+    * refuse rather than risk duplicates.
+    */
+  private[streaming] def upsertPartition(rows: Iterator[org.apache.spark.sql.Row],
+      schema: StructType, url: String, table: String, keyCols: Seq[String],
+      props: Map[String, String]): Unit = {
+    if (!rows.hasNext) return
+    props.get("driver").foreach(Class.forName(_))
+    val connProps = new java.util.Properties()
+    props.foreach { case (k, v) => connProps.setProperty(k, v) }
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val quoted = resolveTableName(dialect, table)
+    def qi(c: String) = resolveTableName(dialect, c)
+    val cols = schema.fieldNames.toSeq
+    val nonKey = cols.filterNot(keyCols.contains)
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val insertSql = s"INSERT INTO $quoted (${cols.map(qi).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val whereKeys = keyCols.map(c => s"${qi(c)} = ?").mkString(" AND ")
+    val conn = java.sql.DriverManager.getConnection(url, connProps)
+    try {
+      conn.setAutoCommit(false)
+      val ins = conn.prepareStatement(insertSql)
+      def bindInsert(r: org.apache.spark.sql.Row): Unit = {
+        cols.indices.foreach(i => setParam(ins, i + 1, r.get(i), schema(i).dataType))
+        ins.addBatch()
+      }
+      if (nonKey.nonEmpty) {
+        val upd = conn.prepareStatement(
+          s"UPDATE $quoted SET ${nonKey.map(c => s"${qi(c)} = ?").mkString(", ")} " +
+            s"WHERE $whereKeys")
+        val nonKeyIdx = nonKey.map(schema.fieldIndex)
+        rows.grouped(UpsertChunk).foreach { chunk =>
+          // keep-last within the chunk: two occurrences of a key in one
+          // UPDATE batch would both miss (or both hit) identically
+          val dedup = scala.collection.mutable.LinkedHashMap
+            .empty[Seq[Any], org.apache.spark.sql.Row]
+          chunk.foreach(r => dedup.put(keyIdx.map(r.get), r))
+          val uniq = dedup.values.toSeq
+          uniq.foreach { r =>
+            nonKeyIdx.zipWithIndex.foreach { case (ci, pi) =>
+              setParam(upd, pi + 1, r.get(ci), schema(ci).dataType)
+            }
+            keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+              setParam(upd, nonKeyIdx.size + pi + 1, r.get(ci), schema(ci).dataType)
+            }
+            upd.addBatch()
+          }
+          val counts = upd.executeBatch()
+          require(counts.forall(_ >= 0),
+            "JDBC driver returned SUCCESS_NO_INFO from a batched UPDATE; " +
+              "cannot distinguish hit from miss — upsert sink unsupported here")
+          val misses = uniq.zip(counts.toSeq).collect { case (r, 0) => r }
+          misses.foreach(bindInsert)
+          if (misses.nonEmpty) ins.executeBatch()
+        }
+        upd.close()
+      } else {
+        // all columns are keys: insert-if-absent via an existence probe
+        val sel = conn.prepareStatement(
+          s"SELECT 1 FROM $quoted WHERE $whereKeys")
+        rows.foreach { r =>
+          keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+            setParam(sel, pi + 1, r.get(ci), schema(ci).dataType)
+          }
+          val rs = sel.executeQuery()
+          val exists = try rs.next() finally rs.close()
+          if (!exists) { bindInsert(r); ins.executeBatch() }
+        }
+        sel.close()
+      }
+      ins.close()
+      conn.commit()
+    } catch {
+      case t: Throwable =>
+        try conn.rollback() catch { case _: java.sql.SQLException => }
+        throw t
+    } finally conn.close()
+  }
+
+  /** Bind one value, normalizing the java.time types Spark rows may
+    * carry (java8 datetime API) to the java.sql types every JDBC driver
+    * accepts; nulls carry an explicit SQL type for drivers that reject
+    * untyped setObject(null).
+    */
+  private def setParam(st: java.sql.PreparedStatement, idx: Int,
+      v: Any, dt: org.apache.spark.sql.types.DataType): Unit = v match {
+    case null => st.setNull(idx, sqlTypeOf(dt))
+    case i: java.time.Instant => st.setTimestamp(idx, java.sql.Timestamp.from(i))
+    case d: java.time.LocalDate => st.setDate(idx, java.sql.Date.valueOf(d))
+    case d: java.time.LocalDateTime =>
+      st.setTimestamp(idx, java.sql.Timestamp.valueOf(d))
+    case other => st.setObject(idx, other)
+  }
+
+  private def sqlTypeOf(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case ShortType => java.sql.Types.SMALLINT
+    case ByteType => java.sql.Types.TINYINT
+    case DoubleType => java.sql.Types.DOUBLE
+    case FloatType => java.sql.Types.REAL
+    case StringType => java.sql.Types.VARCHAR
+    case BooleanType => java.sql.Types.BOOLEAN
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case DateType => java.sql.Types.DATE
+    case BinaryType => java.sql.Types.BINARY
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case other =>
+      throw new IllegalArgumentException(s"upsert sink: unsupported type $other")
   }
 
   /** Spark's built-in RocksDB state store provider (ships with the

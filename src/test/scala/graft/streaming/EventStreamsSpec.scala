@@ -378,9 +378,10 @@ class EventStreamsSpec extends SparkFunSuite {
     def run(checkpoint: String): Unit = {
       val stream = EventStreams.readEvents(spark, eventsPath)
         .select(col("event_id"), col("user_id"))
-      // the sink dialect-quotes `table`, so pass it as the DB stores it
-      // (Derby normalized the unquoted DDL name to upper case)
-      EventStreams.sinkToJdbc(stream, url, "EVENTS_SINK", checkpoint,
+      // plain identifiers pass through UNQUOTED, so the lowercase name
+      // resolves via Derby's own case normalization — the legacy
+      // behavior callers of unquoted DDL depend on
+      EventStreams.sinkToJdbc(stream, url, "events_sink", checkpoint,
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
     }
     def sinkCount(): Long = {
@@ -404,8 +405,9 @@ class EventStreamsSpec extends SparkFunSuite {
 
   test("JDBC sink survives a reserved-word table name (identifier quoting)") {
     // DELETE FROM ORDER is a syntax error; DELETE FROM "ORDER" is a
-    // table. Proves both the driver-side delete and the distributed
-    // append route the identifier through the dialect's quoting.
+    // table. Reserved words are lexically plain identifiers, so the
+    // caller passes the name PRE-QUOTED and the sink trusts it verbatim
+    // on both the driver-side delete and the distributed append.
     val url = "jdbc:derby:memory:streamsink_q;create=true"
     Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     val conn = java.sql.DriverManager.getConnection(url)
@@ -415,7 +417,7 @@ class EventStreamsSpec extends SparkFunSuite {
     def run(checkpoint: String): Unit = {
       val stream = EventStreams.readEvents(spark, eventsPath)
         .select(col("event_id"), col("user_id"))
-      EventStreams.sinkToJdbc(stream, url, "ORDER", checkpoint,
+      EventStreams.sinkToJdbc(stream, url, "\"ORDER\"", checkpoint,
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
     }
     def sinkCount(): Long = {
@@ -431,6 +433,76 @@ class EventStreamsSpec extends SparkFunSuite {
     // replay with a fresh checkpoint: the quoted delete keeps it idempotent
     run(tmpDir("jdbc_sink_q_ckpt2"))
     assert(sinkCount() == want)
+  }
+
+  test("keyed upsert JDBC sink: exactly-once under batch replay AND task retry") {
+    val url = "jdbc:derby:memory:upsertsink;create=true"
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    locally {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement().executeUpdate(
+        "CREATE TABLE events_upsert (event_id BIGINT PRIMARY KEY, " +
+          "user_id BIGINT, value DOUBLE)")
+      finally conn.close()
+    }
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    def run(checkpoint: String): Unit = {
+      val stream = EventStreams.readEvents(spark, eventsPath)
+        .select(col("event_id"), col("user_id"), col("value"))
+      EventStreams.sinkToJdbcUpsert(stream, url, "events_upsert",
+        Seq("event_id"), checkpoint, props)
+    }
+    def snapshot(): (Long, Double) = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT count(*), sum(value) FROM events_upsert")
+        rs.next(); (rs.getLong(1), rs.getDouble(2))
+      } finally c.close()
+    }
+    run(tmpDir("upsert_ckpt"))
+    val (n0, sum0) = snapshot()
+    val want = batchEvents.count()
+    assert(n0 == want)
+    assert(math.abs(sum0 - batchEvents.agg(sum("value")).head().getDouble(0)) < 1e-6)
+
+    // --- simulate a RETRIED TASK: re-run one partition's committed
+    // write. This is the case delete-then-append cannot cover (the
+    // partition's JDBC transaction committed, the batch still succeeds,
+    // no later delete runs). The upsert must be a no-op on state.
+    val batchDf = batchEvents.select(col("event_id"), col("user_id"), col("value"))
+    val someRows = batchDf.limit(500).collect().iterator
+    EventStreams.upsertPartition(someRows, batchDf.schema, url,
+      "events_upsert", Seq("event_id"), props)
+    assert(snapshot() == ((n0, sum0)))
+
+    // --- simulate a BATCH REPLAY: re-run the whole micro-batch body.
+    EventStreams.upsertBatch(batchDf, url, "events_upsert", Seq("event_id"), props)
+    assert(snapshot() == ((n0, sum0)))
+
+    // --- full stream replay with a fresh checkpoint: still idempotent.
+    run(tmpDir("upsert_ckpt2"))
+    assert(snapshot() == ((n0, sum0)))
+
+    // --- the UPDATE path actually updates: replay a slice with doubled
+    // values; count unchanged, those keys carry the new values.
+    val doubled = batchDf.limit(100)
+      .withColumn("value", col("value") * 2)
+    EventStreams.upsertBatch(doubled, url, "events_upsert", Seq("event_id"), props)
+    val (n1, _) = snapshot()
+    assert(n1 == want)
+    val keys = doubled.select("event_id").collect().map(_.getLong(0)).toSet
+    val c = java.sql.DriverManager.getConnection(url)
+    val gotVals = try {
+      val rs = c.createStatement().executeQuery(
+        s"SELECT event_id, value FROM events_upsert WHERE event_id IN " +
+          s"(${keys.take(20).mkString(",")})")
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    } finally c.close()
+    val wantVals = doubled.filter(col("event_id").isin(keys.take(20).toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gotVals == wantVals)
   }
 
   test("stateful agg under RocksDB state store matches batch; conf restored") {
