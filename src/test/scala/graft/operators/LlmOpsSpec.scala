@@ -108,6 +108,46 @@ class LlmOpsSpec extends SparkFunSuite {
     } finally sc.setCheckpointDir(saved.orNull)
   }
 
+  test("connectedComponents: 1200-deep path converges within default maxIter (pointer doubling)") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // Diameter 1199: plain hash-min needs ~1199 rounds and previously
+    // threw at maxIter = 15; pointer doubling reaches distance
+    // d_r = 2·d_{r-1} + 2 per round (2, 6, 14, …, 2046 at r = 10), so
+    // the default budget must now converge — and to the same labels.
+    val chain = (1L to 1200L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 1200L).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponents: doubling labels == brute-force union-find on a mixed graph") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // Deterministic mixed topology: a star, two chains that merge, a
+    // triangle, singleton pairs — checked against an in-test union-find.
+    val edges = Seq(
+      (7L, 3L), (7L, 9L), (7L, 15L),          // star rooted at 7
+      (20L, 21L), (21L, 22L), (23L, 22L),     // chain joined from both ends
+      (30L, 31L), (31L, 32L), (32L, 30L),     // triangle
+      (40L, 41L), (50L, 51L),                 // isolated pairs
+      (15L, 20L))                             // bridge star ↔ chain
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("connectedComponents: throws instead of truncating when maxIter too small") {
     val s = graft.SparkTestBase.spark
     import s.implicits._
