@@ -106,9 +106,11 @@ object Similarity {
     * force).
     *
     * Centroids are training-free and deterministic: the `nlist` vectors
-    * with the smallest ids. (A production build would k-means them; the
-    * index SHAPE — assign → cell-equality join → rerank — is identical,
-    * and this choice keeps the operator oracle-checkable.)
+    * with the smallest ids — fine on isotropic corpora, but on clustered
+    * data the seeds can all land in one cluster and recall-per-probe
+    * collapses; [[ivfTopKTrained]] fixes that with deterministic Lloyd
+    * rounds while staying oracle-checkable. The index SHAPE — assign →
+    * cell-equality join → rerank — is identical either way.
     *
     * Scale notes: centroids broadcast (nlist rows); assignment is ONE
     * map-side pass — a broadcast nested-loop against the nlist centroids
@@ -126,11 +128,91 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(corpus, queries, k, nProbe,
+      seedCentroids(corpus, nlist, idCol, vecCol), idCol, vecCol)
+
+  /** [[ivfTopK]] with TRAINED centroids: `iters` rounds of deterministic
+    * Lloyd k-means ([[trainCentroids]]) replace the lowest-id seeds, so
+    * cells approximate the corpus's actual cluster structure and
+    * recall-per-probe improves (the caveat the untrained index
+    * documents). Identical search shape; only the index quality changes.
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(corpus, queries, k, nProbe,
+      trainCentroids(corpus, nlist, iters, idCol, vecCol), idCol, vecCol)
+
+  /** Training-free deterministic centroids: the `nlist` lowest-id
+    * vectors (see [[ivfTopK]]'s scaladoc for the rationale).
+    */
+  private def seedCentroids(corpus: DataFrame, nlist: Int,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("int").as("cid"), col(vecCol).as("centvec"))
+
+  /** Deterministic Lloyd k-means over cosine assignment, built to be
+    * ORACLE-REPRODUCIBLE: seeds are the `nlist` lowest-id vectors, the
+    * iteration count is fixed, assignment rounds the cosine to 6 dp and
+    * tie-breaks toward the smaller centroid id, and each updated
+    * centroid dimension is an EXACT-DECIMAL mean (order-independent
+    * sum) rounded to 6 dp and cast to float — every engine computing
+    * the same recipe lands on bit-identical centroids, so the trained
+    * index stays hash-checkable against DuckDB. Cells that lose all
+    * vectors simply drop out (k shrinks), deterministically on both
+    * sides.
+    *
+    * Scale notes: each iteration is one broadcast-nested-loop
+    * assignment (codegen [[graft.plans.FloatVecDot]], map-side argmax
+    * combine — the same pass the search path uses) plus one mean
+    * aggregation shuffled on (cell, dimension); centroids never leave
+    * the driver-broadcast size class. At 100 TB one trains on a sample
+    * — pass `corpus.sample(...)` here; determinism then rides the
+    * sample's seed.
+    *
+    * Output: (cid, centvec float array) — feed to the probe/rerank via
+    * [[ivfTopKTrained]].
+    */
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.plans.FloatVecOps.{floatDot, floatNorm2}
-    val cents = corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("centvec"))
+    var cents = seedCentroids(corpus, nlist, idCol, vecCol)
+    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("cvec"),
+      sqrt(floatNorm2(col(vecCol))).as("vnrm"))
+    (0 until iters).foreach { _ =>
+      val centsN = cents.select(col("cid"), col("centvec"),
+        sqrt(floatNorm2(col("centvec"))).as("cnrm"))
+      val assigned = base
+        .join(broadcast(centsN))
+        .select(col("vid"), col("cvec"), col("cid"),
+          round(floatDot(col("cvec"), col("centvec")) /
+            (col("vnrm") * col("cnrm")), 6).as("acos"))
+        .groupBy("vid")
+        .agg(max_by(col("cid"), struct(col("acos"), -col("cid"))).as("cid"),
+          first(col("cvec")).as("cvec"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("cvec")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("v").cast("double").cast(TermType)).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          round(col("s").cast("double") / col("n").cast("double"), 6)
+            .cast("float").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centvec"))
+    }
+    cents
+  }
 
+  /** Search phase shared by the seeded and trained IVF variants:
+    * assign → probe → exact rerank (see [[ivfTopK]]'s scale notes).
+    */
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.plans.FloatVecOps.{floatDot, floatNorm2}
     val centsN = cents.select(col("cid"), col("centvec"),
       sqrt(floatNorm2(col("centvec"))).as("cnrm"))
     val assigned = corpus

@@ -112,6 +112,18 @@ object SimilarityQueries {
         e, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
         .orderBy("qid", "rank")
     }),
+
+    // IVF ANN with TRAINED centroids: 2 deterministic Lloyd rounds
+    // (lowest-id seeds, exact-decimal means rounded to 6 dp) replace the
+    // raw seeds; same probe/rerank. The trained cells track the corpus's
+    // cluster structure, so recall-per-probe ≥ the seeded index
+    // (asserted in SimilaritySpec).
+    "s_ann_ivf_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopKTrained(
+        e, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+        .orderBy("qid", "rank")
+    }),
   )
 
   /** Second instantiation of the exact-decimal cosine pattern, over an
@@ -260,5 +272,60 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "s_ann_ivf_trained" -> {
+      // One Lloyd round: assign every vector to its nearest cents$i
+      // centroid (round-6 cosine, smaller-cid tie-break), then rebuild
+      // each surviving cell's centroid as the per-dimension EXACT-
+      // DECIMAL mean rounded to 6 dp and cast to REAL — bit-identical
+      // to the Spark side's trainCentroids arithmetic.
+      def lloyd(i: Int): String =
+        s"""apairs$i AS (SELECT e.vec_id AS vid, e.embedding AS evec,
+           |    c.cid, c.centvec
+           |  FROM embeddings e CROSS JOIN cents$i c),
+           |${cosBlock(s"apairs$i", "vid", "cid", "evec", "centvec", s"ascored$i")},
+           |assigned$i AS (SELECT vid, cid AS cell FROM (
+           |    SELECT vid, cid, row_number() OVER (
+           |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+           |      FROM ascored$i) WHERE rn = 1),
+           |means$i AS (SELECT a.cell AS cid, i AS pos,
+           |    CAST(round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
+           |        AS DECIMAL(25,12))) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE), 6) AS REAL) AS m
+           |  FROM assigned$i a JOIN embeddings e ON e.vec_id = a.vid,
+           |    generate_series(1, 64) AS t(i)
+           |  GROUP BY a.cell, i),
+           |cents${i + 1} AS (SELECT cid, list(m ORDER BY pos) AS centvec
+           |  FROM means$i GROUP BY cid)""".stripMargin
+      s"""WITH cents0 AS (SELECT CAST(vec_id AS INT) AS cid,
+        |    embedding AS centvec
+        |  FROM embeddings WHERE vec_id < 16),
+        |${lloyd(0)},
+        |${lloyd(1)},
+        |apairsF AS (SELECT e.vec_id AS vid, e.embedding AS evec,
+        |    c.cid, c.centvec
+        |  FROM embeddings e CROSS JOIN cents2 c),
+        |${cosBlock("apairsF", "vid", "cid", "evec", "centvec", "ascoredF")},
+        |assignedF AS (SELECT vid, cid AS cell FROM (
+        |    SELECT vid, cid, row_number() OVER (
+        |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+        |      FROM ascoredF) WHERE rn = 1),
+        |qprobes AS (SELECT vid AS qid, cid AS cell FROM (
+        |    SELECT vid, cid, row_number() OVER (
+        |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+        |      FROM ascoredF WHERE vid IN (0, 1, 2)) WHERE rn <= 4),
+        |cand AS (SELECT q.qid, a.vid,
+        |    qe.embedding AS qvec, ce.embedding AS cvec
+        |  FROM qprobes q
+        |  JOIN assignedF a ON a.cell = q.cell AND a.vid <> q.qid
+        |  JOIN embeddings qe ON qe.vec_id = q.qid
+        |  JOIN embeddings ce ON ce.vec_id = a.vid),
+        |$cosCte,
+        |ranked AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin
+    },
   )
 }

@@ -230,6 +230,54 @@ class LlmOpsSpec extends SparkFunSuite {
     lsh.foreach { r => assert(brute(r.getLong(2)) == r.getDouble(3)) }
   }
 
+  test("trained IVF recall@5 >= seeded IVF at equal nProbe (clustered corpus)") {
+    // The scale claim behind trainCentroids: Lloyd rounds move the cells
+    // onto the corpus's CLUSTER structure, so at the same probe budget
+    // the trained index beats lowest-id seeds. The testdata embeddings
+    // are isotropic random vectors (within-label cosine == cross-label
+    // == ~0), where no partition beats any other — so the assertion runs
+    // on a deterministic clustered corpus exhibiting the seeds' real
+    // failure mode: 8 true clusters, ids ordered by cluster, hence ALL
+    // 16 lowest-id seeds inside cluster 0 and seeded assignment is
+    // noise-random across the other seven.
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val df = (0 until 400).map { i =>
+      val cl = i / 50
+      val vec = Array.tabulate(64) { d =>
+        val base = if (d >= cl * 8 && d < cl * 8 + 8) 1.0f else 0.0f
+        base + (rnd.nextFloat() - 0.5f) * 0.4f
+      }
+      (i.toLong, vec)
+    }.toDF("vec_id", "embedding")
+    val qids = (0 until 8).map(_ * 50L)
+    val q = df.filter(col("vec_id").isin(qids: _*))
+    val truth = Similarity.bruteForceTopK(df, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def hits(res: Array[org.apache.spark.sql.Row]): Int =
+      res.map(r => (r.getLong(0), r.getLong(2))).count(truth.contains)
+    // measured: seeded 25/34/38, trained 35/39/40 at nProbe 1/2/4
+    Seq(1, 2, 4).foreach { np =>
+      val seeded = hits(Similarity.ivfTopK(df, q, k = 5, nlist = 16,
+        nProbe = np).collect())
+      val trained = hits(Similarity.ivfTopKTrained(df, q, k = 5, nlist = 16,
+        nProbe = np).collect())
+      assert(trained > seeded,
+        s"nProbe=$np: trained $trained !> seeded $seeded (of ${truth.size})")
+    }
+  }
+
+  test("trainCentroids: deterministic, <= nlist cells, 64-dim float means") {
+    val cents = Similarity.trainCentroids(emb, nlist = 16, iters = 2)
+    val rows = cents.collect()
+    assert(rows.length <= 16 && rows.nonEmpty)
+    assert(rows.forall(_.getSeq[Float](1).length == 64))
+    val again = Similarity.trainCentroids(emb, nlist = 16, iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach(r => assert(again(r.getInt(0)) == r.getSeq[Float](1)))
+  }
+
   test("nearDupPairs symmetric bound: all pairs above threshold") {
     val pairs = Similarity.nearDupPairs(emb, 0.4, 0.35).collect()
     assert(pairs.nonEmpty)
