@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, batched decode / feature-extract / resize / frame-sample.
   *
-  * The IMAGE path is a real decoder: `javax.imageio` (JDK built-in —
-  * PNG/JPEG/GIF/BMP, zero external dependencies) decodes the payload
-  * and extracts width / height / band-count / per-channel means / luma
-  * / aspect. Non-image kinds fall back to a deterministic stub
-  * (audio/video codecs are not available in this environment). Either
-  * way the Spark-side contract is identical and tested: schema,
+  * Two REAL decoder paths, both JDK-built-in (zero external
+  * dependencies): `javax.imageio` for images (PNG/JPEG/GIF/BMP —
+  * dims / band-count / channel means / luma / aspect) and
+  * `javax.sound.sampled` for uncompressed audio (WAV/AIFF/AU PCM —
+  * sample rate / channels / frames / duration / per-channel means /
+  * RMS / peak). Only VIDEO falls back to a deterministic stub (no
+  * video codec ships with the JDK). Every kind shares the same
+  * Spark-side contract, and that contract is what's tested: schema,
   * partitioning, batch shape (mapPartitions streams a whole
   * partition's rows through one decoder instance, the same lifecycle a
   * JNI/FFI codec needs), and the metadata struct that downstream
@@ -72,16 +74,21 @@ object Multimodal {
   /** Batched "decode + feature extract": one decoder instance per
     * partition (the expensive-init lifecycle), rows streamed through it.
     * Dispatch is on `meta.kind`: image payloads go through the real
-    * `javax.imageio` decoder; anything else through the deterministic
-    * stub (an 8-dim byte-histogram projection) standing in for the
-    * audio/video codecs this environment lacks. Both emit the same
-    * 8-float feature shape, so downstream schema is kind-independent.
+    * `javax.imageio` decoder, audio payloads through the real
+    * `javax.sound.sampled` PCM decoder (WAV/AIFF/AU; compressed audio
+    * has no JDK codec and decodes to the zero vector — data, not an
+    * error, same contract as a corrupt image); everything else (video)
+    * through the deterministic stub (an 8-dim byte-histogram
+    * projection) standing in for the codecs this environment lacks.
+    * All paths emit the same 8-float feature shape, so downstream
+    * schema is kind-independent.
     */
   def decodeFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "meta.kind", "payload").mapPartitions { rows =>
       // decoder init happens once per partition, NOT per row:
       val imageDecoder = new ImageIoDecoder
+      val audioDecoder = new PcmAudioDecoder
       val stub = new StubDecoder(featureDim = 8)
       rows.map { r =>
         val id = r.getLong(0)
@@ -89,6 +96,7 @@ object Multimodal {
         val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
         val feature =
           if (kind.startsWith("image/")) imageDecoder.decode(payload)
+          else if (kind.startsWith("audio/")) audioDecoder.decode(payload)
           else stub.decode(payload)
         MediaFeatures(id, kind, payload.length, feature)
       }
@@ -224,6 +232,81 @@ object Multimodal {
         (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
         ((0.299 * sr + 0.587 * sg + 0.114 * sb) / n).toFloat,
         if (h > 0) w.toFloat / h else 0f)
+    }
+  }
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM 8/16-bit payloads — no external dependency).
+    * Feature layout (8 floats, matching the image decoder's
+    * dimensionality so the output schema is kind-independent):
+    * `[sampleRate, channels, nFrames, durationMs, meanCh0, meanCh1,
+    * rms, peak]` with samples normalized to [-1, 1] by 2^(bits-1)
+    * (8-bit WAV is unsigned and is centered at 128 first). `meanCh1`
+    * is 0 for mono; RMS/peak pool all channels. Undecodable, empty, or
+    * non-PCM payloads yield the all-zero vector rather than failing the
+    * task — at 100 TB a corrupt clip is data, not an error (same
+    * contract as [[ImageIoDecoder]]).
+    *
+    * One instance per partition; decode streams the payload once in a
+    * single pass with double accumulators, so a long clip costs one
+    * traversal and O(1) memory beyond the payload bytes Spark already
+    * holds.
+    */
+  private final class PcmAudioDecoder extends Serializable {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val zero = new Array[Float](8)
+      if (payload.isEmpty) return zero
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (ais == null) return zero
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
+          channels < 1 || fmt.getSampleRate <= 0) return zero
+        val data = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * channels
+        val nFrames = data.length / frameBytes
+        if (nFrames == 0) return zero
+        val big = fmt.isBigEndian
+        val scale = if (bits == 16) 32768.0 else 128.0
+        var sum0 = 0.0; var sum1 = 0.0; var sumSq = 0.0; var peak = 0.0
+        var f = 0
+        while (f < nFrames) {
+          var c = 0
+          while (c < channels) {
+            val off = f * frameBytes + c * bytesPerSample
+            val raw: Double =
+              if (bits == 16) {
+                val lo = data(if (big) off + 1 else off) & 0xff
+                val hi = data(if (big) off else off + 1).toInt
+                ((hi << 8) | lo).toShort.toDouble
+              } else if (unsigned) (data(off) & 0xff) - 128.0
+              else data(off).toDouble
+            val s = raw / scale
+            if (c == 0) sum0 += s else if (c == 1) sum1 += s
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            c += 1
+          }
+          f += 1
+        }
+        val durationMs = math.round(nFrames * 1000.0 / fmt.getSampleRate)
+        Array(fmt.getSampleRate, channels.toFloat, nFrames.toFloat,
+          durationMs.toFloat, (sum0 / nFrames).toFloat,
+          if (channels > 1) (sum1 / nFrames).toFloat else 0f,
+          math.sqrt(sumSq / (nFrames.toLong * channels)).toFloat,
+          peak.toFloat)
+      } catch { case scala.util.control.NonFatal(_) => zero }
+      finally ais.close()
     }
   }
 

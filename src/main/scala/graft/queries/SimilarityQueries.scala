@@ -71,15 +71,28 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")),
 
     // The SCALE geometry of the same operator, oracle-checked in its own
-    // right: 8 bands × 8 bits cuts candidates ~21× (measured, SCALING.md)
-    // at the cost of recall at this low threshold (bandRecall(0.4,8,8)
-    // ≈ 0.18 vs 0.94 for 16×4) — high-threshold production near-dup
-    // keeps ≥0.9 recall here. Identical thresholds to s_embed_neardup,
-    // so the two outputs differ ONLY by candidate geometry.
-    "s_embed_neardup_scaled" -> ((s, dir) =>
-      Similarity.nearDupPairs(emb(s, dir), threshold = 0.4, prefilter = 0.35,
-        bands = 8, bandBits = 8)
-        .orderBy("id_a", "id_b")),
+    // right — and CHOSEN BY COMPUTATION, not hardcoded: chooseGeometry
+    // budgets the banding for the production capture threshold (0.9,
+    // recall target 0.9) at the corpus size read at plan-build time,
+    // which lands on 8 bands × 8 bits (the geometry that cut candidates
+    // ~21× in the measured SCALING.md run). The argmin is n-independent
+    // (expected candidates scale by a common n²/2 factor across all
+    // bandings), so the oracle's fixed 8×8 SQL is stable at every SF;
+    // n feeds the candidate-budget check, surfaced here as a plan-time
+    // guard. Recall at the query's deliberately-low 0.4 DEMO threshold
+    // is ~0.18 (vs 0.94 for 16×4) — that threshold exists only so the
+    // output stays comparable to s_embed_neardup row-for-row; the
+    // geometry is the thing under test.
+    "s_embed_neardup_scaled" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val geom = Similarity.chooseGeometry(
+        n = e.count(), threshold = 0.9, recallTarget = 0.9)
+      require(geom.bands == 8 && geom.bandBits == 8,
+        s"oracle SQL assumes the 8×8 banding; chooseGeometry picked $geom")
+      Similarity.nearDupPairs(e, threshold = 0.4, prefilter = 0.35,
+        geom, idCol = "vec_id", vecCol = "embedding")
+        .orderBy("id_a", "id_b")
+    }),
 
     // ANN quality measurement: recall@5 of the sign-LSH index against
     // the brute-force ground truth, per query — the metric that decides

@@ -368,7 +368,7 @@ class LlmOpsSpec extends SparkFunSuite {
     val rows = Seq(
       (1L, baos.toByteArray, "image/jpeg"),
       (2L, Array[Byte](1, 2, 3, 4), "image/png"), // not an image
-      (3L, "abc".getBytes("UTF-8"), "audio/wav")  // non-image → stub
+      (3L, "abc".getBytes("UTF-8"), "video/mp4")  // no JDK codec → stub
     ).toDF("id", "bytes", "kind")
     val media = rows.select(
       col("id").as("media_id"), col("bytes").as("payload"),
@@ -380,6 +380,69 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(by(1L).feature(0) == 6f && by(1L).feature(1) == 3f)
     assert(by(2L).feature.forall(_ == 0f)) // corrupt → zeros, no crash
     assert(math.abs(by(3L).feature.sum - 1f) < 1e-4) // stub histogram path
+  }
+
+  test("decodeFeatures: real stereo 16-bit WAV via javax.sound.sampled — exact sample math") {
+    implicit val s = graft.SparkTestBase.spark
+    import s.implicits._
+    import javax.sound.sampled._
+    // 8 stereo frames at 8 kHz, samples chosen so every feature is an
+    // exact binary fraction: ch0 = +0.5 ×4 then −0.5 ×4 (mean 0),
+    // ch1 = +0.25 ×8 (mean 0.25), peak 0.5, duration 8/8000 s = 1 ms,
+    // RMS = sqrt((8·0.25 + 8·0.0625)/16) = sqrt(0.15625).
+    val fmt = new AudioFormat(8000f, 16, 2, true, false) // PCM_SIGNED LE
+    val pcm = java.nio.ByteBuffer.allocate(8 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 8).foreach { f =>
+      pcm.putShort(if (f < 4) 16384.toShort else (-16384).toShort) // ch0
+      pcm.putShort(8192.toShort)                                   // ch1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array()), fmt, 8),
+      AudioFileFormat.Type.WAVE, baos)
+    val media = Multimodal.packBinary(
+      Seq((21L, baos.toByteArray)).toDF("id", "bytes"), "id", "bytes",
+      "audio/wav")
+    val f = Multimodal.decodeFeatures(media).collect().head
+    assert(f.media_id == 21L && f.kind == "audio/wav")
+    assert(f.feature(0) == 8000f, "sample rate")
+    assert(f.feature(1) == 2f, "channels")
+    assert(f.feature(2) == 8f, "frames")
+    assert(f.feature(3) == 1f, "duration_ms")
+    assert(f.feature(4) == 0f, "ch0 mean")
+    assert(f.feature(5) == 0.25f, "ch1 mean")
+    assert(f.feature(6) == math.sqrt(0.15625).toFloat, "rms")
+    assert(f.feature(7) == 0.5f, "peak")
+  }
+
+  test("decodeFeatures: mono 8-bit WAV (unsigned PCM) + corrupt audio → zero vector") {
+    implicit val s = graft.SparkTestBase.spark
+    import s.implicits._
+    import javax.sound.sampled._
+    // 8-bit WAV is unsigned, centered at 128: samples 192/64 normalize
+    // to +0.5/−0.5 → mean 0, peak 0.5, RMS 0.5; 4 frames at 4 kHz = 1 ms.
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_UNSIGNED, 4000f, 8, 1, 1, 4000f, false)
+    val pcm = Array[Byte](192.toByte, 64, 192.toByte, 64)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4),
+      AudioFileFormat.Type.WAVE, baos)
+    val media = Multimodal.packBinary(
+      Seq(
+        (1L, baos.toByteArray),
+        (2L, "RIFFgarbage-not-a-wav".getBytes("US-ASCII")),
+        (3L, Array.empty[Byte])
+      ).toDF("id", "bytes"), "id", "bytes", "audio/wav")
+    val by = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    assert(by(1L).sameElements(
+      Array(4000f, 1f, 4f, 1f, 0f, 0f, 0.5f, 0.5f)))
+    assert(by(2L).forall(_ == 0f), "undecodable audio → zeros, no crash")
+    assert(by(3L).forall(_ == 0f), "empty payload → zeros")
   }
 
   test("decodeFeatures: adversarially-corrupt payloads (plugin RuntimeExceptions) → zero vector") {
