@@ -264,6 +264,44 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // TPC-H Q21-shaped DEEP decorrelation: the same fact (lineitem) at
+    // THREE aliases — the outer l1 plus an EXISTS and a NOT EXISTS both
+    // correlated on l1's orderkey with a non-equi suppkey disequality —
+    // the hardest standard subquery-rewrite pattern. (The dataset has no
+    // receipt/commit dates, so "kept the order waiting" becomes "sole
+    // supplier with a returned item on a finished multi-supplier
+    // order" — identical join topology to Q21.) Catalyst must rewrite
+    // EXISTS → left-semi and NOT EXISTS → left-anti, each an equi-join
+    // on orderkey carrying the suppkey disequality as a residual — a
+    // nested-loop re-execution per outer row would be the scale-killer
+    // (asserted in PlanShapeSpec). nation is a broadcast dim; the three
+    // fact legs all shuffle on the same orderkey.
+    "q21_sole_blame" -> ((s, dir) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val views = Map("lineitem" -> s"q21_line_$tag", "orders" -> s"q21_ord_$tag",
+        "supplier" -> s"q21_supp_$tag", "nation" -> s"q21_nat_$tag")
+      views.foreach { case (n, v) => t(s, dir, n).createOrReplaceTempView(v) }
+      try s.sql(
+        s"""SELECT s_name, count(*) AS numwait
+           |FROM ${views("supplier")}
+           |JOIN ${views("lineitem")} l1 ON s_suppkey = l1.l_suppkey
+           |JOIN ${views("orders")} ON o_orderkey = l1.l_orderkey
+           |JOIN ${views("nation")} ON s_nationkey = n_nationkey
+           |WHERE o_orderstatus = 'F'
+           |  AND l1.l_returnflag = 'R'
+           |  AND n_name = 'NATION_3'
+           |  AND EXISTS (SELECT 1 FROM ${views("lineitem")} l2
+           |    WHERE l2.l_orderkey = l1.l_orderkey
+           |      AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM ${views("lineitem")} l3
+           |    WHERE l3.l_orderkey = l1.l_orderkey
+           |      AND l3.l_suppkey <> l1.l_suppkey
+           |      AND l3.l_returnflag = 'R')
+           |GROUP BY s_name
+           |ORDER BY numwait DESC, s_name""".stripMargin)
+      finally views.values.foreach(s.catalog.dropTempView(_))
+    }),
+
     // TPC-H Q6-shaped banded-predicate scan: every predicate (date range,
     // discount band, quantity cap) pushes into the parquet scan; the agg
     // is a single map-side-combine sum. The canonical "filter pushdown
@@ -535,6 +573,24 @@ object RelationalQueries {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q21_sole_blame" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "q6_banded_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue

@@ -125,6 +125,18 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q21_sole_blame: multi EXISTS/NOT EXISTS decorrelates to semi/anti joins") {
+    val p = plan("q21_sole_blame")
+    // The deepest standard decorrelation pattern: both correlated
+    // subqueries must become equi-joins on orderkey (semi + anti) with
+    // the suppkey disequality as a join residual — never a nested-loop
+    // or cartesian re-execution of the fact per outer row.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("t_quality: text scoring is map-only — no shuffle before the sort") {
     val p = plan("t_quality")
     // one exchange for the final presentation sort is allowed; no
