@@ -214,17 +214,28 @@ object ClickHouseDialect extends JdbcDialect {
   }
 
   /** `a UInt8` → Some(("a", "UInt8")); `` `odd name` String `` unquotes
-    * the backticks. A bare type (`Array(String)`, `Nullable(UInt8)`) has
-    * no top-level whitespace before its parenthesis and returns None.
+    * the backticks, un-escaping the `` `` `` pairs the write side emits
+    * for a backtick INSIDE a name (so quoted names round-trip exactly).
+    * A bare type (`Array(String)`, `Nullable(UInt8)`) has no top-level
+    * whitespace before its parenthesis and returns None.
     */
   private def splitNamedElement(arg: String): Option[(String, String)] = {
     val s = arg.trim
     if (s.startsWith("`")) {
-      val close = s.indexOf('`', 1)
+      // scan for the closing backtick, treating `` as an escaped literal
+      val name = new StringBuilder
+      var i = 1
+      var close = -1
+      while (i < s.length && close < 0) {
+        if (s.charAt(i) == '`') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '`') { name.append('`'); i += 2 }
+          else close = i
+        } else { name.append(s.charAt(i)); i += 1 }
+      }
       if (close < 0) None
       else {
         val rest = s.substring(close + 1).trim
-        if (rest.isEmpty) None else Some((s.substring(1, close), rest))
+        if (rest.isEmpty) None else Some((name.toString, rest))
       }
     } else {
       var i = 0
@@ -341,6 +352,14 @@ object ClickHouseDialect extends JdbcDialect {
     // second-precision and would silently truncate.
     case TimestampType => Some(JdbcType("DateTime64(6)", Types.TIMESTAMP))
     case TimestampNTZType => Some(JdbcType("DateTime64(6)", Types.TIMESTAMP))
+    // Array/Map/Struct mappings cover the CREATE TABLE DDL path (and
+    // are what the read side's parseType round-trips). The actual row
+    // WRITE path additionally needs a JDBC driver with the matching
+    // setter — Spark's JDBC writer has an array setter (Types.ARRAY
+    // works end-to-end on drivers exposing createArrayOf) but no
+    // map/struct setter, so Map/Tuple columns are DDL-only through
+    // this dialect: schemas round-trip, inserts of those columns
+    // require the ClickHouse driver's own writer or a flattened layout.
     case a: ArrayType =>
       chNestedDdl(a, nullable = false).map(JdbcType(_, Types.ARRAY))
     case m: MapType =>

@@ -120,6 +120,10 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     // backtick-quoted field names unquote
     assert(catalyst("Tuple(`odd name` UInt16)").contains(StructType(Seq(
       StructField("odd name", IntegerType, nullable = false)))))
+    // doubled backticks (the write side's escape for ` inside a name)
+    // un-escape on read, so such names round-trip instead of deferring
+    assert(catalyst("Tuple(`tick``name` UInt16)").contains(StructType(Seq(
+      StructField("tick`name", IntegerType, nullable = false)))))
     // tuples nest inside arrays/maps and vice versa
     assert(catalyst("Array(Tuple(Float32, Float32))")
       .contains(ArrayType(StructType(Seq(
@@ -160,8 +164,13 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     // non-identifier field names backtick-quote in the DDL
     val odd = StructType(Seq(StructField("odd name", IntegerType, nullable = false)))
     assert(ddl(odd).contains("Tuple(`odd name` Int32)"))
-    // write → read round trip preserves names, types, nullability
-    Seq(pt, odd,
+    // write → read round trip preserves names, types, nullability —
+    // including a field name CONTAINING a backtick (escaped as `` in
+    // the emitted DDL, un-escaped by the read side)
+    val ticked = StructType(Seq(
+      StructField("tick`name", IntegerType, nullable = false)))
+    assert(ddl(ticked).contains("Tuple(`tick``name` Int32)"))
+    Seq(pt, odd, ticked,
       StructType(Seq(StructField("pts",
         ArrayType(pt, containsNull = false), nullable = false)))).foreach { st =>
       val emitted = ddl(st).get
