@@ -70,6 +70,79 @@ object ScaleProbe {
       timed("full d_minhash")(
         Dedup.minhashNearDups(docs, "doc_id", "text", 0.6).count())
     }
+    if (what == "all" || what == "ivf") {
+      // Measured-ratio protocol for the IVF pipeline: the scale claim is
+      // that rerank work is the PROBED fraction of the corpus
+      // (~ q · nProbe/nlist · n rows — linear in n at fixed geometry),
+      // not the whole corpus. Reproduces ivfSearch's assignment with the
+      // library's own pieces and counts the rerank input.
+      import graft.plans.FloatVecOps.{floatDot, floatNorm2}
+      val emb = Sources.table(spark, sfDir, "embeddings")
+      val n = emb.count()
+      println(s"ivfCorpusRows=$n")
+      val nlist = 16
+      val nProbe = 4
+      val cents = emb.filter(col("vec_id") < nlist)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centvec"))
+      val centsN = cents.select(col("cid"), col("centvec"),
+        sqrt(floatNorm2(col("centvec"))).as("cnrm"))
+      val assigned = emb
+        .select(col("vec_id").as("vid"), col("embedding").as("cvec"),
+          sqrt(floatNorm2(col("embedding"))).as("vnrm"))
+        .join(broadcast(centsN))
+        .select(col("vid"), col("cid"),
+          round(floatDot(col("cvec"), col("centvec")) /
+            (col("vnrm") * col("cnrm")), 6).as("acos"))
+        .groupBy("vid")
+        .agg(max_by(col("cid"), struct(col("acos"), -col("cid"))).as("cell"))
+      val cellSizes = timed("assignment")(
+        assigned.groupBy("cell").count().collect())
+      println(s"ivfOccupiedCells=${cellSizes.length} " +
+        s"maxCell=${cellSizes.map(_.getLong(1)).max} " +
+        s"meanCell=${cellSizes.map(_.getLong(1)).sum / cellSizes.length}")
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      val qprobes = queries
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          sqrt(floatNorm2(col("embedding"))).as("qnrm"))
+        .join(broadcast(centsN))
+        .select(col("qid"), col("cid"),
+          round(floatDot(col("qvec"), col("centvec")) /
+            (col("qnrm") * col("cnrm")), 6).as("acos"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("acos").desc, col("cid"))))
+        .filter(col("rn") <= nProbe)
+        .select(col("qid"), col("cid").as("cell"))
+      println("ivfRerankCandidates=" + timed("probe-join count")(
+        assigned.join(broadcast(qprobes), Seq("cell"))
+          .filter(col("qid") =!= col("vid")).count()))
+      timed("full s_ann_ivf")(
+        Similarity.ivfTopK(emb, queries, k = 5).count())
+      timed("full s_ann_ivf_trained")(
+        Similarity.ivfTopKTrained(emb, queries, k = 5).count())
+    }
+    if (what == "all" || what == "contamination") {
+      // Measured-ratio protocol for the cross-corpus overlap join: the
+      // scale claim is that the inverted-index join meets rows only on
+      // SHARED shingle keys (output ~ sum of per-shingle test×train
+      // multiplicities), never on test×train document pairs.
+      import graft.operators.TextAnalysis
+      val d = Sources.table(spark, sfDir, "documents")
+      val splits = d.select(col("doc_id").as("id"),
+        TextAnalysis.hashSplit(col("doc_id")).as("split"))
+      val rel = Dedup.shingleRelation(d, "doc_id", "text").join(splits, "id")
+      val test = rel.filter(col("split") === "test")
+      val testRows = timed("test shingle rows")(test.count())
+      val trainShingles = rel.filter(col("split") === "train")
+        .select("shingle").distinct()
+      val trainRows = timed("distinct train shingles")(trainShingles.count())
+      val joined = timed("inverted-index join rows")(
+        test.join(trainShingles, "shingle").count())
+      println(s"contamTestShingleRows=$testRows " +
+        s"contamTrainDistinctShingles=$trainRows contamJoinRows=$joined")
+      timed("full t_contamination")(
+        SparkEntry.queries("t_contamination")(spark, sfDir).count())
+    }
     if (what == "all" || what == "embed") {
       val emb = Sources.table(spark, sfDir, "embeddings")
       for ((bands, bits) <- Seq((16, 4), (8, 8))) {
