@@ -249,6 +249,63 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
+  /** Per-dimension stats for SQ8 scalar quantization: (pos, mn, mx) with
+    * `pos` 0-based. One posexplode + one map-side-combined aggregate —
+    * O(dims) output rows regardless of corpus size. At 100 TB, train on
+    * a sample exactly as with [[trainCentroids]].
+    */
+  def sq8Stats(corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
+    corpus.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+
+  /** SQ8 encode: map a float-vector column to per-dimension byte codes
+    * 0–255 — `floor((v − mn)/(mx − mn)·255 + 0.5)` — against stats
+    * literals (the [[sq8Stats]] rows, collected: O(dims) driver state,
+    * same class as broadcast centroids). This is the memory-compression
+    * half of the large-scale ANN story: 64 float32 dims become 64 bytes,
+    * a 4× cut in scan bytes (FAISS's SQ8), composing with IVF cells —
+    * store codes per cell, scan compressed, rerank survivors at full
+    * precision. The map is a pure codegen `transform`, so encoding fuses
+    * with the scan. A degenerate dimension (mx = mn) encodes to 0.
+    * Determinism: plain double arithmetic with a fixed association, so
+    * any engine computing the same formula lands on the same codes.
+    */
+  def sq8Encode(vec: Column, mns: Seq[Double], mxs: Seq[Double]): Column =
+    transform(vec, (v, i) => {
+      val mn = element_at(lit(mns.toArray), i + 1)
+      val mx = element_at(lit(mxs.toArray), i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(floor((v.cast("double") - mn) / (mx - mn) * lit(255.0)
+          + lit(0.5)))
+        .cast("int")
+    })
+
+  /** SQ8 decode: codes → reconstructed doubles `c/255·(mx − mn) + mn`
+    * (the centers the encoder rounded to, up to the floor step). Search
+    * over reconstructions is ASYMMETRIC distance computation: queries
+    * stay full-precision, only the corpus pays the quantization error.
+    */
+  def sq8Dequantize(codes: Column, mns: Seq[Double], mxs: Seq[Double]): Column =
+    transform(codes, (c, i) => {
+      val mn = element_at(lit(mns.toArray), i + 1)
+      val mx = element_at(lit(mxs.toArray), i + 1)
+      c.cast("double") / lit(255.0) * (mx - mn) + mn
+    })
+
+  /** Exact-decimal squared reconstruction error Σ(aᵢ−bᵢ)² — order-
+    * independent accumulation, so both engines produce identical doubles.
+    */
+  def squaredErrorExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        (d * d).cast(TermType)
+      }),
+      lit(0).cast(AccType), (acc, v) => (acc + v).cast(AccType))
+      .cast("double")
+
   /** Full 64-bit sign signature: one '0'/'1' char per dimension. */
   def signSignature(vec: Column, dim: Int = 64): Column =
     concat((1 to dim).map(i =>

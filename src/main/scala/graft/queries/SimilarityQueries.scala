@@ -137,7 +137,75 @@ object SimilarityQueries {
         e, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
         .orderBy("qid", "rank")
     }),
+
+    // SQ8 scalar quantization, reconstruction side: per-dimension byte
+    // codes against corpus min/max stats, decoded back, with the exact-
+    // decimal per-vector MSE — every code and every error value is
+    // hash-checked. The memory half of scale ANN: 64 float32 dims → 64
+    // bytes (4× scan-byte cut), encode fused into the scan as a codegen
+    // transform; stats are O(dims) driver state (broadcast-literal
+    // class, like centroids).
+    "s_sq8_recon" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (mns, mxs) = sq8StatsOf(e)
+      val codes = Similarity.sq8Encode(col("embedding"), mns, mxs)
+      val deq = Similarity.sq8Dequantize(codes, mns, mxs)
+      e.filter(col("vec_id") < 50)
+        .select(col("vec_id"), codes.as("codes"), deq.as("deq"),
+          col("embedding"))
+        .select(col("vec_id"),
+          array_min(col("codes")).as("min_code"),
+          array_max(col("codes")).as("max_code"),
+          round(Similarity.squaredErrorExact(col("embedding"), col("deq"))
+            / lit(64.0), 9).as("mse"))
+        .orderBy("vec_id")
+    }),
+
+    // SQ8 ANN: brute-force top-5 where the CORPUS side is the SQ8
+    // reconstruction and queries stay full precision — asymmetric
+    // distance computation, the way a compressed index is actually
+    // searched. Rankings match the uncompressed brute force wherever
+    // quantization error doesn't flip an order; the oracle reproduces
+    // the codes, the reconstructions, and the exact-decimal cosines.
+    "s_sq8_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (mns, mxs) = sq8StatsOf(e)
+      val deqCorpus = e.select(col("vec_id"),
+        Similarity.sq8Dequantize(
+          Similarity.sq8Encode(col("embedding"), mns, mxs), mns, mxs)
+          .as("embedding"))
+      Similarity.bruteForceTopK(
+        deqCorpus, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+        .orderBy("qid", "rank")
+    }),
   )
+
+  /** Collected [[Similarity.sq8Stats]] as (mns, mxs) literal seqs in
+    * 0-based dimension order — O(dims) driver rows.
+    */
+  private def sq8StatsOf(e: DataFrame): (Seq[Double], Seq[Double]) = {
+    val st = Similarity.sq8Stats(e).orderBy("pos").collect()
+    (st.map(_.getDouble(1)).toSeq, st.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Oracle CTEs shared by the SQ8 queries: per-dimension stats and the
+    * reconstructed corpus vectors, 1-based `i` matching DuckDB array
+    * indexing (= Spark's 0-based transform index + 1).
+    */
+  private val sq8DeqCte: String =
+    """stats AS (SELECT i AS pos,
+      |    min(CAST(embedding[i] AS DOUBLE)) AS mn,
+      |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+      |  FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY i),
+      |enc AS (SELECT e.vec_id, s.pos,
+      |    CAST(e.embedding[s.pos] AS DOUBLE) AS v, s.mn, s.mx,
+      |    CASE WHEN s.mx = s.mn THEN 0
+      |      ELSE CAST(floor((CAST(e.embedding[s.pos] AS DOUBLE) - s.mn)
+      |        / (s.mx - s.mn) * 255.0 + 0.5) AS INT) END AS c
+      |  FROM embeddings e CROSS JOIN stats s),
+      |deq AS (SELECT vec_id, pos, v, c,
+      |    CAST(c AS DOUBLE) / 255.0 * (mx - mn) + mn AS d
+      |  FROM enc)""".stripMargin
 
   /** Second instantiation of the exact-decimal cosine pattern, over an
     * arbitrary pair relation (used for IVF centroid assignment).
@@ -340,5 +408,27 @@ object SimilarityQueries {
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin
     },
+    "s_sq8_recon" ->
+      s"""WITH $sq8DeqCte
+        |SELECT vec_id, min(c) AS min_code, max(c) AS max_code,
+        |  round(CAST(sum(CAST((v - d) * (v - d) AS DECIMAL(25,12)))
+        |      AS DOUBLE) / 64.0, 9) AS mse
+        |FROM deq WHERE vec_id < 50
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "s_sq8_ann" ->
+      s"""WITH $sq8DeqCte,
+        |dvec AS (SELECT vec_id, list(d ORDER BY pos) AS dv
+        |  FROM deq GROUP BY vec_id),
+        |cand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    q.embedding AS qvec, c.dv AS cvec
+        |  FROM embeddings q JOIN dvec c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2)),
+        |$cosCte,
+        |ranked AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -562,6 +562,30 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(math.abs(feats(5) - 0.5f) < 0.05f) // meanB
   }
 
+  test("sq8: codes in [0,255], reconstruction within half a step per dim") {
+    val st = Similarity.sq8Stats(emb).orderBy("pos").collect()
+    assert(st.length == 64)
+    val mns = st.map(_.getDouble(1)).toSeq
+    val mxs = st.map(_.getDouble(2)).toSeq
+    assert(mns.zip(mxs).forall { case (mn, mx) => mx > mn })
+    val codes = Similarity.sq8Encode(col("embedding"), mns, mxs)
+    val rows = emb.select(col("embedding"), codes.as("codes"),
+      Similarity.sq8Dequantize(codes, mns, mxs).as("deq")).collect()
+    rows.foreach { r =>
+      val vs = r.getSeq[Float](0).map(_.toDouble)
+      val cs = r.getSeq[Int](1)
+      val ds = r.getSeq[Double](2)
+      assert(cs.forall(x => x >= 0 && x <= 255))
+      // |v − decode(encode(v))| ≤ step/2 (+ floating slack): the decoder
+      // returns the center the floor(+0.5) encoder rounded to
+      vs.indices.foreach { i =>
+        val step = (mxs(i) - mns(i)) / 255.0
+        assert(math.abs(vs(i) - ds(i)) <= step / 2 + 1e-12,
+          s"dim $i: v=${vs(i)} deq=${ds(i)} step=$step")
+      }
+    }
+  }
+
   test("bandRecall: limits, monotonicity, and the documented design points") {
     // identical vectors always collide; orthogonal ones (p=0.5) rarely
     assert(Similarity.bandRecall(1.0, 16, 4) == 1.0)
