@@ -63,6 +63,28 @@ object TextAnalysis {
     ceil(nChars.cast("double") / 4.0).cast("long"),
     size(regexp_extract_all(text, lit("[a-z]+"), lit(0))))
 
+  /** PII-scrub patterns — deliberately restricted to syntax that parses
+    * identically under Java regex (Spark) and RE2 (DuckDB, and the
+    * engines most scrubbers embed): character classes, bounded repeats,
+    * ASCII `\b` word boundaries; no backrefs, no lookaround. Order of
+    * application matters: the 9-digit id pattern is scrubbed before the
+    * phone pattern so its tail digits can never half-match as a phone.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{4}\\b"
+  val IdNumRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Redact emails / phone-shaped / SSN-shaped substrings with typed
+    * placeholder tags — the standard pre-training PII pass. Pure codegen
+    * `regexp_replace` chain: map-only over the scan at 100 TB, no UDF.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, IdNumRe, "[ID]"),
+        EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
   /** Deterministic train/val/test assignment by content-free id hashing:
     * the first two hex chars of `md5(salt || id)` partition the id space
     * into 256 uniform bands, split 205/26/25 ≈ 80/10/10. Pure map-side

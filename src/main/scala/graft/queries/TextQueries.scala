@@ -130,6 +130,30 @@ object TextQueries {
         .orderBy("lang", "rn")
     }),
 
+    // PII scrubbing: the pre-training redaction pass. The corpus is
+    // synthetic word soup with no PII, so the query first INJECTS
+    // deterministic doc_id-derived PII (an email, a phone-shaped and an
+    // SSN-shaped number) and then scrubs it — both engines reproduce
+    // the injection, and the scrub output is verified by value (match
+    // counts per pattern + md5 of the cleaned text, all hash-checked).
+    // Map-only codegen regexp chain; at 100 TB this fuses into the scan.
+    "t_pii" -> ((s, dir) => {
+      val injected = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-0142 ref 123-45-6789")).as("text"))
+      injected.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(TA.EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(TA.PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("text"), lit(TA.IdNumRe)).cast("long").as("n_id"),
+        md5(TA.scrubPii(col("text")).cast("binary")).as("scrub_md5"),
+        (length(col("text")) - length(TA.scrubPii(col("text"))))
+          .cast("long").as("chars_removed"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark-contamination check: for every test-split document, the
     // fraction of its 3-gram shingles that appear anywhere in the train
     // split. The join is inverted-index on the shingle key (only shared
@@ -280,6 +304,28 @@ object TextQueries {
         |      ORDER BY score DESC, doc_id) AS rn
         |  FROM scored)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "t_pii" ->
+      """WITH pii AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 555-0142 ref 123-45-6789' AS text
+        |  FROM documents WHERE doc_id < 200),
+        |scrub AS (SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS clean
+        |  FROM pii)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{4}\b'))
+        |    AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+        |    AS BIGINT) AS n_id,
+        |  md5(clean) AS scrub_md5,
+        |  CAST(length(text) - length(clean) AS BIGINT) AS chars_removed
+        |FROM scrub ORDER BY doc_id""".stripMargin,
     "t_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |    FROM documents),
