@@ -302,6 +302,37 @@ object RelationalQueries {
       finally views.values.foreach(s.catalog.dropTempView(_))
     }),
 
+    // TPC-H Q17-shaped CROSS-TABLE correlated scalar aggregate: lineitem
+    // rows below 20% of THEIR part's average quantity — the correlated
+    // subquery aggregates a DIFFERENT relation (the fact) than the outer
+    // filter row, so Catalyst must decorrelate it into a per-partkey
+    // aggregate joined back on the fact's own key (vs a_correlated's
+    // same-table form). Exact-decimal sum/count for the threshold so
+    // both engines compare identical doubles. Per-brand output keeps the
+    // result multi-row.
+    "q17_small_quantity" -> ((s, dir) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val (lv, pv) = (s"q17_line_$tag", s"q17_part_$tag")
+      t(s, dir, "lineitem").createOrReplaceTempView(lv)
+      t(s, dir, "part").createOrReplaceTempView(pv)
+      try s.sql(
+        s"""SELECT p_brand,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    / 7.0 AS avg_yearly
+           |FROM $lv JOIN $pv ON p_partkey = l_partkey
+           |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+           |  AND l_quantity < (
+           |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+           |        AS DOUBLE) / CAST(count(*) AS DOUBLE))
+           |    FROM $lv l2 WHERE l2.l_partkey = p_partkey)
+           |GROUP BY p_brand
+           |ORDER BY p_brand""".stripMargin)
+      finally {
+        s.catalog.dropTempView(lv)
+        s.catalog.dropTempView(pv)
+      }
+    }),
+
     // TPC-H Q6-shaped banded-predicate scan: every predicate (date range,
     // discount band, quantity cap) pushes into the parquet scan; the agg
     // is a single map-side-combine sum. The canonical "filter pushdown
@@ -591,6 +622,18 @@ object RelationalQueries {
         |      AND l3.l_returnflag = 'R')
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |        AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "q6_banded_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue

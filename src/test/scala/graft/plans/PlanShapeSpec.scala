@@ -137,6 +137,15 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q17_small_quantity: cross-table correlated scalar agg decorrelates") {
+    val p = plan("q17_small_quantity")
+    // the correlated per-partkey average must become ONE aggregate over
+    // the fact joined back on l_partkey — not a re-executed subquery or
+    // nested-loop per outer row
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t_quality: text scoring is map-only — no shuffle before the sort") {
     val p = plan("t_quality")
     // one exchange for the final presentation sort is allowed; no
