@@ -178,6 +178,26 @@ object SimilarityQueries {
         deqCorpus, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
         .orderBy("qid", "rank")
     }),
+
+    // The COMPOSED scale index, end-to-end: IVF cells over an SQ8-
+    // compressed corpus — at 100 TB the index stores only byte codes
+    // (4× fewer scan bytes), cells bound the scan to the probed
+    // fraction, and queries stay full precision. Corpus vectors are
+    // reconstructions cast back to float (codes are all that's kept);
+    // centroids, assignment, probing, and rerank all run on the
+    // compressed representation via the same ivfTopK as s_ann_ivf.
+    // Every stage is hash-checked by the oracle below.
+    "s_ann_ivf_sq8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (mns, mxs) = sq8StatsOf(e)
+      val deqCorpus = e.select(col("vec_id"),
+        Similarity.sq8Dequantize(
+          Similarity.sq8Encode(col("embedding"), mns, mxs), mns, mxs)
+          .cast("array<float>").as("embedding"))
+      Similarity.ivfTopK(
+        deqCorpus, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+        .orderBy("qid", "rank")
+    }),
   )
 
   /** Collected [[Similarity.sq8Stats]] as (mns, mxs) literal seqs in
@@ -415,6 +435,40 @@ object SimilarityQueries {
         |      AS DOUBLE) / 64.0, 9) AS mse
         |FROM deq WHERE vec_id < 50
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "s_ann_ivf_sq8" ->
+      s"""WITH $sq8DeqCte,
+        |dvecf AS (SELECT vec_id, list(CAST(d AS REAL) ORDER BY pos) AS dv
+        |  FROM deq GROUP BY vec_id),
+        |cents AS (SELECT vec_id AS cid, dv AS centvec
+        |  FROM dvecf WHERE vec_id < 16),
+        |apairs AS (SELECT v.vec_id AS vid, v.dv AS evec, c.cid, c.centvec
+        |  FROM dvecf v CROSS JOIN cents c),
+        |${cosBlock("apairs", "vid", "cid", "evec", "centvec", "ascored")},
+        |assigned AS (SELECT vid, cid AS cell FROM (
+        |    SELECT vid, cid, row_number() OVER (
+        |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+        |      FROM ascored) WHERE rn = 1),
+        |qpairs AS (SELECT q.vec_id AS qid, q.embedding AS qv,
+        |    c.cid, c.centvec
+        |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id IN (0, 1, 2)),
+        |${cosBlock("qpairs", "qid", "cid", "qv", "centvec", "qscored")},
+        |qprobes AS (SELECT qid, cid AS cell FROM (
+        |    SELECT qid, cid, row_number() OVER (
+        |        PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |      FROM qscored) WHERE rn <= 4),
+        |cand AS (SELECT p.qid, a.vid,
+        |    qe.embedding AS qvec, ce.dv AS cvec
+        |  FROM qprobes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vid <> p.qid
+        |  JOIN embeddings qe ON qe.vec_id = p.qid
+        |  JOIN dvecf ce ON ce.vec_id = a.vid),
+        |$cosCte,
+        |ranked AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "s_sq8_ann" ->
       s"""WITH $sq8DeqCte,
         |dvec AS (SELECT vec_id, list(d ORDER BY pos) AS dv
