@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *    only candidates pay the exact-Jaccard verification join. At 100 TB
   *    this is the only shape that works — the direct pairwise operator
   *    [[jaccardPairs]] is provided for verification at small n.
-  *  - All hashing is md5-based and arithmetic-free so the DuckDB oracle
-  *    can reproduce signatures bit-for-bit (lexicographic min over
-  *    `md5(shingle || ':' || i)` replaces the usual `(a·h+b) mod p`
-  *    family — same minwise-independence idea, engine-portable).
+  *  - All hashing is md5-derived so the DuckDB oracle can reproduce
+  *    signatures bit-for-bit: the k MinHash functions are
+  *    Kirsch–Mitzenmacher double hashes `h1 + i·h2` over the two 32-bit
+  *    halves of one md5 digest — same minwise-independence idea as the
+  *    usual `(a·h+b) mod p` family, engine-portable, one digest per
+  *    shingle occurrence instead of k.
   */
 object Dedup {
 
@@ -79,9 +81,10 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
-  /** MinHash band keys: k = bands*rowsPerBand hash functions
-    * h_i(s) = md5(s || ':' || i), signature = per-i lexicographic min,
-    * band key = concat of the band's minima. Returns (id, band, key).
+  /** MinHash band keys: k = bands*rowsPerBand hash functions derived
+    * from ONE md5 per shingle (Kirsch–Mitzenmacher double hashing),
+    * signature = per-i min, band key = concat of the band's minima.
+    * Returns (id, band, key).
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 6, rowsPerBand: Int = 2): DataFrame =
@@ -89,23 +92,44 @@ object Dedup {
 
   /** Band keys from a prebuilt (id, shingle) relation.
     *
+    * The k hash functions are Kirsch–Mitzenmacher double hashes
+    * `h_i(s) = h1(s) + i·h2(s)` where h1/h2 are the two 32-bit halves
+    * of ONE `md5(shingle)` — the standard trick for simulating k
+    * independent hash families from two base hashes. vs the previous
+    * `md5(s || ':' || i)`-per-i formulation this cuts the dominant
+    * map-side CPU by k× (one digest instead of twelve per (doc,shingle)
+    * occurrence — md5 of a ~20-char shingle is ~100 ns, and at 100 TB
+    * the signature pass is hash-bound), while staying fully
+    * oracle-portable: DuckDB reproduces h1/h2 with the same
+    * `'0x' || substring(md5(…))` cast the KMV sketch already uses.
+    * 32-bit halves keep every h_i exact in a signed 64-bit long
+    * (max h1 + 11·h2 < 2^36) in BOTH engines — 64-bit halves would
+    * need unsigned/decimal arithmetic DuckDB and Spark disagree on.
+    *
     * Hashes are computed INLINE per (doc, shingle) occurrence and
     * min-aggregated in the same pass: the whole signature table costs ONE
     * shuffle (groupBy id with k min() aggregates, map-side combined to k
     * minima per id per partition). The alternative — hash each DISTINCT
     * shingle once and join back — saves `corpus_frequency ×` redundant
-    * md5s (~10× here) but pays two extra full-relation shuffles (the
-    * distinct and the join-back on long string keys); md5 of a ~20-char
-    * shingle is ~100ns of map-side CPU, so at any scale the shuffles cost
+    * md5s but pays two extra full-relation shuffles (the distinct and
+    * the join-back on long string keys); at any scale the shuffles cost
     * orders of magnitude more than the recomputed hashes. Band keys then
     * explode from an inline array (no further shuffle).
     */
   def bandsFromRelation(rel: DataFrame,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
+    // One md5, projected once; Catalyst CSE would share the digest
+    // between the two substrings anyway, but the explicit projection
+    // keeps the plan (and the oracle SQL mirroring it) readable.
+    val hashed = rel.select(col("id"),
+      conv(substring(md5(col("shingle")), 1, 8), 16, 10)
+        .cast("long").as("h1"),
+      conv(substring(md5(col("shingle")), 9, 8), 16, 10)
+        .cast("long").as("h2"))
     val minCols = (0 until k).map(i =>
-      min(md5(concat(col("shingle"), lit(":" + i)))).as(s"m$i"))
-    val sigs = rel.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    val sigs = hashed.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       val keyCols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("|", keyCols: _*).as("key"))

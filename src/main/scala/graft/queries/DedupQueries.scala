@@ -50,7 +50,8 @@ object DedupQueries {
         docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text", 0.3)
         .orderBy("id_a", "id_b")),
 
-    // MinHash + LSH banding: md5-minwise signatures (6 bands × 2 rows),
+    // MinHash + LSH banding: Kirsch–Mitzenmacher minwise signatures
+    // (one md5 per shingle, k=12 derived hashes, 6 bands × 2 rows),
     // bucket-join candidates, exact-Jaccard verification of candidates.
     "d_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", 0.5)
@@ -115,9 +116,12 @@ object DedupQueries {
         |ORDER BY id_a, id_b""".stripMargin,
     "d_minhash" ->
       s"""WITH ${shingleCte()},
-        |hashes AS (SELECT doc_id, hi.i AS i,
-        |    md5(shingle || ':' || hi.i) AS h
-        |  FROM sh, generate_series(0, 11) AS hi(i)),
+        |base AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substring(md5(shingle), 9, 8)) AS BIGINT) AS h2
+        |  FROM sh),
+        |hashes AS (SELECT doc_id, hi.i AS i, h1 + hi.i * h2 AS h
+        |  FROM base, generate_series(0, 11) AS hi(i)),
         |bands AS (SELECT doc_id, i // 2 AS band,
         |    min(CASE WHEN i % 2 = 0 THEN h END) AS m0,
         |    min(CASE WHEN i % 2 = 1 THEN h END) AS m1
