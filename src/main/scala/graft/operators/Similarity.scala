@@ -249,6 +249,29 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
+  /** Mean-pooled centroid per group, in LONG form: (group key, pos, m)
+    * with `pos` 0-based and `m` the per-dimension exact-decimal mean
+    * rounded to 6 dp — the arithmetic [[trainCentroids]] uses, so the
+    * result is oracle-reproducible bit-for-bit. The long layout is the
+    * shuffle-friendly one (keyed by (group, pos), map-side-combined
+    * decimal sums, O(groups × dims) output regardless of corpus size);
+    * reassemble arrays downstream with the same array_sort/transform
+    * collect [[trainCentroids]] uses if a vector column is needed.
+    * This is the "class centroid" primitive: per-language / per-cluster
+    * mean embeddings for pseudo-labeling, drift monitoring, or seeding
+    * a coarse quantizer from labeled strata.
+    */
+  def meanPool(df: DataFrame, groupCols: Seq[String],
+      vecCol: String = "embedding", scale: Int = 6): DataFrame =
+    df.select(groupCols.map(col) :+
+        posexplode(col(vecCol)).as(Seq("pos", "v")): _*)
+      .groupBy(groupCols.map(col) :+ col("pos"): _*)
+      .agg(sum(col("v").cast("double").cast(TermType)).as("s"),
+        count(lit(1)).as("n"))
+      .select(groupCols.map(col) :+ col("pos") :+
+        round(col("s").cast("double") / col("n").cast("double"), scale)
+          .as("m"): _*)
+
   /** Per-dimension stats for SQ8 scalar quantization: (pos, mn, mx) with
     * `pos` 0-based. One posexplode + one map-side-combined aggregate —
     * O(dims) output rows regardless of corpus size. At 100 TB, train on

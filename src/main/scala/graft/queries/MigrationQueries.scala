@@ -116,6 +116,49 @@ object MigrationQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang")),
+
+    // Incremental-sync delta detection — the operation a RE-RUN of the
+    // migrator needs once a target already exists: which partitions
+    // drifted since the last sync? Per partition, ONE scan of each side
+    // computes (row count, order-independent content checksum: sum of a
+    // 32-bit md5 prefix over a typed row fingerprint); a full-outer join
+    // on the partition key classifies every partition as clean / missing
+    // (in src only) / orphaned (in dst only) / changed (content drift
+    // count alone would miss). This is the scale shape for 100 TB
+    // incremental syncs: no row-level compare, no shuffle of row data —
+    // two map-side-combined aggregates of O(partitions) rows each, so
+    // re-sync work is proportional to the drift, not the table. The
+    // checksum sums 32-bit values in a 64-bit long (overflow-free up to
+    // ~2^31 rows per partition; at bigger partitions widen to
+    // decimal(38,0) — DuckDB's hugeint — before summing). The simulated
+    // prior target drops one whole partition and one partition's
+    // high-quantity rows, so both non-clean classes appear.
+    "m_delta_detect" -> ((s, dir) => {
+      val src = li(s, dir)
+      val dst = src.filter(
+        monthStr(col("l_shipdate")) =!= "1995-06" &&
+          !(monthStr(col("l_shipdate")) === "1996-03" &&
+            col("l_quantity") > 40))
+      def state(df: DataFrame, cnt: String, ck: String) = df
+        .groupBy(monthStr(col("l_shipdate")).as("part"))
+        .agg(count(lit(1)).as(cnt),
+          sum(conv(substring(md5(concat_ws("|",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"),
+            col("l_quantity").cast("long").cast("string"))), 1, 8), 16, 10)
+            .cast("long")).as(ck))
+      state(src, "src_count", "src_ck")
+        .join(state(dst, "dst_count", "dst_ck"), Seq("part"), "full_outer")
+        .select(col("part"),
+          coalesce(col("src_count"), lit(0L)).as("src_count"),
+          coalesce(col("dst_count"), lit(0L)).as("dst_count"),
+          when(col("dst_count").isNull, lit("missing"))
+            .when(col("src_count").isNull, lit("orphaned"))
+            .when(col("src_count") === col("dst_count") &&
+              col("src_ck") === col("dst_ck"), lit("clean"))
+            .otherwise(lit("changed")).as("status"))
+        .orderBy("part")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -167,5 +210,31 @@ object MigrationQueries {
       """SELECT lang, count(*) AS cnt FROM documents
         |WHERE text LIKE '%spark%'
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+    "m_delta_detect" ->
+      """WITH fp AS (SELECT strftime(l_shipdate, '%Y-%m') AS part,
+        |    l_quantity,
+        |    CAST(('0x' || substring(md5(
+        |        CAST(l_orderkey AS VARCHAR) || '|' ||
+        |        CAST(l_linenumber AS VARCHAR) || '|' ||
+        |        CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM lineitem),
+        |src AS (SELECT part, count(*) AS src_count,
+        |    CAST(sum(h) AS BIGINT) AS src_ck
+        |  FROM fp GROUP BY 1),
+        |dst AS (SELECT part, count(*) AS dst_count,
+        |    CAST(sum(h) AS BIGINT) AS dst_ck
+        |  FROM fp
+        |  WHERE part <> '1995-06' AND NOT (part = '1996-03' AND l_quantity > 40)
+        |  GROUP BY 1)
+        |SELECT COALESCE(src.part, dst.part) AS part,
+        |  COALESCE(src_count, 0) AS src_count,
+        |  COALESCE(dst_count, 0) AS dst_count,
+        |  CASE WHEN dst_count IS NULL THEN 'missing'
+        |       WHEN src_count IS NULL THEN 'orphaned'
+        |       WHEN src_count = dst_count AND src_ck = dst_ck THEN 'clean'
+        |       ELSE 'changed' END AS status
+        |FROM src FULL JOIN dst ON src.part = dst.part
+        |ORDER BY part""".stripMargin,
   )
 }

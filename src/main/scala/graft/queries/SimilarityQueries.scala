@@ -198,6 +198,21 @@ object SimilarityQueries {
         deqCorpus, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
         .orderBy("qid", "rank")
     }),
+
+    // Per-language mean-pooled embedding centroid (documents ⋈
+    // embeddings on id), in shuffle-friendly long form — the "class
+    // centroid" primitive for pseudo-labeling / drift monitoring /
+    // stratified quantizer seeding. Exact-decimal means (trainCentroids
+    // arithmetic) keep it hash-checkable; output is O(langs × dims)
+    // however large the corpus.
+    "s_lang_centroid" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val joined = emb(s, dir)
+        .join(d, col("vec_id") === col("doc_id"))
+      Similarity.meanPool(joined, Seq("lang"))
+        .orderBy("lang", "pos")
+    }),
   )
 
   /** Collected [[Similarity.sq8Stats]] as (mns, mxs) literal seqs in
@@ -428,6 +443,15 @@ object SimilarityQueries {
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin
     },
+    "s_lang_centroid" ->
+      """SELECT d.lang, i - 1 AS pos,
+        |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
+        |      AS DECIMAL(25,12))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS m
+        |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id,
+        |  generate_series(1, 64) AS t(i)
+        |GROUP BY d.lang, i
+        |ORDER BY lang, pos""".stripMargin,
     "s_sq8_recon" ->
       s"""WITH $sq8DeqCte
         |SELECT vec_id, min(c) AS min_code, max(c) AS max_code,

@@ -72,6 +72,56 @@ object SketchQueries {
         .orderBy("l_returnflag")
     }),
 
+    // KMV sketch SET ALGEBRA (Beyer et al. 2007, "On synopses for
+    // distinct-value estimation under multiset operations"): the k
+    // smallest hashes of two key sets are mergeable states whose merge
+    // (k smallest of the union) estimates |A∪B|, and the fraction of the
+    // union sketch present in BOTH input sketches estimates Jaccard,
+    // giving |A∩B| ≈ ρ·|A∪B| — distinct-set intersection WITHOUT ever
+    // joining the sets. The 100-TB shape: each side's k-minima come from
+    // TakeOrderedAndProject (per-partition top-k, merged at the driver —
+    // no global sort), so two 100-TB scans reduce to two k-row states
+    // before any cross-side work; the exact columns (for the
+    // oracle-checked error) are the expensive distinct counts the sketch
+    // replaces. A = orderkeys shipped 1995, B = shipped 1995H2..1996
+    // (overlapping ranges → nontrivial intersection).
+    "x_kmv_setops" -> ((s, dir) => {
+      val liDf = t(s, dir, "lineitem")
+      val k = 64
+      def keys(lo: String, hi: String) = liDf
+        .filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+          col("l_shipdate") < lit(hi).cast("timestamp"))
+        .select(col("l_orderkey")).distinct()
+      def sketch(df: DataFrame) = df
+        .select(conv(substring(md5(col("l_orderkey").cast("string")), 1, 8),
+          16, 10).cast("long").as("h"))
+        .distinct().orderBy("h").limit(k)
+      val (aKeys, bKeys) = (keys("1995-01-01", "1996-01-01"),
+        keys("1995-07-01", "1997-01-01"))
+      val (kA, kB) = (sketch(aKeys), sketch(bKeys))
+      val kU = kA.union(kB).distinct().orderBy("h").limit(k)
+      val flagged = kU
+        .join(kA.withColumn("in_a", lit(1)), Seq("h"), "left")
+        .join(kB.withColumn("in_b", lit(1)), Seq("h"), "left")
+        .agg(count(lit(1)).as("n_u"), max(col("h")).as("kth"),
+          sum(coalesce(col("in_a"), lit(0)) * coalesce(col("in_b"), lit(0)))
+            .as("n_both"))
+      val exact = keys("1995-01-01", "1997-01-01")
+        .agg(count(lit(1)).as("exact_union"))
+        .crossJoin(
+          aKeys.join(bKeys, Seq("l_orderkey"), "left_semi")
+            .agg(count(lit(1)).as("exact_inter")))
+      val estU = when(col("n_u") < k, col("n_u").cast("double"))
+        .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("kth").cast("double"))
+      flagged.crossJoin(exact).select(
+        round(estU, 4).as("est_union"),
+        col("exact_union"),
+        col("n_both"),
+        round((col("n_both").cast("double") / col("n_u").cast("double"))
+          * estU, 4).as("est_inter"),
+        col("exact_inter"))
+    }),
+
     // As-of join: every event picks up the user's latest prior (or
     // simultaneous) signup. DuckDB's native ASOF LEFT JOIN is the
     // oracle; the Spark side is the union-window composition
@@ -126,6 +176,45 @@ object SketchQueries {
         |    AS err_pct
         |FROM kth k JOIN ex ON k.l_returnflag = ex.l_returnflag
         |ORDER BY k.l_returnflag""".stripMargin,
+    "x_kmv_setops" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'),
+        |b AS (SELECT DISTINCT l_orderkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-07-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |ka AS (SELECT DISTINCT CAST(('0x' ||
+        |      substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    AS h
+        |  FROM a ORDER BY h LIMIT 64),
+        |kb AS (SELECT DISTINCT CAST(('0x' ||
+        |      substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    AS h
+        |  FROM b ORDER BY h LIMIT 64),
+        |ku AS (SELECT DISTINCT h FROM (
+        |    SELECT h FROM ka UNION ALL SELECT h FROM kb) u
+        |  ORDER BY h LIMIT 64),
+        |fl AS (SELECT count(*) AS n_u, max(ku.h) AS kth,
+        |    CAST(sum(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |  FROM ku LEFT JOIN ka ON ku.h = ka.h LEFT JOIN kb ON ku.h = kb.h),
+        |ex AS (SELECT
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01') AS exact_union,
+        |    (SELECT count(*) FROM a
+        |      WHERE l_orderkey IN (SELECT l_orderkey FROM b)) AS exact_inter)
+        |SELECT
+        |  round(CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+        |    ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END, 4)
+        |    AS est_union,
+        |  exact_union, n_both,
+        |  round((CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE)) *
+        |    (CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+        |      ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END), 4)
+        |    AS est_inter,
+        |  exact_inter
+        |FROM fl, ex""".stripMargin,
     "j_asof_signup" ->
       """WITH su AS (SELECT user_id, ts, max(event_id) AS sid
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)

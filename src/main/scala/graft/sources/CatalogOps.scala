@@ -36,6 +36,34 @@ object CatalogOps {
   def schemaOf(spark: SparkSession, ref: TableRef): StructType =
     spark.table(ref.qualified).schema
 
+  /** Structural schema drift between a source and an existing target —
+    * the introspection an INCREMENTAL re-sync runs before copying data
+    * (sibling of the m_delta_detect content check): columns only the
+    * source has (`added`), only the target has (`removed`), and columns
+    * whose type or nullability changed (`changed`). The reference's
+    * equivalent would be diffing two SHOW CREATE strings; structural
+    * comparison ignores formatting and column ORDER, which parquet
+    * reads by name anyway. Returns (column, kind, src_type, dst_type)
+    * sorted by column; empty seq ⇔ schemas compatible.
+    */
+  def schemaDiff(src: StructType, dst: StructType): Seq[(String, String, String, String)] = {
+    val s = src.fields.map(f => f.name -> f).toMap
+    val d = dst.fields.map(f => f.name -> f).toMap
+    val added = (s.keySet -- d.keySet).toSeq
+      .map(n => (n, "added", s(n).dataType.simpleString, ""))
+    val removed = (d.keySet -- s.keySet).toSeq
+      .map(n => (n, "removed", "", d(n).dataType.simpleString))
+    val changed = (s.keySet & d.keySet).toSeq
+      .filter(n => s(n).dataType != d(n).dataType ||
+        s(n).nullable != d(n).nullable)
+      .map { n =>
+        def render(f: org.apache.spark.sql.types.StructField) =
+          f.dataType.simpleString + (if (f.nullable) "" else " not null")
+        (n, "changed", render(s(n)), render(d(n)))
+      }
+    (added ++ removed ++ changed).sortBy(_._1)
+  }
+
   /** Create the backup table: same structure, parquet format, optionally
     * partitioned and at an explicit location — the structural equivalent
     * of the reference's DDL rewrite to an S3 storage policy (A27/A28).

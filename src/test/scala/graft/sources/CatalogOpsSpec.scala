@@ -57,4 +57,25 @@ class CatalogOpsSpec extends SparkFunSuite {
       Seq(src, bak, renamed).foreach(CatalogOps.dropTable(s, _))
     }
   }
+
+  test("schemaDiff: added/removed/changed columns, order-insensitive") {
+    import org.apache.spark.sql.types._
+    val src = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("qty", DoubleType),
+      StructField("note", StringType)))
+    // same columns reordered → no drift
+    assert(CatalogOps.schemaDiff(src,
+      StructType(src.fields.reverse.toSeq)).isEmpty)
+    val dst = StructType(Seq(
+      StructField("id", LongType), // nullability drift
+      StructField("qty", DecimalType(18, 2)), // type drift
+      StructField("legacy", StringType))) // note added, legacy removed
+    val diff = CatalogOps.schemaDiff(src, dst)
+    assert(diff == Seq(
+      ("id", "changed", "bigint not null", "bigint"),
+      ("legacy", "removed", "", "string"),
+      ("note", "added", "string", ""),
+      ("qty", "changed", "double", "decimal(18,2)")))
+  }
 }
