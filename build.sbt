@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout through VERBATIM instead of log-routing
+// it with an `[info] ` prefix: Bench/Verify print one-line JSON
+// artifacts that downstream tooling parses from captured stdout, and
+// the prefix breaks a strict line parser.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
