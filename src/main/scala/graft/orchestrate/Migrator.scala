@@ -246,6 +246,99 @@ final class Migrator(
       allParts.size, migratedRows, checks)
   }
 
+  /** Incremental re-sync of an already-published destination: detect the
+    * partitions that DRIFTED since the last run (count + xxhash64
+    * bit_xor checksum per partition, ONE column-pruned scan per side —
+    * the orchestration twin of the oracle-checked `m_delta_detect`
+    * query) and re-copy only those, partition-overwrite-idempotent,
+    * directly into the published hive layout. Orphaned partitions
+    * (present only at the destination) are dropped when `dropOrphans`,
+    * else left untouched — destination-only data is never destroyed
+    * implicitly.
+    *
+    * This is the answer to "the checkpoint says Completed but the
+    * source moved on": where [[migrateTable]] would skip (A19),
+    * resync re-copies exactly the drift. Copy work — and cluster time —
+    * is proportional to changed data, not table size; the detection
+    * cost is two aggregate scans producing O(partitions) driver rows.
+    * An empty destination degrades to a full copy (every partition
+    * classifies as missing).
+    */
+  def resyncTable(
+      table: TableRef,
+      src: DataFrame,
+      keys: Seq[String],
+      keyExprs: Seq[Column],
+      destRoot: String,
+      dropOrphans: Boolean = false): TableResult = {
+    val lock = new TableLock(lockDir, table.db, table.table, lockTimeoutSec)
+    if (!lock.acquire())
+      return TableResult(table, TableStatus.Locked, 0, 0, 0L, Nil,
+        Some(s"timeout acquiring lock for ${table.qualified}"))
+    try {
+      val withKeys = keys.zip(keyExprs).foldLeft(src) {
+        case (df, (k, e)) => df.withColumn(k, e.cast("string"))
+      }
+      val dataCols = src.columns.toSeq.filterNot(keys.contains)
+      val srcState = graft.operators.Validate.checksumByPartition(
+        withKeys, keys, dataCols)
+      val destPath = new org.apache.hadoop.fs.Path(destRoot)
+      val destFs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dstState: Map[PartitionId, (Long, Long)] =
+        if (!destFs.exists(destPath)) Map.empty
+        else {
+          // Pin partition columns to STRING on read: type inference
+          // would re-render '01' as '1' and diverge from source keys
+          // (same pitfall as the checksum gate in doMigrate).
+          val dataFields = src.schema.fields.filterNot(f => keys.contains(f.name))
+          val destSchema = org.apache.spark.sql.types.StructType(
+            dataFields ++ keys.map(k => org.apache.spark.sql.types
+              .StructField(k, org.apache.spark.sql.types.StringType)))
+          graft.operators.Validate.checksumByPartition(
+            spark.read.option("basePath", destRoot).schema(destSchema)
+              .parquet(destRoot).select((keys ++ dataCols).map(col): _*),
+            keys, dataCols)
+        }
+      val drifted = srcState.keys.toSeq
+        .filter(p => !dstState.get(p).contains(srcState(p)))
+        .sortBy(_.render)
+      val orphans = (dstState.keySet -- srcState.keySet).toSeq.sortBy(_.render)
+      checkpoint.initTable(table.db, table.table)
+      val partCols = keys.map(col)
+      var migratedRows = 0L
+      var checks = Vector.empty[PartitionCheck]
+      for (part <- drifted) {
+        val t0 = System.nanoTime()
+        CopyService.copyPartition(withKeys, keys, part, partCols, destRoot)
+        val srcCount = srcState(part)._1
+        val dstCount = CopyService.countPartitionDir(spark, destRoot, keys, part)
+        val chk = PartitionCheck(part.render, srcCount, dstCount,
+          srcCount == dstCount, (System.nanoTime() - t0) / 1e9)
+        checks :+= chk
+        if (!chk.passed) {
+          checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
+          return TableResult(table, TableStatus.Failed, drifted.size,
+            checks.count(_.passed), migratedRows, checks,
+            Some(s"count mismatch for partition ${part.render}: " +
+              s"src=${chk.srcCount} dst=${chk.dstCount}"))
+        }
+        migratedRows += srcCount
+        checkpoint.markPartition(table.db, table.table, part)
+        if (insertIntervalSec > 0)
+          Thread.sleep((insertIntervalSec * 1000).toLong)
+      }
+      if (dropOrphans) orphans.foreach(p =>
+        CopyService.dropPartitionDir(spark, destRoot, keys, p))
+      checkpoint.markStatus(table.db, table.table, TableStatus.Completed)
+      TableResult(table, TableStatus.Completed, drifted.size,
+        checks.count(_.passed), migratedRows, checks)
+    } catch {
+      case e: Exception =>
+        checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
+        TableResult(table, TableStatus.Failed, 0, 0, 0L, Nil, Some(e.getMessage))
+    } finally lock.release()
+  }
+
   /** Full-database mode (reference: migration.py:544-563): sequential
     * per-table migration, log-and-continue on failure.
     */

@@ -103,6 +103,31 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("bg"))
         .limit(20)),
 
+    // Vocabulary coverage curve — the tokenizer-training primitive:
+    // global token frequencies ranked with each rank's CUMULATIVE share
+    // of all token occurrences, i.e. "a vocab truncated at rank r
+    // covers cum_share of the corpus". The heavy work (corpus-sized
+    // explode + count) is one map-side-combined shuffle; the ranking
+    // window then runs over the VOCABULARY domain, which is orders of
+    // magnitude smaller than the corpus (~1e5-1e6 types at 100 TB —
+    // fine for a single ordered partition, and the standard shape for
+    // frequency-cutoff vocab builds).
+    "t_vocab" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      counts.crossJoin(counts.agg(sum(col("cnt")).as("total")))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_share",
+          round(sum(col("cnt")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / col("total").cast("double"), 6))
+        .filter(col("rank") <= 30)
+        .select(col("rank"), col("token"), col("cnt"), col("cum_share"))
+        .orderBy("rank")
+    }),
+
     // Deterministic train/val/test split by salted-md5 id bands: a
     // document's split never changes as the corpus grows (no RNG, no
     // sampling shuffle — the contamination-safety property a training
@@ -275,6 +300,19 @@ object TextQueries {
         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
         |  WHERE len(ws) >= 2)
         |GROUP BY bg ORDER BY cnt DESC, bg LIMIT 20""".stripMargin,
+    "t_vocab" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |r AS (SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c)
+        |SELECT rank, token, cnt,
+        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+        |FROM r, t WHERE rank <= 30 ORDER BY rank""".stripMargin,
     "t_split" ->
       """WITH s AS (SELECT doc_id,
         |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)

@@ -43,6 +43,48 @@ class MigratorSpec extends SparkFunSuite {
     assert(ckpt.tableProgress("testdb", "lineitem").get.status == TableStatus.Completed)
   }
 
+  test("incremental resync: only drifted partitions re-copied, dest converges") {
+    val (dir, _, mig) = freshEnv()
+    val dest = s"$dir/dest/lineitem"
+    val ref = TableRef("testdb", "lineitem")
+    assert(mig.migrateTable(ref, lineitem, keys, keyExprs, dest).status
+      == TableStatus.Completed)
+
+    // Source evolves after publish: one partition loses its high-quantity
+    // rows (changed), one partition vanishes entirely (orphaned at dest).
+    val month = date_format(col("l_shipdate"), "yyyy-MM")
+    val evolved = lineitem.filter(
+      month =!= "1995-03" &&
+        !(month === "1995-01" && col("l_quantity") > 25))
+
+    val res = mig.resyncTable(ref, evolved, keys, keyExprs, dest,
+      dropOrphans = true)
+    assert(res.status == TableStatus.Completed, res.error)
+    // exactly ONE partition drifted and was re-copied
+    assert(res.checkResults.map(_.partition) == Seq("'1995-01'"))
+    assert(res.checkResults.forall(_.passed))
+    // destination now equals the evolved source, orphan dropped
+    val back = spark.read.option("basePath", dest).parquet(dest)
+    assert(back.count() == evolved.count())
+    assert(back.filter(col("l_month") === "1995-03").count() == 0L)
+
+    // a second resync against an unchanged source is a no-op
+    val res2 = mig.resyncTable(ref, evolved, keys, keyExprs, dest)
+    assert(res2.status == TableStatus.Completed)
+    assert(res2.checkResults.isEmpty && res2.migratedRows == 0L)
+  }
+
+  test("resync against an empty destination degrades to a full copy") {
+    val (dir, _, mig) = freshEnv()
+    val dest = s"$dir/dest/li_fresh"
+    val ref = TableRef("testdb", "li_fresh")
+    val res = mig.resyncTable(ref, lineitem, keys, keyExprs, dest)
+    assert(res.status == TableStatus.Completed, res.error)
+    assert(res.migratedRows == lineitem.count())
+    assert(spark.read.option("basePath", dest).parquet(dest).count()
+      == lineitem.count())
+  }
+
   test("rerun after completion is a skip") {
     val (dir, _, mig) = freshEnv()
     val dest = s"$dir/dest/lineitem"
