@@ -23,6 +23,11 @@ import graft.resume.Checkpoint
   *
   * `--partition-expr` supports `month:<tsCol>`, `date:<tsCol>`, or a plain
   * column name — the stand-in for a ClickHouse PARTITION BY expression.
+  *
+  * Modes: `single` (one table, full state machine), `full` (every
+  * parquet table under --source), `resync` (incremental: re-copy only
+  * partitions whose count/checksum drifted vs the published --dest;
+  * `--drop-orphans true` also removes destination-only partitions).
   */
 object MigrateCli {
 
@@ -80,6 +85,17 @@ object MigrateCli {
           val (k, e) = keyFor(src)
           Seq(mig.migrateTable(
             TableRef(cfg.db, cfg.table), src, Seq(k), Seq(e), cfg.destPath))
+        case "resync" =>
+          // Incremental re-sync of an already-published destination:
+          // re-copies only partitions whose count/checksum drifted
+          // (Migrator.resyncTable); `--drop-orphans` also removes
+          // destination-only partitions.
+          val f = new java.io.File(cfg.sourcePath)
+          val src = readTable(f.getParent, f.getName.stripSuffix(".parquet"))
+          val (k, e) = keyFor(src)
+          Seq(mig.resyncTable(
+            TableRef(cfg.db, cfg.table), src, Seq(k), Seq(e), cfg.destPath,
+            dropOrphans = args.get("drop-orphans").exists(_ != "false")))
         case "full" =>
           // full-database mode (reference: migration.py:544-563):
           // sequential per-table migration, log-and-continue on failure.
