@@ -155,6 +155,95 @@ object Multimodal {
     }
   }
 
+  final case class MediaHash(media_id: Long, ahash: String)
+
+  /** Perceptual average-hash (aHash) per image: downsample the decoded
+    * image to a `grid`×`grid` luma grid (block means — one streaming
+    * pass over the pixels, O(grid²) state regardless of resolution),
+    * then emit one bit per cell: 1 iff the cell's mean luma exceeds the
+    * mean of cell means. The hash is a `grid²`-char '0'/'1' string, so
+    * it composes DIRECTLY with the existing near-dup machinery:
+    * [[Dedup.simhashBandedPairs]] (with `bits = grid²`) buckets
+    * candidates and the codegen `hamming_dist` scores them — IMAGE
+    * near-dup detection from the same parts as text SimHash. Robust to
+    * re-encoding and resizing (the signal pHash-family hashes exist
+    * for); brightness shifts move the mean with the cells, so uniform
+    * exposure changes leave most bits stable.
+    *
+    * Non-image kinds, empty, and undecodable payloads yield the
+    * all-zero hash — data, not a task failure (decode contract shared
+    * with [[decodeFeatures]]); filter `ahash != '0'*grid²` before
+    * pairing if corrupt rows should not cluster together.
+    */
+  def averageHash(media: DataFrame, grid: Int = 8)(
+      implicit spark: SparkSession): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.select("media_id", "meta.kind", "payload").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+        val hash =
+          if (kind.startsWith("image/")) ahashOf(payload, grid)
+          else "0" * (grid * grid)
+        MediaHash(id, hash)
+      }
+    }
+  }
+
+  /** aHash of one payload (driver/executor-side helper; see
+    * [[averageHash]] for semantics). Package-visible for the exact-math
+    * spec.
+    */
+  private[operators] def ahashOf(payload: Array[Byte], grid: Int): String = {
+    val zero = "0" * (grid * grid)
+    if (payload.isEmpty) return zero
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return zero
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return zero
+    // Streaming block means: same strip-capped bulk getRGB as the
+    // feature decoder (no image-sized buffer), cells addressed by
+    // integer floor mapping so any resolution ≥ 1×1 hashes.
+    val cells = grid * grid
+    val sums = new Array[Double](cells)
+    val counts = new Array[Long](cells)
+    val stripH = math.max(1, math.min(h, (1 << 20) / w))
+    val buf = new Array[Int](w * stripH)
+    var y = 0
+    while (y < h) {
+      val rows = math.min(stripH, h - y)
+      img.getRGB(0, y, w, rows, buf, 0, w)
+      var ry = 0
+      while (ry < rows) {
+        val cy = (y + ry) * grid / h
+        var x = 0
+        while (x < w) {
+          val rgb = buf(ry * w + x)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          val c = cy * grid + x * grid / w
+          sums(c) += luma
+          counts(c) += 1
+          x += 1
+        }
+        ry += 1
+      }
+      y += rows
+    }
+    val means = Array.tabulate(cells)(i =>
+      if (counts(i) > 0) sums(i) / counts(i) else 0.0)
+    val mean = means.sum / cells
+    val sb = new StringBuilder(cells)
+    var i = 0
+    while (i < cells) { sb.append(if (means(i) > mean) '1' else '0'); i += 1 }
+    sb.toString
+  }
+
   /** Frame sampling for a time-indexed payload: pick every `stride`-th
     * chunk of `chunkBytes` — shape-compatible with video frame sampling;
     * runs as one pass over the payload per row.

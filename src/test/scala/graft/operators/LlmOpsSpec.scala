@@ -330,6 +330,45 @@ class LlmOpsSpec extends SparkFunSuite {
     }
   }
 
+  test("averageHash: exact 8×8 bits; 1-cell drift pairs via banded Hamming") {
+    implicit val s = graft.SparkTestBase.spark
+    import s.implicits._
+    def png(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, paint(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      baos.toByteArray
+    }
+    // left half black / right half white → cell means 0|255, overall
+    // 127.5 → every row hashes "00001111"
+    val half = png((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    // additionally paint cell (0,0)'s 2×2 block white → exactly one bit
+    // flips (the aHash stays stable under the mean shift: 255 > 131.5)
+    val drift = png((x, y) =>
+      if (x < 8 && !(x < 2 && y < 2)) 0x000000 else 0xffffff)
+    val media = Multimodal.packBinary(
+      Seq((1L, half), (2L, half), (3L, drift),
+        (4L, Array[Byte](9, 9, 9))).toDF("id", "bytes"),
+      "id", "bytes", "image/png", width = 16, height = 16)
+    val hashes = Multimodal.averageHash(media).collect().sortBy(_.media_id)
+    val expect = "00001111" * 8
+    assert(hashes(0).ahash == expect && hashes(1).ahash == expect)
+    assert(hashes(2).ahash == "10001111" + "00001111" * 7)
+    assert(hashes(3).ahash == "0" * 64) // corrupt payload → zero hash
+    // composes with the text-SimHash banding machinery at bits = 64:
+    // identical images at distance 0, the drifted one at distance 1
+    val sigs = Multimodal.averageHash(media).toDF()
+      .select(col("media_id").as("id"), col("ahash").as("simhash"))
+      .filter(col("simhash") =!= "0" * 64)
+    val pairs = graft.operators.Dedup
+      .simhashBandedPairs(sigs, maxDist = 7, bands = 8, bits = 64)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("decodeFeatures: real PNG via javax.imageio — exact dims and channel means") {
     implicit val s = graft.SparkTestBase.spark
     import s.implicits._
