@@ -102,6 +102,40 @@ object EventQueries {
         .orderBy("segment")
     }),
 
+    // Event-rate anomaly detection — the monitoring primitive a
+    // pipeline runs over its own ingest: per (event_type, hour) counts
+    // z-scored against the TRAILING 24 hours (rows frame, ≥12 samples
+    // required), |z| > 2 flagged. Variance comes from exact integer
+    // window sums (Σx, Σx²) — count arithmetic stays in BIGINT on both
+    // engines, doubles appear only in the final fixed-order expression,
+    // so z is bit-identical and hash-checkable. Scale shape: one
+    // combined count shuffle, then windows over the HOURS domain
+    // (per-type time series — thousands of rows per year, never
+    // corpus-sized).
+    "e_anomaly" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-24, -1)
+      val base = hourly
+        .withColumn("n_prev", count(col("cnt")).over(win))
+        .withColumn("s1", sum(col("cnt")).over(win))
+        .withColumn("s2", sum(col("cnt") * col("cnt")).over(win))
+        .filter(col("n_prev") >= 12)
+      val nD = col("n_prev").cast("double")
+      val s1D = col("s1").cast("double")
+      val sd = sqrt(greatest(
+        (col("s2").cast("double") - s1D * s1D / nD) /
+          (col("n_prev") - 1).cast("double"), lit(0.0)))
+      val z = when(sd === 0.0, lit(0.0))
+        .otherwise((col("cnt").cast("double") - s1D / nD) / sd)
+      base.select(col("event_type"), col("h"), col("cnt"), col("n_prev"),
+        round(z, 6).as("z"), (abs(round(z, 6)) > 2).as("anomalous"))
+        .orderBy("event_type", "h")
+    }),
+
     // Event-time top-k: busiest hour per event type (rank over agg).
     "e_busiest_hours" -> ((s, dir) => {
       val hourly = ev(s, dir)
@@ -293,6 +327,35 @@ object EventQueries {
         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+    "e_anomaly" ->
+      """WITH hourly AS (SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS h,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, h, cnt,
+        |    count(cnt) OVER win AS n_prev,
+        |    sum(cnt) OVER win AS s1,
+        |    sum(cnt * cnt) OVER win AS s2
+        |  FROM hourly
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, h, cnt, n_prev,
+        |    CASE WHEN sqrt(greatest(
+        |        (CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |            / CAST(n_prev AS DOUBLE))
+        |        / CAST(n_prev - 1 AS DOUBLE), 0.0)) = 0 THEN 0.0
+        |      ELSE (CAST(cnt AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) / CAST(n_prev AS DOUBLE))
+        |        / sqrt(greatest(
+        |          (CAST(s2 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |              / CAST(n_prev AS DOUBLE))
+        |          / CAST(n_prev - 1 AS DOUBLE), 0.0)) END AS zr
+        |  FROM w WHERE n_prev >= 12)
+        |SELECT event_type, h, cnt, n_prev, round(zr, 6) AS z,
+        |  abs(round(zr, 6)) > 2 AS anomalous
+        |FROM z ORDER BY event_type, h""".stripMargin,
     "e_busiest_hours" ->
       """SELECT event_type, rn, h, cnt FROM (
         |  SELECT event_type, h, cnt,
