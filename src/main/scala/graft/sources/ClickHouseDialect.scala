@@ -41,10 +41,13 @@ import org.apache.spark.sql.types._
   *     field names; named tuples — `Tuple(a UInt8, b Array(String))`,
   *     the modern ClickHouse spelling — keep their declared names
   *     (backtick-quoted names are unquoted). Tuples nest freely inside
-  *     Array/Map and vice versa. `Nested(...)`/`AggregateFunction`
-  *     still defer to the generic mapping (`Nested` is physically
-  *     per-subcolumn arrays in ClickHouse and has no faithful single
-  *     Catalyst column).
+  *     Array/Map and vice versa.
+  *   - `Nested(a T, b U)` (the flatten_nested=0 spelling: one column of
+  *     record arrays) → `ArrayType(StructType(a, b))`; the default
+  *     flatten_nested=1 layout surfaces as plain `Array(T)` subcolumns
+  *     the Array case already covers. `AggregateFunction` still defers
+  *     to the generic mapping (its binary states are
+  *     ClickHouse-internal).
   *
   * WRITE side (`getJDBCType`): Spark's defaults emit ANSI-ish DDL
   * (`TEXT`, `BIT(1)`, `TIMESTAMP`) that ClickHouse rejects — emit
@@ -160,6 +163,14 @@ object ClickHouseDialect extends JdbcDialect {
         case _ => None
       }
       case "Tuple" if args.nonEmpty => parseTuple(args)
+      // Nested(a T, b U) with flatten_nested=0 is one column whose rows
+      // are arrays of (a, b) records — exactly Array(Struct) in
+      // Catalyst. (With the default flatten_nested=1 ClickHouse exposes
+      // per-subcolumn Array(T) columns instead, which the Array case
+      // above already handles; this arm covers the unflattened
+      // spelling, which previously deferred to the generic mapping.)
+      case "Nested" if args.nonEmpty =>
+        parseTuple(args).map(st => ArrayType(st, containsNull = false))
       case "Decimal" if topLevel =>
         None // driver reports exact precision/scale via JDBC DECIMAL
       case "Decimal" => args.map(_.toIntOption) match {

@@ -60,7 +60,12 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(catalyst("Nullable(DateTime64(6))").contains(TimestampType))
     // genuinely unknown/complex types still defer to the generic mapping
     assert(catalyst("AggregateFunction(sum, UInt64)").isEmpty)
-    assert(catalyst("Nested(a UInt8, b String)").isEmpty)
+    // Nested now maps structurally (record-array) instead of deferring
+    assert(catalyst("Nested(a UInt8, b String)")
+      .contains(ArrayType(StructType(Seq(
+        StructField("a", ShortType, nullable = false),
+        StructField("b", StringType, nullable = false))),
+        containsNull = false)))
   }
 
   test("read mapping: Array(T) parses recursively with nested nullability") {
@@ -84,8 +89,12 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(catalyst("Array(Decimal64(4))")
       .contains(ArrayType(DecimalType(18, 4), containsNull = false)))
     // malformed / unknown element types defer rather than mis-map
-    assert(catalyst("Array(Nested(a UInt8))").isEmpty)
     assert(catalyst("Array()").isEmpty)
+    // Nested nests inside Array like any structural type
+    assert(catalyst("Array(Nested(a UInt8))")
+      .contains(ArrayType(ArrayType(StructType(Seq(
+        StructField("a", ShortType, nullable = false))),
+        containsNull = false), containsNull = false)))
   }
 
   test("read mapping: Map(K, V) parses recursively; quoted args don't confuse the split") {
@@ -147,6 +156,19 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(catalyst("Tuple(a UInt8, String)").isEmpty)
     assert(catalyst("Tuple(a AggregateFunction(sum, UInt64))").isEmpty)
     assert(catalyst("Tuple()").isEmpty)
+    // Nested(a T, b U) — the flatten_nested=0 record-array column —
+    // maps to Array(Struct), nullability and nesting included
+    assert(catalyst("Nested(id UInt32, tags Array(String))")
+      .contains(ArrayType(StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("tags", ArrayType(StringType, containsNull = false),
+          nullable = false))), containsNull = false)))
+    assert(catalyst("Nested(v Nullable(Float64))")
+      .contains(ArrayType(StructType(Seq(
+        StructField("v", DoubleType, nullable = true))),
+        containsNull = false)))
+    // unknown inner types still defer
+    assert(catalyst("Nested(x AggregateFunction(sum, UInt64))").isEmpty)
   }
 
   test("write mapping: StructType emits named-Tuple DDL and round-trips") {
