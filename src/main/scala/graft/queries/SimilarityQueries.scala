@@ -199,6 +199,63 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Product Quantization — the third leg of the compression family
+    // (SQ8 = scalar, IVF = coarse, PQ = subspace vector quantization,
+    // the FAISS workhorse): the 64-dim embedding splits into M=8
+    // 8-dim subvectors, each quantized to one of K=16 per-subspace
+    // codebook centroids, so a vector stores as 8 × 4-bit codes —
+    // a 64× cut vs float32 (vs SQ8's 4×). Codebooks are seeded from
+    // the K lowest-id vectors and refined by ONE Lloyd round of
+    // exact-decimal means (the trainCentroids recipe, per subspace);
+    // assignment distance is round-6 exact-decimal squared L2 with
+    // ties to the lower centroid id — every stage deterministic and
+    // reproduced bit-for-bit by the oracle. Output per vector: the
+    // packed 32-bit code word (code_m << 4m summed) and the
+    // reconstruction MSE from the per-subspace quantization errors.
+    // Scale shape: training/encode is the standard n·M·K distance
+    // pass (a broadcast join against M·K = 128 centroid rows, argmin
+    // map-side combined); codebooks are driver-broadcast state like
+    // IVF centroids; at 100 TB train on a sample, encode the corpus.
+    "s_pq_recon" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val e = emb(s, dir)
+      val (mm, dd, kk) = (8, 8, 16)
+      def subvecs(df: DataFrame) = df.select(col("vec_id"),
+        posexplode(array((0 until mm).map(m =>
+          slice(col("embedding"), m * dd + 1, dd)): _*)).as(Seq("m", "sv")))
+      val subs = subvecs(e)
+      val cents0 = subvecs(e.filter(col("vec_id") < kk))
+        .select(col("vec_id").cast("int").as("cid"), col("m"),
+          col("sv").as("cv"))
+      def assign(cents: DataFrame) = subs.join(broadcast(cents), "m")
+        .select(col("vec_id"), col("m"), col("cid"),
+          round(Similarity.squaredErrorExact(col("sv"), col("cv")), 6)
+            .as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+        .select(col("vec_id"), col("m"),
+          col("mn.cid").as("cid"), col("mn.dist").as("dist"))
+      val cents1 = assign(cents0).join(subs, Seq("vec_id", "m"))
+        .select(col("m"), col("cid"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("m", "cid", "pos")
+        .agg(sum(col("v").cast("double").cast(DecimalType(25, 12))).as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("m"), col("cid"), col("pos"),
+          round(col("sm").cast("double") / col("n").cast("double"), 6)
+            .cast("float").as("mv"))
+        .groupBy("m", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv")).as("cv"))
+      assign(cents1).filter(col("vec_id") < 50)
+        .groupBy("vec_id")
+        .agg(sum(col("cid").cast("long") * expr("shiftleft(1L, 4 * m)"))
+          .as("pq_key"),
+          round(sum(col("dist").cast(DecimalType(25, 12))).cast("double")
+            / 64.0, 9).as("mse"))
+        .orderBy("vec_id")
+    }),
+
     // Per-language mean-pooled embedding centroid (documents ⋈
     // embeddings on id), in shuffle-friendly long form — the "class
     // centroid" primitive for pseudo-labeling / drift monitoring /
@@ -442,6 +499,47 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin
+    },
+    "s_pq_recon" -> {
+      // Shared distance+argmin block: round-6 exact-decimal squared L2
+      // of each (vector, subspace) against every centroid of `cents`,
+      // row_number argmin with ties to the lower cid — the SQL mirror
+      // of the query's `assign`.
+      def assignSql(cents: String, out: String): String =
+        s"""d$out AS (SELECT s.vec_id AS vid, s.m, c.cid,
+           |    round(CAST(sum(CAST(
+           |        (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+           |        (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+           |      AS DECIMAL(25,12))) AS DOUBLE), 6) AS dist
+           |  FROM subs s JOIN $cents c ON s.m = c.m,
+           |    generate_series(1, 8) AS t(i)
+           |  GROUP BY s.vec_id, s.m, c.cid),
+           |$out AS (SELECT vid, m, cid, dist FROM (
+           |    SELECT vid, m, cid, dist, row_number() OVER (
+           |        PARTITION BY vid, m ORDER BY dist, cid) AS rn
+           |      FROM d$out) WHERE rn = 1)""".stripMargin
+      s"""WITH subs AS (SELECT vec_id, t.m AS m,
+        |    embedding[(8 * t.m + 1):(8 * t.m + 8)] AS sv
+        |  FROM embeddings, generate_series(0, 7) AS t(m)),
+        |cents0 AS (SELECT CAST(vec_id AS INT) AS cid, m, sv AS cv
+        |  FROM subs WHERE vec_id < 16),
+        |${assignSql("cents0", "a0")},
+        |mmeans AS (SELECT a.m, a.cid, i AS pos,
+        |    CAST(round(CAST(sum(CAST(CAST(s.sv[i] AS DOUBLE)
+        |        AS DECIMAL(25,12))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 6) AS REAL) AS mv
+        |  FROM a0 a JOIN subs s ON s.vec_id = a.vid AND s.m = a.m,
+        |    generate_series(1, 8) AS t(i)
+        |  GROUP BY a.m, a.cid, i),
+        |cents1 AS (SELECT m, cid, list(mv ORDER BY pos) AS cv
+        |  FROM mmeans GROUP BY m, cid),
+        |${assignSql("cents1", "a1")}
+        |SELECT vid AS vec_id,
+        |  CAST(sum(cid * (CAST(1 AS BIGINT) << (4 * m))) AS BIGINT)
+        |    AS pq_key,
+        |  round(CAST(sum(CAST(dist AS DECIMAL(25,12))) AS DOUBLE) / 64.0, 9)
+        |    AS mse
+        |FROM a1 WHERE vid < 50 GROUP BY vid ORDER BY vec_id""".stripMargin
     },
     "s_lang_centroid" ->
       """SELECT d.lang, i - 1 AS pos,
