@@ -284,6 +284,34 @@ final class Migrator(
         withKeys, keys, dataCols)
       val destPath = new org.apache.hadoop.fs.Path(destRoot)
       val destFs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Schema gate BEFORE any data compare: a drifted data-column set
+      // or type makes per-partition checksums meaningless (and a
+      // partial re-copy would leave a mixed-schema destination), so
+      // structural drift fails fast with the diff instead of surfacing
+      // as a confusing read/checksum error. Partition key columns are
+      // excluded — they are strings in the hive layout by design.
+      if (destFs.exists(destPath)) {
+        // Nullability is normalized away: parquet round-trips don't
+        // preserve it faithfully (readers mark columns nullable), so
+        // only name/type drift is a real incompatibility here.
+        def dataSchema(fields: Seq[org.apache.spark.sql.types.StructField]) =
+          org.apache.spark.sql.types.StructType(
+            fields.filterNot(f => keys.contains(f.name))
+              .map(_.copy(nullable = true)))
+        val drift = graft.sources.CatalogOps.schemaDiff(
+          dataSchema(src.schema.fields.toSeq),
+          dataSchema(spark.read.option("basePath", destRoot)
+            .parquet(destRoot).schema.fields.toSeq))
+        if (drift.nonEmpty) {
+          checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
+          return TableResult(table, TableStatus.Failed, 0, 0, 0L, Nil,
+            Some("schema drift vs destination (full re-migration " +
+              "required): " + drift.map { case (c, kind, s, d) =>
+                s"$c $kind" +
+                  (if (s.nonEmpty || d.nonEmpty) s" (src=$s dst=$d)" else "")
+              }.mkString("; ")))
+        }
+      }
       val dstState: Map[PartitionId, (Long, Long)] =
         if (!destFs.exists(destPath)) Map.empty
         else {

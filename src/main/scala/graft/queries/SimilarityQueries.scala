@@ -218,42 +218,39 @@ object SimilarityQueries {
     // IVF centroids; at 100 TB train on a sample, encode the corpus.
     "s_pq_recon" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val e = emb(s, dir)
-      val (mm, dd, kk) = (8, 8, 16)
-      def subvecs(df: DataFrame) = df.select(col("vec_id"),
-        posexplode(array((0 until mm).map(m =>
-          slice(col("embedding"), m * dd + 1, dd)): _*)).as(Seq("m", "sv")))
-      val subs = subvecs(e)
-      val cents0 = subvecs(e.filter(col("vec_id") < kk))
-        .select(col("vec_id").cast("int").as("cid"), col("m"),
-          col("sv").as("cv"))
-      def assign(cents: DataFrame) = subs.join(broadcast(cents), "m")
-        .select(col("vec_id"), col("m"), col("cid"),
-          round(Similarity.squaredErrorExact(col("sv"), col("cv")), 6)
-            .as("dist"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("dist"), col("cid"))).as("mn"))
-        .select(col("vec_id"), col("m"),
-          col("mn.cid").as("cid"), col("mn.dist").as("dist"))
-      val cents1 = assign(cents0).join(subs, Seq("vec_id", "m"))
-        .select(col("m"), col("cid"),
-          posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("m", "cid", "pos")
-        .agg(sum(col("v").cast("double").cast(DecimalType(25, 12))).as("sm"),
-          count(lit(1)).as("n"))
-        .select(col("m"), col("cid"), col("pos"),
-          round(col("sm").cast("double") / col("n").cast("double"), 6)
-            .cast("float").as("mv"))
-        .groupBy("m", "cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
-          x => x.getField("mv")).as("cv"))
-      assign(cents1).filter(col("vec_id") < 50)
+      val (enc, _) = pqEncode(emb(s, dir))
+      enc.filter(col("vec_id") < 50)
         .groupBy("vec_id")
         .agg(sum(col("cid").cast("long") * expr("shiftleft(1L, 4 * m)"))
           .as("pq_key"),
           round(sum(col("dist").cast(DecimalType(25, 12))).cast("double")
             / 64.0, 9).as("mse"))
         .orderBy("vec_id")
+    }),
+
+    // PQ SEARCH (asymmetric): the corpus lives as 8×4-bit codes; at
+    // query time each vector is reconstructed from its subspace
+    // codebook entries (an M-way lookup against 128 broadcast rows —
+    // at scale this is the ADC table trick: distances come from codes
+    // + codebooks, the original floats are never read) and ranked by
+    // full-precision-query cosine. Same structure as s_sq8_ann one
+    // compression rung further down; hash-checked end-to-end.
+    // Measured recall@5 vs exact at this tiny demo geometry (K=16,
+    // one Lloyd round): 0.40 — the honest face of 64× compression,
+    // and exactly why production PQ stacks widen k here and rerank
+    // survivors at full precision (the same rerank stage s_ann_ivf
+    // already demonstrates).
+    "s_pq_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (enc, cents1) = pqEncode(e)
+      val recon = enc.join(cents1, Seq("m", "cid"))
+        .groupBy("vec_id")
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("m"), col("cv")))),
+          x => x.getField("cv"))).as("embedding"))
+      Similarity.bruteForceTopK(
+        recon, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+        .orderBy("qid", "rank")
     }),
 
     // Per-language mean-pooled embedding centroid (documents ⋈
@@ -271,6 +268,85 @@ object SimilarityQueries {
         .orderBy("lang", "pos")
     }),
   )
+
+  /** Oracle CTE chain mirroring [[pqEncode]] bit-for-bit: subvector
+    * split, seeded codebooks, round-6 exact-decimal squared-L2
+    * argmin (`a0`), one Lloyd round of exact-decimal means (`cents1`),
+    * and the final encoding (`a1`). Shared by the `s_pq_recon` and
+    * `s_pq_ann` oracles so the two can never drift apart.
+    */
+  private def pqCtesSql: String = {
+    def assignSql(cents: String, out: String): String =
+      s"""d$out AS (SELECT s.vec_id AS vid, s.m, c.cid,
+         |    round(CAST(sum(CAST(
+         |        (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
+         |        (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+         |      AS DECIMAL(25,12))) AS DOUBLE), 6) AS dist
+         |  FROM subs s JOIN $cents c ON s.m = c.m,
+         |    generate_series(1, 8) AS t(i)
+         |  GROUP BY s.vec_id, s.m, c.cid),
+         |$out AS (SELECT vid, m, cid, dist FROM (
+         |    SELECT vid, m, cid, dist, row_number() OVER (
+         |        PARTITION BY vid, m ORDER BY dist, cid) AS rn
+         |      FROM d$out) WHERE rn = 1)""".stripMargin
+    s"""subs AS (SELECT vec_id, t.m AS m,
+       |    embedding[(8 * t.m + 1):(8 * t.m + 8)] AS sv
+       |  FROM embeddings, generate_series(0, 7) AS t(m)),
+       |cents0 AS (SELECT CAST(vec_id AS INT) AS cid, m, sv AS cv
+       |  FROM subs WHERE vec_id < 16),
+       |${assignSql("cents0", "a0")},
+       |mmeans AS (SELECT a.m, a.cid, i AS pos,
+       |    CAST(round(CAST(sum(CAST(CAST(s.sv[i] AS DOUBLE)
+       |        AS DECIMAL(25,12))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS REAL) AS mv
+       |  FROM a0 a JOIN subs s ON s.vec_id = a.vid AND s.m = a.m,
+       |    generate_series(1, 8) AS t(i)
+       |  GROUP BY a.m, a.cid, i),
+       |cents1 AS (SELECT m, cid, list(mv ORDER BY pos) AS cv
+       |  FROM mmeans GROUP BY m, cid),
+       |${assignSql("cents1", "a1")}""".stripMargin
+  }
+
+  /** PQ training + encoding shared by `s_pq_recon` / `s_pq_ann`:
+    * M=8 subspaces × 8 dims, K=16 centroids per subspace seeded from
+    * the lowest-id vectors and refined by one exact-decimal Lloyd
+    * round; assignment is round-6 exact-decimal squared L2 with ties
+    * to the lower centroid id. Returns (codes: (vec_id, m, cid, dist),
+    * trained codebooks: (m, cid, cv)). Every step deterministic and
+    * oracle-reproducible; see the `s_pq_recon` entry for scale notes.
+    */
+  private def pqEncode(e: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.DecimalType
+    val (mm, dd, kk) = (8, 8, 16)
+    def subvecs(df: DataFrame) = df.select(col("vec_id"),
+      posexplode(array((0 until mm).map(m =>
+        slice(col("embedding"), m * dd + 1, dd)): _*)).as(Seq("m", "sv")))
+    val subs = subvecs(e)
+    val cents0 = subvecs(e.filter(col("vec_id") < kk))
+      .select(col("vec_id").cast("int").as("cid"), col("m"),
+        col("sv").as("cv"))
+    def assign(cents: DataFrame) = subs.join(broadcast(cents), "m")
+      .select(col("vec_id"), col("m"), col("cid"),
+        round(Similarity.squaredErrorExact(col("sv"), col("cv")), 6)
+          .as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("m"),
+        col("mn.cid").as("cid"), col("mn.dist").as("dist"))
+    val cents1 = assign(cents0).join(subs, Seq("vec_id", "m"))
+      .select(col("m"), col("cid"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("m", "cid", "pos")
+      .agg(sum(col("v").cast("double").cast(DecimalType(25, 12))).as("sm"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("cid"), col("pos"),
+        round(col("sm").cast("double") / col("n").cast("double"), 6)
+          .cast("float").as("mv"))
+      .groupBy("m", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        x => x.getField("mv")).as("cv"))
+    (assign(cents1), cents1)
+  }
 
   /** Collected [[Similarity.sq8Stats]] as (mns, mxs) literal seqs in
     * 0-based dimension order — O(dims) driver rows.
@@ -500,47 +576,31 @@ object SimilarityQueries {
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin
     },
-    "s_pq_recon" -> {
-      // Shared distance+argmin block: round-6 exact-decimal squared L2
-      // of each (vector, subspace) against every centroid of `cents`,
-      // row_number argmin with ties to the lower cid — the SQL mirror
-      // of the query's `assign`.
-      def assignSql(cents: String, out: String): String =
-        s"""d$out AS (SELECT s.vec_id AS vid, s.m, c.cid,
-           |    round(CAST(sum(CAST(
-           |        (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) *
-           |        (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
-           |      AS DECIMAL(25,12))) AS DOUBLE), 6) AS dist
-           |  FROM subs s JOIN $cents c ON s.m = c.m,
-           |    generate_series(1, 8) AS t(i)
-           |  GROUP BY s.vec_id, s.m, c.cid),
-           |$out AS (SELECT vid, m, cid, dist FROM (
-           |    SELECT vid, m, cid, dist, row_number() OVER (
-           |        PARTITION BY vid, m ORDER BY dist, cid) AS rn
-           |      FROM d$out) WHERE rn = 1)""".stripMargin
-      s"""WITH subs AS (SELECT vec_id, t.m AS m,
-        |    embedding[(8 * t.m + 1):(8 * t.m + 8)] AS sv
-        |  FROM embeddings, generate_series(0, 7) AS t(m)),
-        |cents0 AS (SELECT CAST(vec_id AS INT) AS cid, m, sv AS cv
-        |  FROM subs WHERE vec_id < 16),
-        |${assignSql("cents0", "a0")},
-        |mmeans AS (SELECT a.m, a.cid, i AS pos,
-        |    CAST(round(CAST(sum(CAST(CAST(s.sv[i] AS DOUBLE)
-        |        AS DECIMAL(25,12))) AS DOUBLE)
-        |      / CAST(count(*) AS DOUBLE), 6) AS REAL) AS mv
-        |  FROM a0 a JOIN subs s ON s.vec_id = a.vid AND s.m = a.m,
-        |    generate_series(1, 8) AS t(i)
-        |  GROUP BY a.m, a.cid, i),
-        |cents1 AS (SELECT m, cid, list(mv ORDER BY pos) AS cv
-        |  FROM mmeans GROUP BY m, cid),
-        |${assignSql("cents1", "a1")}
+    "s_pq_recon" ->
+      s"""WITH $pqCtesSql
         |SELECT vid AS vec_id,
         |  CAST(sum(cid * (CAST(1 AS BIGINT) << (4 * m))) AS BIGINT)
         |    AS pq_key,
         |  round(CAST(sum(CAST(dist AS DECIMAL(25,12))) AS DOUBLE) / 64.0, 9)
         |    AS mse
-        |FROM a1 WHERE vid < 50 GROUP BY vid ORDER BY vec_id""".stripMargin
-    },
+        |FROM a1 WHERE vid < 50 GROUP BY vid ORDER BY vec_id""".stripMargin,
+    "s_pq_ann" ->
+      s"""WITH $pqCtesSql,
+        |rvec AS (SELECT a.vid AS vec_id,
+        |    flatten(list(c.cv ORDER BY a.m)) AS rv
+        |  FROM a1 a JOIN cents1 c ON c.m = a.m AND c.cid = a.cid
+        |  GROUP BY a.vid),
+        |cand AS (SELECT q.vec_id AS qid, r.vec_id AS vid,
+        |    q.embedding AS qvec, r.rv AS cvec
+        |  FROM embeddings q JOIN rvec r ON q.vec_id <> r.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2)),
+        |$cosCte,
+        |ranked AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "s_lang_centroid" ->
       """SELECT d.lang, i - 1 AS pos,
         |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)

@@ -74,6 +74,26 @@ class MigratorSpec extends SparkFunSuite {
     assert(res2.checkResults.isEmpty && res2.migratedRows == 0L)
   }
 
+  test("resync schema gate: drifted data columns fail fast with the diff") {
+    val (dir, _, mig) = freshEnv()
+    val dest = s"$dir/dest/lineitem"
+    val ref = TableRef("testdb", "lineitem")
+    assert(mig.migrateTable(ref, lineitem, keys, keyExprs, dest).status
+      == TableStatus.Completed)
+    // source gains a column and changes a type → resync must refuse
+    // BEFORE copying anything (a partial re-copy would mix schemas)
+    val drifted = lineitem
+      .withColumn("l_quantity", col("l_quantity").cast("decimal(18,2)"))
+      .withColumn("load_ts", lit("2026-01-01"))
+    val res = mig.resyncTable(ref, drifted, keys, keyExprs, dest)
+    assert(res.status == TableStatus.Failed)
+    assert(res.checkResults.isEmpty && res.migratedRows == 0L)
+    val msg = res.error.get
+    assert(msg.contains("schema drift"))
+    assert(msg.contains("load_ts added"))
+    assert(msg.contains("l_quantity changed"))
+  }
+
   test("resync against an empty destination degrades to a full copy") {
     val (dir, _, mig) = freshEnv()
     val dest = s"$dir/dest/li_fresh"
