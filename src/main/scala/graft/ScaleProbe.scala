@@ -43,12 +43,10 @@ object ScaleProbe {
       val docs = Sources.table(spark, sfDir, "documents")
       val rel = Dedup.shingleRelation(docs, "doc_id", "text")
       timed("rel scan")(rel.count())
-      val sigs = rel.groupBy(col("id")).agg(
-        (0 until 12).map(i =>
-          min(md5(concat(col("shingle"), lit(":" + i)))).as(s"m$i")).head,
-        (0 until 12).map(i =>
-          min(md5(concat(col("shingle"), lit(":" + i)))).as(s"m$i")).tail: _*)
-      timed("signatures agg")(sigs.count())
+      // Signature stage through the LIBRARY path (KM double hashing) so
+      // the probe measures what d_minhash actually runs.
+      val sigs = Dedup.bandsFromRelation(rel, 6, 2)
+      timed("signatures+bands agg")(sigs.count())
       val bandsDf = Dedup.bandsFromRelation(rel, 6, 2)
       val cand = Dedup.lshCandidates(bandsDf)
       timed("candidates (sig + self-join + distinct)")(cand.count())

@@ -103,6 +103,37 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("bg"))
         .limit(20)),
 
+    // TF-IDF keyword extraction: each document's top-3 most
+    // DISTINCTIVE terms by tf·idf with the LINEAR idf variant
+    // (N/df, no logarithm — ln differs in final ulps across libm
+    // implementations, and rank order at this scale is identical), so
+    // the score is two divisions and a multiply both engines compute
+    // bit-identically. Scale shape: term frequencies and document
+    // frequencies are each ONE map-side-combined shuffle over the
+    // token relation; scoring joins on term (bounded by corpus
+    // tokens); the rank window partitions per document.
+    "t_keywords" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val scored = tf.filter(col("doc_id") < 20)
+        .join(len, "doc_id").join(dfx, "term").crossJoin(n)
+        .select(col("doc_id"), col("term"),
+          round((col("tf").cast("double") / col("len").cast("double")) *
+            (col("n").cast("double") / col("df").cast("double")), 6)
+            .as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+        .orderBy("doc_id", "rank")
+    }),
+
     // Vocabulary coverage curve — the tokenizer-training primitive:
     // global token frequencies ranked with each rank's CUMULATIVE share
     // of all token occurrences, i.e. "a vocab truncated at rank r
@@ -300,6 +331,24 @@ object TextQueries {
         |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
         |  WHERE len(ws) >= 2)
         |GROUP BY bg ORDER BY cnt DESC, bg LIMIT 20""".stripMargin,
+    "t_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT t.doc_id, t.term,
+        |    round((CAST(t.tf AS DOUBLE) / CAST(l.len AS DOUBLE)) *
+        |      (CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) AS score
+        |  FROM tf t JOIN len l USING (doc_id) JOIN dfx d USING (term), n
+        |  WHERE t.doc_id < 20),
+        |r AS (SELECT doc_id, term, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "t_vocab" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
         |  FROM documents),
