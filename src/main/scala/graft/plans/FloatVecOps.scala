@@ -72,6 +72,70 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen squared L2 distance Σ(aᵢ−bᵢ)² over two `array<float>`
+  * columns — the distance kernel of PQ/k-means assignment passes, where
+  * it runs n·M·K times per encode. Same motivation as [[FloatVecDot]]:
+  * the exact-decimal fold ([[graft.operators.Similarity.squaredErrorExact]])
+  * pays per-element Decimal boxing, which is only warranted where the
+  * VALUE is hash-compared; an argmin consumer needs only the winner, and
+  * round-6 double agrees with round-6 exact decimal on it (the two
+  * accumulations differ by ~1e-13). Arithmetic matches the exact fold's
+  * term formula — d = (double)a[i] − (double)b[i]; acc += d·d — in
+  * sequential order.
+  */
+case class FloatVecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_sq_dist requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 object FloatVecOps {
   /** Dot product of two float-array columns (native codegen). */
   def floatDot(a: Column, b: Column): Column =
@@ -80,4 +144,9 @@ object FloatVecOps {
 
   /** Squared L2 norm (dot with itself). */
   def floatNorm2(a: Column): Column = floatDot(a, a)
+
+  /** Squared L2 distance of two float-array columns (native codegen). */
+  def floatSqDist(a: Column, b: Column): Column =
+    GraftColumns.column(FloatVecSqDist(
+      GraftColumns.expression(a), GraftColumns.expression(b)))
 }

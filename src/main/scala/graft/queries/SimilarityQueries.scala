@@ -317,6 +317,7 @@ object SimilarityQueries {
     */
   private def pqEncode(e: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
+    import graft.plans.FloatVecOps.floatSqDist
     val (mm, dd, kk) = (8, 8, 16)
     def subvecs(df: DataFrame) = df.select(col("vec_id"),
       posexplode(array((0 until mm).map(m =>
@@ -325,15 +326,24 @@ object SimilarityQueries {
     val cents0 = subvecs(e.filter(col("vec_id") < kk))
       .select(col("vec_id").cast("int").as("cid"), col("m"),
         col("sv").as("cv"))
+    // The n·M·K distance pass runs the codegen float kernel: its round-6
+    // value feeds only the ARGMIN (round-6 double and round-6 exact
+    // decimal agree on the winner — the ivfSearch assignment precedent).
+    // The exact-decimal distance is recomputed for the n·M winners only,
+    // because those values ARE hash-compared downstream (codes → MSE) —
+    // a K=16-fold cut in the Decimal work plus a codegen hot loop.
     def assign(cents: DataFrame) = subs.join(broadcast(cents), "m")
-      .select(col("vec_id"), col("m"), col("cid"),
+      .select(col("vec_id"), col("m"), col("sv"), col("cid"),
+        round(floatSqDist(col("sv"), col("cv")), 6).as("adist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("adist"), col("cid"))).as("mn"),
+        first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("m"), col("mn.cid").as("cid"), col("sv"))
+      .join(broadcast(cents), Seq("m", "cid"))
+      .select(col("vec_id"), col("m"), col("cid"), col("sv"),
         round(Similarity.squaredErrorExact(col("sv"), col("cv")), 6)
           .as("dist"))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
-      .select(col("vec_id"), col("m"),
-        col("mn.cid").as("cid"), col("mn.dist").as("dist"))
-    val cents1 = assign(cents0).join(subs, Seq("vec_id", "m"))
+    val cents1 = assign(cents0)
       .select(col("m"), col("cid"),
         posexplode(col("sv")).as(Seq("pos", "v")))
       .groupBy("m", "cid", "pos")
@@ -345,7 +355,7 @@ object SimilarityQueries {
       .groupBy("m", "cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
         x => x.getField("mv")).as("cv"))
-    (assign(cents1), cents1)
+    (assign(cents1).drop("sv"), cents1)
   }
 
   /** Collected [[Similarity.sq8Stats]] as (mns, mxs) literal seqs in
