@@ -93,9 +93,18 @@ object MigrateCli {
           val f = new java.io.File(cfg.sourcePath)
           val src = readTable(f.getParent, f.getName.stripSuffix(".parquet"))
           val (k, e) = keyFor(src)
+          // Destructive flag: only the literal "true" enables it — any
+          // other value ("no", "0", a typo) is rejected rather than
+          // silently enabling deletion of destination-only partitions.
+          val dropOrphans = args.get("drop-orphans") match {
+            case None | Some("false") => false
+            case Some("true") => true
+            case Some(other) => throw new IllegalArgumentException(
+              s"--drop-orphans expects 'true' or 'false', got '$other'")
+          }
           Seq(mig.resyncTable(
             TableRef(cfg.db, cfg.table), src, Seq(k), Seq(e), cfg.destPath,
-            dropOrphans = args.get("drop-orphans").exists(_ != "false")))
+            dropOrphans = dropOrphans))
         case "full" =>
           // full-database mode (reference: migration.py:544-563):
           // sequential per-table migration, log-and-continue on failure.

@@ -44,6 +44,21 @@ object Validate {
       }.toMap
   }
 
+  /** (count, checksum) of ONE relation — the single-partition form of
+    * [[checksumByPartition]] (same sorted-column xxhash64/bit_xor
+    * recipe, so the two are directly comparable). Used to re-validate a
+    * freshly copied partition directory against the already-collected
+    * source state. An empty relation returns (0, 0) — the count
+    * mismatch is the signal there, not the checksum.
+    */
+  def checksumAll(df: DataFrame, cols: Seq[String] = Nil): (Long, Long) = {
+    val dataCols =
+      (if (cols.nonEmpty) cols else df.columns.toSeq).sorted
+    val r = df.agg(count(lit(1)).as("cnt"),
+      bit_xor(xxhash64(struct(dataCols.map(col): _*))).as("chk")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** Gate: true iff both sides agree on count AND checksum for every
     * partition present on either side.
     */

@@ -280,6 +280,7 @@ final class Migrator(
         case (df, (k, e)) => df.withColumn(k, e.cast("string"))
       }
       val dataCols = src.columns.toSeq.filterNot(keys.contains)
+      val dataFields = src.schema.fields.filterNot(f => keys.contains(f.name))
       val srcState = graft.operators.Validate.checksumByPartition(
         withKeys, keys, dataCols)
       val destPath = new org.apache.hadoop.fs.Path(destRoot)
@@ -290,6 +291,20 @@ final class Migrator(
       // structural drift fails fast with the diff instead of surfacing
       // as a confusing read/checksum error. Partition key columns are
       // excluded — they are strings in the hive layout by design.
+      //
+      // EXCEPT benign evolution: a column ADDED at the source
+      // auto-migrates. The destination is read with the SOURCE schema,
+      // so untouched partitions surface the new column as NULL (parquet
+      // schema projection backfills missing columns — file-source reads
+      // force nullability regardless of the declared field), the
+      // checksum compare then re-copies exactly the partitions whose
+      // content differs (non-null values in the new column, or any
+      // other drift), and partitions where the new column is all-NULL
+      // keep their old files — readable as nulls forever. A
+      // non-nullable addition needs no special case: its values are
+      // non-null in every row, so every partition drifts and re-copies
+      // through the same path. Removed or type-changed columns stay
+      // fatal — their checksums would compare different value spaces.
       if (destFs.exists(destPath)) {
         // Nullability is normalized away: parquet round-trips don't
         // preserve it faithfully (readers mark columns nullable), so
@@ -302,11 +317,12 @@ final class Migrator(
           dataSchema(src.schema.fields.toSeq),
           dataSchema(spark.read.option("basePath", destRoot)
             .parquet(destRoot).schema.fields.toSeq))
-        if (drift.nonEmpty) {
+        val breaking = drift.filterNot(_._2 == "added")
+        if (breaking.nonEmpty) {
           checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
           return TableResult(table, TableStatus.Failed, 0, 0, 0L, Nil,
             Some("schema drift vs destination (full re-migration " +
-              "required): " + drift.map { case (c, kind, s, d) =>
+              "required): " + breaking.map { case (c, kind, s, d) =>
                 s"$c $kind" +
                   (if (s.nonEmpty || d.nonEmpty) s" (src=$s dst=$d)" else "")
               }.mkString("; ")))
@@ -317,8 +333,9 @@ final class Migrator(
         else {
           // Pin partition columns to STRING on read: type inference
           // would re-render '01' as '1' and diverge from source keys
-          // (same pitfall as the checksum gate in doMigrate).
-          val dataFields = src.schema.fields.filterNot(f => keys.contains(f.name))
+          // (same pitfall as the checksum gate in doMigrate). Data
+          // columns are pinned to the SOURCE fields — this is also what
+          // backfills a benignly-added column as NULL on the dest side.
           val destSchema = org.apache.spark.sql.types.StructType(
             dataFields ++ keys.map(k => org.apache.spark.sql.types
               .StructField(k, org.apache.spark.sql.types.StringType)))
@@ -338,17 +355,28 @@ final class Migrator(
       for (part <- drifted) {
         val t0 = System.nanoTime()
         CopyService.copyPartition(withKeys, keys, part, partCols, destRoot)
-        val srcCount = srcState(part)._1
-        val dstCount = CopyService.countPartitionDir(spark, destRoot, keys, part)
+        val (srcCount, srcCk) = srcState(part)
+        // Validate the re-copied partition by CONTENT, not just count:
+        // recompute the same sorted-column xxhash64/bit_xor checksum on
+        // the freshly written partition dir and compare against the
+        // already-collected source state — a "changed" partition with
+        // equal counts whose overwrite silently failed would pass a
+        // count-only gate while still serving stale rows.
+        val (dstCount, dstCk) = graft.operators.Validate.checksumAll(
+          spark.read
+            .schema(org.apache.spark.sql.types.StructType(dataFields))
+            .parquet(s"$destRoot/${CopyService.partitionDir(keys, part)}"),
+          dataCols)
         val chk = PartitionCheck(part.render, srcCount, dstCount,
-          srcCount == dstCount, (System.nanoTime() - t0) / 1e9)
+          srcCount == dstCount && srcCk == dstCk,
+          (System.nanoTime() - t0) / 1e9)
         checks :+= chk
         if (!chk.passed) {
           checkpoint.markStatus(table.db, table.table, TableStatus.Failed)
           return TableResult(table, TableStatus.Failed, drifted.size,
             checks.count(_.passed), migratedRows, checks,
-            Some(s"count mismatch for partition ${part.render}: " +
-              s"src=${chk.srcCount} dst=${chk.dstCount}"))
+            Some(s"count/checksum mismatch for partition ${part.render}: " +
+              s"src=($srcCount, $srcCk) dst=($dstCount, $dstCk)"))
         }
         migratedRows += srcCount
         checkpoint.markPartition(table.db, table.table, part)

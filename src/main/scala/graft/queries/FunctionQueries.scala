@@ -14,13 +14,12 @@ object FunctionQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Sources.table(s, dir, n)
 
-  /** Per-JVM scratch dir backing f_struct's write→read round trip:
-    * created on first use, reused by every subsequent builder invocation
-    * (the write is mode=overwrite), and recursively deleted by a JVM
-    * shutdown hook — so neither bench's two in-JVM passes nor its
-    * isolated child JVMs leave parquet copies behind in /tmp.
+  /** Per-JVM scratch ROOT backing f_struct's write→read round trip:
+    * created on first use and recursively deleted by one JVM shutdown
+    * hook — so neither bench's two in-JVM passes nor its isolated child
+    * JVMs leave parquet copies behind in /tmp.
     */
-  private lazy val fStructDir: String = {
+  private lazy val fStructRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_f_struct_")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
@@ -29,8 +28,17 @@ object FunctionQueries {
       }
       rm(p.toFile)
     }
-    p.toString
+    p
   }
+
+  /** Scratch dir for ONE f_struct evaluation: keyed per thread under the
+    * shared root, so concurrent builder invocations in the same JVM
+    * (parallel bench/verify runs) each overwrite their own subdir
+    * instead of racing on one path; cleanup stays the single root hook.
+    */
+  private def fStructDir: String =
+    java.nio.file.Files.createDirectories(
+      fStructRoot.resolve(s"t${Thread.currentThread().getId}")).toString
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // String functions over part names.

@@ -139,6 +139,11 @@ object MigrationQueries {
         monthStr(col("l_shipdate")) =!= "1995-06" &&
           !(monthStr(col("l_shipdate")) === "1996-03" &&
             col("l_quantity") > 40))
+      // The per-row 32-bit md5 prefix accumulates as DECIMAL(38,0): a
+      // signed-64 sum would wrap silently past ~2^31 rows/partition while
+      // the DuckDB oracle (HUGEINT sum) kept exact values — the two
+      // engines diverging in different ways at overflow. Decimal keeps
+      // both sides exact to 10^38 (≈2^95 rows), far past any partition.
       def state(df: DataFrame, cnt: String, ck: String) = df
         .groupBy(monthStr(col("l_shipdate")).as("part"))
         .agg(count(lit(1)).as(cnt),
@@ -146,7 +151,7 @@ object MigrationQueries {
             col("l_orderkey").cast("string"),
             col("l_linenumber").cast("string"),
             col("l_quantity").cast("long").cast("string"))), 1, 8), 16, 10)
-            .cast("long")).as(ck))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(ck))
       state(src, "src_count", "src_ck")
         .join(state(dst, "dst_count", "dst_ck"), Seq("part"), "full_outer")
         .select(col("part"),
@@ -220,10 +225,10 @@ object MigrationQueries {
         |      AS BIGINT) AS h
         |  FROM lineitem),
         |src AS (SELECT part, count(*) AS src_count,
-        |    CAST(sum(h) AS BIGINT) AS src_ck
+        |    sum(h) AS src_ck
         |  FROM fp GROUP BY 1),
         |dst AS (SELECT part, count(*) AS dst_count,
-        |    CAST(sum(h) AS BIGINT) AS dst_ck
+        |    sum(h) AS dst_ck
         |  FROM fp
         |  WHERE part <> '1995-06' AND NOT (part = '1996-03' AND l_quantity > 40)
         |  GROUP BY 1)

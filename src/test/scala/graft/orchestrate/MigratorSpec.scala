@@ -74,14 +74,15 @@ class MigratorSpec extends SparkFunSuite {
     assert(res2.checkResults.isEmpty && res2.migratedRows == 0L)
   }
 
-  test("resync schema gate: drifted data columns fail fast with the diff") {
+  test("resync schema gate: breaking drift fails fast, benign additions not blamed") {
     val (dir, _, mig) = freshEnv()
     val dest = s"$dir/dest/lineitem"
     val ref = TableRef("testdb", "lineitem")
     assert(mig.migrateTable(ref, lineitem, keys, keyExprs, dest).status
       == TableStatus.Completed)
-    // source gains a column and changes a type → resync must refuse
-    // BEFORE copying anything (a partial re-copy would mix schemas)
+    // source changes a type (breaking) AND gains a nullable column
+    // (benign) → resync must refuse BEFORE copying anything (a partial
+    // re-copy would mix schemas), blaming only the breaking change.
     val drifted = lineitem
       .withColumn("l_quantity", col("l_quantity").cast("decimal(18,2)"))
       .withColumn("load_ts", lit("2026-01-01"))
@@ -90,8 +91,39 @@ class MigratorSpec extends SparkFunSuite {
     assert(res.checkResults.isEmpty && res.migratedRows == 0L)
     val msg = res.error.get
     assert(msg.contains("schema drift"))
-    assert(msg.contains("load_ts added"))
     assert(msg.contains("l_quantity changed"))
+    assert(!msg.contains("load_ts")) // the benign addition is not the refusal
+  }
+
+  test("resync schema evolution: added nullable column auto-migrates, untouched partitions kept") {
+    val (dir, _, mig) = freshEnv()
+    val dest = s"$dir/dest/lineitem"
+    val ref = TableRef("testdb", "lineitem")
+    assert(mig.migrateTable(ref, lineitem, keys, keyExprs, dest).status
+      == TableStatus.Completed)
+    // Source gains a nullable column populated ONLY in 1995-02: every
+    // other partition's content is unchanged (the new column backfills
+    // as NULL on the dest read), so exactly one partition re-copies.
+    val month = date_format(col("l_shipdate"), "yyyy-MM")
+    val evolved = lineitem.withColumn("load_batch",
+      when(month === "1995-02", lit("b1")))
+    val res = mig.resyncTable(ref, evolved, keys, keyExprs, dest)
+    assert(res.status == TableStatus.Completed, res.error)
+    assert(res.checkResults.map(_.partition) == Seq("'1995-02'"))
+    assert(res.checkResults.forall(_.passed))
+    // Read back with schema merging: the new column exists, carries its
+    // values in the re-copied partition, and is NULL elsewhere.
+    val back = spark.read.option("basePath", dest)
+      .option("mergeSchema", "true").parquet(dest)
+    assert(back.columns.contains("load_batch"))
+    assert(back.filter(col("load_batch") === "b1").count()
+      == lineitem.filter(month === "1995-02").count())
+    assert(back.filter(col("load_batch").isNotNull)
+      .filter(col("l_month") =!= "1995-02").count() == 0L)
+    // a second resync against the same evolved source is a no-op
+    val res2 = mig.resyncTable(ref, evolved, keys, keyExprs, dest)
+    assert(res2.status == TableStatus.Completed)
+    assert(res2.checkResults.isEmpty && res2.migratedRows == 0L)
   }
 
   test("resync against an empty destination degrades to a full copy") {
