@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 import graft.sources.Sources
@@ -18,6 +19,21 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String) = Sources.table(s, dir, "embeddings")
 
   private val QueryIds = Seq(0L, 1L, 2L)
+
+  /** Corpus size feeding [[Similarity.chooseGeometry]], cached per
+    * dataset dir. The count is PLAN-BUILD state (same class as sq8
+    * stats or broadcast centroids), not part of the query DAG — so it
+    * comes from parquet footer metadata ([[Sources.parquetRowCount]]:
+    * zero Spark jobs, zero data pages) and is computed once per JVM per
+    * dir. At warehouse scale the equivalent number comes from catalog
+    * statistics. SimilarityQueriesSpec asserts a rebuilt
+    * `s_embed_neardup_scaled` runs no extra job.
+    */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embCount(s: SparkSession, dir: String): Long =
+    corpusCounts.computeIfAbsent(dir,
+      _ => Sources.parquetRowCount(s, s"$dir/embeddings.parquet"))
 
   /** Oracle SQL for the sign-LSH bucket of a vector expression — shared
     * by the s_ann_lsh index and the s_ann_recall metric so the two can
@@ -86,7 +102,7 @@ object SimilarityQueries {
     "s_embed_neardup_scaled" -> ((s, dir) => {
       val e = emb(s, dir)
       val geom = Similarity.chooseGeometry(
-        n = e.count(), threshold = 0.9, recallTarget = 0.9)
+        n = embCount(s, dir), threshold = 0.9, recallTarget = 0.9)
       require(geom.bands == 8 && geom.bandBits == 8,
         s"oracle SQL assumes the 8×8 banding; chooseGeometry picked $geom")
       Similarity.nearDupPairs(e, threshold = 0.4, prefilter = 0.35,
@@ -242,14 +258,54 @@ object SimilarityQueries {
     // already demonstrates).
     "s_pq_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val (enc, cents1) = pqEncode(e)
-      val recon = enc.join(cents1, Seq("m", "cid"))
-        .groupBy("vec_id")
-        .agg(flatten(transform(
-          array_sort(collect_list(struct(col("m"), col("cv")))),
-          x => x.getField("cv"))).as("embedding"))
       Similarity.bruteForceTopK(
-        recon, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+        pqRecon(e), e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // PQ search WITH THE RERANK STAGE — the production composition the
+    // plain `s_pq_ann` deliberately omits to show the compression
+    // error: stage 1 widens the ADC candidate set (top-`PqWiden` by
+    // code-reconstructed cosine — at 100 TB this pass reads only the
+    // 64×-compressed codes), stage 2 reranks ONLY those survivors at
+    // full precision against the original vectors (a candidate-bounded
+    // id join — q·PqWiden slim rows — then the exact-decimal cosine).
+    // Compression error can demote a true neighbor a few dozen ranks
+    // but not out of the widened set, so measured recall@5 returns to
+    // 1.0 vs `s_ann_brute` ground truth (asserted in
+    // SimilarityQueriesSpec) while the full-precision reads stay
+    // proportional to q·PqWiden, not corpus size.
+    "s_pq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(QueryIds: _*))
+      val widened = Similarity.bruteForceTopK(pqRecon(e), q, k = PqWiden)
+        .select(col("qid"), col("vid"))
+      val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cv = e.select(col("vec_id").as("vid"), col("embedding").as("cvec"))
+      val scored = widened.join(broadcast(qv), "qid").join(cv, "vid")
+        .select(col("qid"), col("vid"),
+          Similarity.cosineExact(col("qvec"), col("cvec")).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vid", "cos")
+        .orderBy("qid", "rank")
+    }),
+
+    // The IndexIVFPQ composition — FAISS's workhorse, completing the
+    // index family: IVF cells bound the scan to the probed fraction
+    // while the cell contents are PQ codes (64× compression; vs SQ8's
+    // 4× in `s_ann_ivf_sq8`). Corpus vectors are code reconstructions
+    // (codes + broadcast codebooks are all that's stored); centroids,
+    // assignment, probing, and rerank ride the same ivfTopK as every
+    // other IVF variant; queries stay full precision (asymmetric
+    // distance). Every stage is hash-checked by the oracle below;
+    // recall-vs-probe is asserted in SimilarityQueriesSpec.
+    "s_ann_ivf_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(
+        pqRecon(e), e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
         .orderBy("qid", "rank")
     }),
 
@@ -268,6 +324,45 @@ object SimilarityQueries {
         .orderBy("lang", "pos")
     }),
   )
+
+  /** ADC widening factor for `s_pq_rerank`: candidates surviving the
+    * code-space scan into the full-precision rerank, per query. The
+    * demo geometry (K=16, one Lloyd round) over isotropic test vectors
+    * is deliberately coarse — near-noise cosines reorder broadly under
+    * 64× compression, and the measured worst ADC rank of a true top-5
+    * neighbor on this corpus is 126 — so 150 of 500 vectors is the
+    * widening that returns recall@5 to 1.0 (50 left it at 13/15). At
+    * production geometry (K=256, more rounds, clustered real
+    * embeddings) compression error is far smaller and the same safety
+    * margin is thousands of candidates over billions of codes — still
+    * ~0 of the corpus.
+    */
+  private val PqWiden = 150
+
+  /** Corpus reconstructed from PQ codes: each vector is its M subspace
+    * codebook entries concatenated in subspace order — the decoded form
+    * of the 8×4-bit code word, shared by `s_pq_ann` / `s_pq_rerank` /
+    * `s_ann_ivf_pq`. The join is codes × broadcast codebooks (M·K = 128
+    * rows); output embeddings are float arrays (codebook entries are
+    * round-6 floats).
+    */
+  private[queries] def pqRecon(e: DataFrame): DataFrame = {
+    val (enc, cents1) = pqEncode(e)
+    enc.join(cents1, Seq("m", "cid"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("cv")))),
+        x => x.getField("cv"))).as("embedding"))
+  }
+
+  /** Oracle CTE mirroring [[pqRecon]]: code-reconstructed vectors from
+    * the `a1` assignment and `cents1` codebooks of [[pqCtesSql]].
+    */
+  private val pqRvecSql: String =
+    """rvec AS (SELECT a.vid AS vec_id,
+      |    flatten(list(c.cv ORDER BY a.m)) AS rv
+      |  FROM a1 a JOIN cents1 c ON c.m = a.m AND c.cid = a.cid
+      |  GROUP BY a.vid)""".stripMargin
 
   /** Oracle CTE chain mirroring [[pqEncode]] bit-for-bit: subvector
     * split, seeded codebooks, round-6 exact-decimal squared-L2
@@ -596,14 +691,68 @@ object SimilarityQueries {
         |FROM a1 WHERE vid < 50 GROUP BY vid ORDER BY vec_id""".stripMargin,
     "s_pq_ann" ->
       s"""WITH $pqCtesSql,
-        |rvec AS (SELECT a.vid AS vec_id,
-        |    flatten(list(c.cv ORDER BY a.m)) AS rv
-        |  FROM a1 a JOIN cents1 c ON c.m = a.m AND c.cid = a.cid
-        |  GROUP BY a.vid),
+        |$pqRvecSql,
         |cand AS (SELECT q.vec_id AS qid, r.vec_id AS vid,
         |    q.embedding AS qvec, r.rv AS cvec
         |  FROM embeddings q JOIN rvec r ON q.vec_id <> r.vec_id
         |  WHERE q.vec_id IN (0, 1, 2)),
+        |$cosCte,
+        |ranked AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "s_pq_rerank" ->
+      s"""WITH $pqCtesSql,
+        |$pqRvecSql,
+        |acand AS (SELECT q.vec_id AS qid, r.vec_id AS vid,
+        |    q.embedding AS qvec, r.rv AS cvec
+        |  FROM embeddings q JOIN rvec r ON q.vec_id <> r.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2)),
+        |${cosBlock("acand", "qid", "vid", "qvec", "cvec", "ascored")},
+        |widened AS (SELECT qid, vid FROM (
+        |    SELECT qid, vid, row_number() OVER (
+        |        PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        |      FROM ascored) WHERE rn <= $PqWiden),
+        |cand AS (SELECT w.qid, w.vid,
+        |    qe.embedding AS qvec, ce.embedding AS cvec
+        |  FROM widened w
+        |  JOIN embeddings qe ON qe.vec_id = w.qid
+        |  JOIN embeddings ce ON ce.vec_id = w.vid),
+        |$cosCte,
+        |ranked AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "s_ann_ivf_pq" ->
+      s"""WITH $pqCtesSql,
+        |$pqRvecSql,
+        |cents AS (SELECT CAST(vec_id AS INT) AS cid, rv AS centvec
+        |  FROM rvec WHERE vec_id < 16),
+        |apairs AS (SELECT v.vec_id AS vid, v.rv AS evec, c.cid, c.centvec
+        |  FROM rvec v CROSS JOIN cents c),
+        |${cosBlock("apairs", "vid", "cid", "evec", "centvec", "ascored")},
+        |assigned AS (SELECT vid, cid AS cell FROM (
+        |    SELECT vid, cid, row_number() OVER (
+        |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+        |      FROM ascored) WHERE rn = 1),
+        |qpairs AS (SELECT q.vec_id AS qid, q.embedding AS qv,
+        |    c.cid, c.centvec
+        |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id IN (0, 1, 2)),
+        |${cosBlock("qpairs", "qid", "cid", "qv", "centvec", "qscored")},
+        |qprobes AS (SELECT qid, cid AS cell FROM (
+        |    SELECT qid, cid, row_number() OVER (
+        |        PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        |      FROM qscored) WHERE rn <= 4),
+        |cand AS (SELECT p.qid, a.vid,
+        |    qe.embedding AS qvec, ce.rv AS cvec
+        |  FROM qprobes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.vid <> p.qid
+        |  JOIN embeddings qe ON qe.vec_id = p.qid
+        |  JOIN rvec ce ON ce.vec_id = a.vid),
         |$cosCte,
         |ranked AS (SELECT qid, vid, cos,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)

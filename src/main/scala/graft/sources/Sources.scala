@@ -88,6 +88,35 @@ object Sources {
     props.foldLeft(withPart) { case (r, (k, v)) => r.option(k, v) }.load()
   }
 
+  /** Row count of a parquet file/directory from FOOTER METADATA only —
+    * no Spark job, no data pages read. Parquet footers carry per-block
+    * row counts, so the total is a driver-side sum over file footers.
+    * This is the right source for plan-build statistics (e.g. the `n`
+    * feeding [[graft.operators.Similarity.chooseGeometry]]): a count
+    * STATISTIC is index-build state, not part of the query DAG. At
+    * warehouse scale the same number comes from the table catalog
+    * (ANALYZE statistics / snapshot manifests) rather than listing
+    * files; the footer walk here is the self-contained equivalent for
+    * path-addressed data.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try total += reader.getRecordCount finally reader.close()
+      }
+    }
+    total
+  }
+
   /** Probe the sink the way the reference probes the S3 policy
     * (reference: clients/ch_client.py:43-57 round-trips a tmp table):
     * write a 1-row parquet under the prefix, read it back, delete.

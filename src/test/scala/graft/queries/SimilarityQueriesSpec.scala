@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+/** Quality and plan-shape assertions for the similarity QUERY layer —
+  * the claims the per-value oracle can't express: recall of the
+  * approximate indexes against brute-force ground truth, and the
+  * no-extra-job contract of plan-build statistics.
+  */
+class SimilarityQueriesSpec extends SparkFunSuite {
+
+  private def truthTop5: Set[(Long, Long)] =
+    SimilarityQueries.defs("s_ann_brute")(spark, sf0001)
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+  test("s_pq_rerank: widened ADC + full-precision rerank restores recall@5 to 1.0") {
+    // Plain PQ search ranks by code reconstruction only and loses
+    // neighbors to compression error (recall@5 0.40 at this geometry —
+    // the honest number s_pq_ann documents). The rerank stage must get
+    // them all back: compression can demote a true neighbor a few dozen
+    // ranks, but not out of the widened top-50.
+    val truth = truthTop5
+    val rerank = SimilarityQueries.defs("s_pq_rerank")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = truth.count(rerank.contains)
+    assert(hits == truth.size,
+      s"recall@5 = $hits/${truth.size}, expected full recovery")
+    // and it strictly improves on the unreranked PQ search
+    val plain = SimilarityQueries.defs("s_pq_ann")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(truth.count(plain.contains) < hits,
+      "rerank should beat code-only ranking at this geometry")
+  }
+
+  test("s_ann_ivf_pq: recall grows with probe budget; full probe == full ADC scan") {
+    // The IVF∘PQ composition trades recall for probed fraction. Probing
+    // every cell removes the IVF approximation entirely — the result
+    // must equal the full scan over PQ codes (s_pq_ann's ranking) — and
+    // the default 4-probe setting sits between 1-probe and full.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+    val adcFull = SimilarityQueries.defs("s_pq_ann")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val truth = truthTop5
+    def recall(pairs: Set[(Long, Long)]): Int = truth.count(pairs.contains)
+    val recon = SimilarityQueries.pqRecon(e)
+    def ivf(nProbe: Int): Set[(Long, Long)] =
+      graft.operators.Similarity.ivfTopK(recon, q, k = 5, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val full = graft.operators.Similarity
+      .ivfTopK(recon, q, k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == adcFull, "probing all 16 cells must equal the full code scan")
+    assert(recall(ivf(1)) <= recall(ivf(4)),
+      "recall must not shrink as the probe budget grows")
+    assert(recall(ivf(4)) <= recall(ivf(16)))
+  }
+
+  /** Jobs submitted while `build` runs, counted via an in-order
+    * listener: a marker job after `build` bounds the wait (listener
+    * delivery is async but ordered, so once the marker arrives every
+    * build-time job has too).
+    */
+  private def jobsDuring(build: => Unit): Int = {
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      build
+      spark.range(1).count() // marker
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      jobs - 1
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("s_embed_neardup_scaled: no count job at plan-build (metadata-cached n)") {
+    // chooseGeometry's n comes from parquet footer metadata cached per
+    // dir — building the scaled query must submit no more jobs than
+    // building the unscaled twin (the round-9 builder ran a full
+    // e.count() job per invocation). Schema-inference jobs from
+    // spark.read are common to both, so the comparison isolates
+    // exactly the count.
+    SimilarityQueries.defs("s_embed_neardup_scaled")(spark, sf0001) // warm
+    val base = jobsDuring(
+      SimilarityQueries.defs("s_embed_neardup")(spark, sf0001))
+    val scaled = jobsDuring(
+      SimilarityQueries.defs("s_embed_neardup_scaled")(spark, sf0001))
+    assert(scaled == base,
+      s"scaled plan-build ran $scaled job(s) vs $base for the plain twin")
+  }
+}
