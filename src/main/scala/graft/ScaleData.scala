@@ -69,9 +69,10 @@ object ScaleData {
     require(factor >= 1 && factor <= 26, "factor must be in [1, 26]")
 
     def read(name: String): DataFrame = {
-      // events.ts is parquet TIMESTAMP(NANOS); read it as a raw long and
-      // write it back as a plain int64 — Sources.table's `ts div 1000`
-      // conversion treats both identically.
+      // events.ts flavor varies by testdata generation (TIMESTAMP(NANOS)
+      // → raw long under the legacy conf; TIMESTAMP(MICROS) → NTZ).
+      // Either is written back verbatim — Sources.table normalizes both
+      // flavors on read, branching on the inferred type.
       if (name == "events") {
         val key = "spark.sql.legacy.parquet.nanosAsLong"
         val prev = spark.conf.getOption(key)

@@ -200,6 +200,30 @@ object Dedup {
     jaccardForCandidates(rel, cand, threshold)
   }
 
+  /** INCREMENTAL MinHash-LSH dedup: near-dup pairs between a new
+    * `batch` and an existing `corpus` (ids assumed disjoint). The shape
+    * that makes continuous ingestion affordable at 100 TB: the band
+    * join is batch-bands × corpus-bands — work proportional to the
+    * BATCH, not to corpus², and in production the corpus band table is
+    * a PERSISTED index (computed once per document ever, appended as
+    * batches land; here it is derived inline so the query stays
+    * self-contained). Candidates then pay exact-Jaccard verification
+    * against the union shingle relation, bounded by the candidate
+    * count. Output: (id_a = batch doc, id_b = corpus doc, jac).
+    */
+  def minhashNearDupsAgainst(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val relB = shingleRelation(batch, idCol, textCol)
+    val relC = shingleRelation(corpus, idCol, textCol)
+    val cand = bandsFromRelation(relB, bands, rowsPerBand).as("x")
+      .join(bandsFromRelation(relC, bands, rowsPerBand).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    jaccardForCandidates(relB.union(relC), cand, threshold)
+  }
+
   /** Connected components over an undirected near-dup pair graph
     * (id_a, id_b) — the cluster-formation step that follows pair
     * detection in a dedup pipeline: each component keeps one canonical

@@ -99,6 +99,22 @@ object TextAnalysis {
     when(band < "cd", "train").when(band < "e7", "val").otherwise("test")
   }
 
+  /** Number of tokens that are English stopwords (Gopher-style "must
+    * contain ≥ N stop words" rule input).
+    */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+
+  /** Uniform 256-band content-free id hash (band ∈ [0, 255]): the first
+    * two hex chars of `md5(salt || id)` as an integer. The shared
+    * primitive behind [[hashSplit]]-style splits and per-stratum
+    * rate sampling — deterministic, engine-portable, stable under
+    * corpus growth.
+    */
+  def hashBand256(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 2), 16, 10)
+      .cast("int")
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set — a deterministic stand-in for a rolling hash that both
     * engines compute identically. Documents with equal fingerprints have

@@ -86,6 +86,23 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL dedup: the newest 100 documents (the arriving batch)
+    // checked against everything before them (the standing corpus) via
+    // the MinHash band index — band join is batch × corpus, never
+    // corpus²; at 100 TB the corpus band table is a persisted index and
+    // each ingested batch pays only its own signatures plus this join.
+    // The batch boundary is data-driven (max(doc_id) - 99) through a
+    // broadcast scalar — no driver-side collect.
+    "d_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cut = d.agg((max(col("doc_id")) - lit(99L)).as("cut"))
+      val withCut = d.crossJoin(broadcast(cut))
+      val batch = withCut.filter(col("doc_id") >= col("cut")).drop("cut")
+      val corpus = withCut.filter(col("doc_id") < col("cut")).drop("cut")
+      Dedup.minhashNearDupsAgainst(batch, corpus, "doc_id", "text", 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash signatures: 32-bit majority-vote over word hashes.
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashBits(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
@@ -135,6 +152,31 @@ object DedupQueries {
         |FROM jac j JOIN cand USING (id_a, id_b)
         |WHERE j.jac >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // Batch ids are the newest 100 → always larger than corpus ids, so
+    // the ordered-pair jac CTE (ia < ib) maps to (id_b, id_a) here.
+    "d_incremental" ->
+      s"""WITH ${shingleCte()},
+        |cut AS (SELECT max(doc_id) - 99 AS c FROM documents),
+        |base AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substring(md5(shingle), 9, 8)) AS BIGINT) AS h2
+        |  FROM sh),
+        |hashes AS (SELECT doc_id, hi.i AS i, h1 + hi.i * h2 AS h
+        |  FROM base, generate_series(0, 11) AS hi(i)),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |    min(CASE WHEN i % 2 = 0 THEN h END) AS m0,
+        |    min(CASE WHEN i % 2 = 1 THEN h END) AS m1
+        |  FROM hashes GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1, cut
+        |  WHERE x.doc_id >= cut.c AND y.doc_id < cut.c),
+        |$jaccardCte
+        |SELECT c.id_a, c.id_b, j.jac
+        |FROM cand c
+        |JOIN jac j ON j.id_a = c.id_b AND j.id_b = c.id_a
+        |WHERE j.jac >= 0.5
+        |ORDER BY c.id_a, c.id_b""".stripMargin,
     "d_components" ->
       s"""WITH RECURSIVE ${shingleCte("WHERE doc_id < 300")},
         |$jaccardCte,

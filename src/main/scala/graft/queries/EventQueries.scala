@@ -29,6 +29,42 @@ object EventQueries {
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
         .orderBy("win_start", "event_type")),
 
+    // Two-phase SALTED aggregation over the 6-value event_type domain —
+    // the skew shape AQE cannot fix (a hash exchange on the raw key can
+    // never use more than |domain| reducers; at 100 TB that is 6 tasks
+    // owning the whole shuffle). Phase 1 groups by (key, salt-16) — 16×
+    // the reducers, map-side combined; phase 2 re-aggregates the tiny
+    // salted partials. Counts and EXACT decimal sums re-aggregate
+    // losslessly, so the oracle is the plain unsalted GROUP BY.
+    "e_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedAgg(
+        ev(s, dir), keys = Seq("event_type"),
+        seed = col("event_id"), buckets = 16,
+        partials = Seq(count(lit(1)).as("pc"),
+          sum(col("value").cast(DecimalType(18, 2))).as("pv")),
+        finals = Seq(sum(col("pc")).as("cnt"),
+          sum(col("pv")).cast("double").as("sum_value")))
+        .orderBy("event_type")),
+
+    // Salted skewed JOIN: events (the huge fact, keyed by the same
+    // 6-value domain) against a per-type dim — dim replicated once per
+    // salt bucket map-side, fact salted on event_id, join on
+    // (event_type, salt): 16×|domain| reducers instead of |domain|.
+    // The dim here derives from the fact (distinct + a tag column) to
+    // stay self-contained; in production it is a real dimension table.
+    // Salt aggregates away, so the oracle is the plain join.
+    "e_skew_join" -> ((s, dir) => {
+      val events = ev(s, dir)
+      val dim = events.select("event_type").distinct()
+        .withColumn("type_tag", upper(col("event_type")))
+      graft.operators.Skew.saltedJoin(
+        events, dim, key = "event_type",
+        seed = col("event_id"), buckets = 16)
+        .groupBy("type_tag")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("type_tag")
+    }),
+
     // Sliding 1-hour windows every 30 minutes via Spark's window();
     // oracle reproduces the two-window membership arithmetic.
     "e_sliding" -> ((s, dir) =>
@@ -243,6 +279,17 @@ object EventQueries {
         |  event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "e_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e_skew_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type,
+        |    upper(event_type) AS type_tag FROM events)
+        |SELECT d.type_tag, count(*) AS cnt,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY d.type_tag ORDER BY d.type_tag""".stripMargin,
     "e_sliding" ->
       """WITH win AS (
         |  SELECT to_timestamp(

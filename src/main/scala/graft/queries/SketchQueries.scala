@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.operators.Joins
 import graft.sources.Sources
 
@@ -122,6 +123,81 @@ object SketchQueries {
         col("exact_inter"))
     }),
 
+    // Equi-width histogram with data-driven bounds — the profiling
+    // primitive behind binned distribution reports and skew diagnosis.
+    // Two passes over the fact, which is the correct scale shape: pass 1
+    // reduces to a SINGLE (min,max) row (map-side combined, bytes of
+    // shuffle), which broadcasts into pass 2's bucketing projection —
+    // floor((v-lo)/width) — so the histogram itself is one map-side-
+    // combined shuffle over ≤ nb cells. No sort, no window, nothing
+    // proportional to row count crosses the wire. Sums are exact decimal
+    // (order-independent → engine-portable), bucket edges single IEEE
+    // double ops (bit-identical in DuckDB).
+    "x_hist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val nb = 20
+      val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      val w = (col("hi") - col("lo")) / lit(nb.toDouble)
+      li.crossJoin(broadcast(bounds))
+        .select(
+          least(floor((col("l_extendedprice") - col("lo")) / w), lit(nb - 1L))
+            .as("bucket"),
+          col("lo"), col("hi"), col("l_extendedprice"))
+        .groupBy("bucket", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_price"))
+        .select(col("bucket"),
+          round(col("lo") + col("bucket") * ((col("hi") - col("lo")) / lit(nb.toDouble)), 4)
+            .as("edge_lo"),
+          col("n"), col("sum_price"))
+        .orderBy("bucket")
+    }),
+
+    // Count-min sketch (Cormode & Muthukrishnan 2005): d=4 rows × w=64
+    // buckets of COUNTERS — frequency estimation for every key in one
+    // pass through 256 cells of state. Hashes are the same md5-derived
+    // Kirsch–Mitzenmacher double-hash family the MinHash path uses, so
+    // the DuckDB oracle rebuilds the counters bit-for-bit and the
+    // estimate (min over rows of the key's cell) is fully checkable,
+    // including its one-sided error: over_n ≥ 0 always. The 100-TB
+    // shape: the sketch build is one map-side-combined shuffle into 256
+    // cells regardless of input size (a mergeable partial aggregate —
+    // the distributed-sketch property), and the probe side joins keys
+    // against the BROADCAST 256-row sketch. w=64 is deliberately
+    // undersized for the test corpus (1 500 users at sf0.1) so the
+    // collision/overestimate path is actually exercised; production
+    // sizing is w ≈ e/ε. The exact_n column is the expensive per-key
+    // groupBy the sketch replaces, kept here for the oracle-checked
+    // error accounting.
+    "x_cms" -> ((s, dir) => {
+      val w = 64
+      val d = 4
+      val key = col("user_id").cast("string")
+      val hashed = t(s, dir, "events").select(col("user_id"),
+        conv(substring(md5(key), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(key), 9, 8), 16, 10).cast("long").as("h2"))
+      val cells = hashed
+        .select(explode(sequence(lit(0), lit(d - 1))).as("r"),
+          col("h1"), col("h2"))
+        .select(col("r"), pmod(col("h1") + col("r") * col("h2"), lit(w.toLong)).as("b"))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val keys = hashed.groupBy("user_id")
+        .agg(count(lit(1)).as("exact_n"), min("h1").as("h1"), min("h2").as("h2"))
+      keys
+        .select(col("user_id"), col("exact_n"),
+          explode(sequence(lit(0), lit(d - 1))).as("r"), col("h1"), col("h2"))
+        .select(col("user_id"), col("exact_n"), col("r"),
+          pmod(col("h1") + col("r") * col("h2"), lit(w.toLong)).as("b"))
+        .join(broadcast(cells), Seq("r", "b"))
+        .groupBy("user_id", "exact_n")
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("user_id"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("over_n"))
+        .orderBy("user_id")
+    }),
+
     // As-of join: every event picks up the user's latest prior (or
     // simultaneous) signup. DuckDB's native ASOF LEFT JOIN is the
     // oracle; the Spark side is the union-window composition
@@ -148,6 +224,38 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "x_hist" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo,
+        |    max(l_extendedprice) AS hi FROM lineitem),
+        |h AS (SELECT LEAST(CAST(floor((l_extendedprice - lo)
+        |      / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bucket,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM lineitem, b GROUP BY 1)
+        |SELECT h.bucket,
+        |  round(b.lo + h.bucket * ((b.hi - b.lo) / 20.0), 4) AS edge_lo,
+        |  n, sum_price
+        |FROM h, b ORDER BY h.bucket""".stripMargin,
+    "x_cms" ->
+      """WITH h AS (SELECT user_id,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h1,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8))
+        |      AS BIGINT) AS h2
+        |  FROM events),
+        |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |cells AS (SELECT r, (h1 + r * h2) % 64 AS b, count(*) AS c
+        |  FROM h, rs GROUP BY 1, 2),
+        |keys AS (SELECT user_id, count(*) AS exact_n,
+        |    min(h1) AS h1, min(h2) AS h2
+        |  FROM h GROUP BY 1),
+        |est AS (SELECT k.user_id, k.exact_n, min(c.c) AS cms_est
+        |  FROM keys k, rs
+        |  JOIN cells c ON c.r = rs.r AND c.b = (k.h1 + rs.r * k.h2) % 64
+        |  GROUP BY 1, 2)
+        |SELECT user_id, exact_n, cms_est, cms_est - exact_n AS over_n
+        |FROM est ORDER BY user_id""".stripMargin,
     // Sub-k convention (matches KmvSketch.finish): a group holding fewer
     // than k=64 distinct hashes reports the EXACT distinct-hash count, so
     // the oracle keys on rn = LEAST(nh, 64) instead of rn = 64 — a bare

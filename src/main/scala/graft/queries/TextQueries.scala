@@ -171,6 +171,53 @@ object TextQueries {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("split")),
 
+    // Gopher-style composite quality rules (Rae et al. 2021 §A1.1,
+    // reduced to the signals this corpus carries): word-count band,
+    // mean-word-length band, type-token-ratio floor, and the "must
+    // contain ≥ 2 English stop words" rule. Per-rule boolean flags plus
+    // the conjunction — the filter-with-audit-trail shape a curation
+    // pipeline wants (keep WHY a doc was dropped, not just that it
+    // was). Entirely map-only arithmetic over the scan: every flag is
+    // an integer-count comparison or one IEEE double division, so both
+    // engines agree bit-for-bit and at 100 TB the whole rule set fuses
+    // into the document scan with zero shuffles.
+    "t_gopher" -> ((s, dir) => {
+      val nW = TA.wordCount(col("text"))
+      val rWc = nW.between(20, 100000)
+      val rMwl = TA.avgWordLen(col("text")).between(3.0, 4.7)
+      val rTtr = TA.distinctRatio(col("text")) >= 0.3
+      val rStop = TA.stopwordCount(col("text")) >= 2
+      docs(s, dir).select(
+        col("doc_id"), nW.as("n_words"),
+        rWc.as("r_wc"), rMwl.as("r_mwl"), rTtr.as("r_ttr"),
+        rStop.as("r_stop"),
+        (rWc && rMwl && rTtr && rStop).as("pass"))
+        .orderBy("doc_id")
+    }),
+
+    // Stratified deterministic sampling: per-language keep-rates
+    // (downsample the dominant language, keep more of the rest — the
+    // data-mixture rebalancing step before training). The rate table is
+    // a BROADCAST dim (in production: a config table), the keep
+    // decision is the salted-md5 256-band hash vs the stratum's
+    // threshold — pure map-side filter, no RNG, no sampling shuffle,
+    // and a document's fate never changes as the corpus grows or the
+    // cluster resizes. en keeps 64/256 (25%), every other language
+    // 128/256 (50%).
+    "t_sample_stratified" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val rates = Seq(("en", 64), ("de", 128), ("es", 128),
+        ("fr", 128), ("zh", 128)).toDF("lang", "thr")
+      docs(s, dir)
+        .join(broadcast(rates), Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          TA.hashBand256(col("doc_id"), "strat:").as("band"), col("thr"))
+        .filter(col("band") < col("thr"))
+        .select("doc_id", "lang", "band")
+        .orderBy("doc_id")
+    }),
+
     // Per-language quality quota: keep the top-5 docs per language by
     // quality score — the curation shape ("cap each source/language at
     // N best docs"). One hash exchange on lang, per-key heap sort.
@@ -373,6 +420,32 @@ object TextQueries {
         |SELECT split, count(*) AS n_docs,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "t_gopher" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(w) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS mwl,
+        |    CAST(len(list_distinct(w)) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS ttr,
+        |    len(list_filter(w, x -> x IN ($StopList))) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  n_words BETWEEN 20 AND 100000 AS r_wc,
+        |  mwl BETWEEN 3.0 AND 4.7 AS r_mwl,
+        |  ttr >= 0.3 AS r_ttr,
+        |  n_stop >= 2 AS r_stop,
+        |  (n_words BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 4.7)
+        |    AND ttr >= 0.3 AND n_stop >= 2 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "t_sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)),
+        |      1, 2)) AS INTEGER) AS band,
+        |    CASE WHEN lang = 'en' THEN 64 ELSE 128 END AS thr
+        |  FROM documents)
+        |SELECT doc_id, lang, band FROM b
+        |WHERE band < thr ORDER BY doc_id""".stripMargin,
     "t_quota" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |scored AS (SELECT doc_id,

@@ -19,17 +19,21 @@ object Sources {
 
   /** Load one testdata table: `$dir/$name.parquet`.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). It is read as a nanosecond
-    * long (`spark.sql.legacy.parquet.nanosAsLong`) and converted to a
-    * microsecond timestamp with integer division — lossless here (the
-    * testdata is µs-aligned) and exactly what DuckDB sees.
+    * `events.ts` has shipped in two physical flavors across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]) unless read as a nanosecond
+    * long via `spark.sql.legacy.parquet.nanosAsLong` — and plain
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which infers as
+    * TIMESTAMP_NTZ. This reader normalizes BOTH to a session-zone
+    * microsecond TimestampType column (sessions here run UTC, so the
+    * NTZ→LTZ cast is value-preserving and matches what DuckDB sees),
+    * branching on the INFERRED type rather than assuming a flavor.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // Scoped to this read: the conf is consulted at schema inference,
       // which the DataFrameReader performs eagerly here; the resolved
-      // relation carries LongType from then on, so the conf can be
+      // relation carries its type from then on, so the conf can be
       // restored immediately without affecting later execution of this
       // DataFrame — and no other parquet read in the session silently
       // inherits the legacy nanos behavior (round-1 advice).
@@ -39,9 +43,14 @@ object Sources {
         spark.conf.set(key, "true")
         spark.read.parquet(s"$dir/events.parquet")
       } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.LongType
+      raw.schema("ts").dataType match {
+        case LongType => // nanos flavor, surfaced as a raw long
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => // micros flavor (TIMESTAMP or TIMESTAMP_NTZ)
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =

@@ -15,25 +15,25 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** File-source schema: ts arrives as nanosecond LONG (see
-    * [[graft.sources.Sources.table]]) and converts to a µs timestamp.
+  /** File-source schema. The testdata's `ts` is parquet
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false); requesting TimestampType
+    * reads it interpreted in the session zone (UTC here) — the same
+    * normalization [[graft.sources.Sources.table]] applies on the batch
+    * side, so stream and batch twins see identical instants.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Open the events parquet as a stream (file micro-batch source). */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
       .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Tumbling 1-hour counts with a 10-minute watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =

@@ -73,12 +73,9 @@ class EventStreamsSpec extends SparkFunSuite {
     val s = spark
     import org.apache.spark.sql.functions.{col, expr}
     val dir = java.nio.file.Files.createTempDirectory("events_dup")
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    val raw = try {
-      s.conf.set(key, "true")
-      s.read.parquet(s"$sf0001/events.parquet")
-    } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    // normalized batch read (ts as session-zone TimestampType) so the
+    // staged parquet matches EventStreams.rawSchema
+    val raw = Sources.table(s, sf0001, "events")
     // the file stream source lists FILES (not nested dirs): stage each
     // copy as a single flat parquet file inside the stream directory
     def stageFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
@@ -90,7 +87,8 @@ class EventStreamsSpec extends SparkFunSuite {
         java.nio.file.Paths.get(part), dir.resolve(name))
     }
     stageFlat(raw, "a.parquet")
-    stageFlat(raw.withColumn("ts", col("ts") + expr("1000000")), "b.parquet") // +1 ms in nanos
+    stageFlat(raw.withColumn("ts",
+      col("ts") + expr("INTERVAL 1 MILLISECOND")), "b.parquet") // +1 ms
     val stream = EventStreams.readEvents(s, dir.toString)
     EventStreams.runToMemory(EventStreams.dedupStreamByKey(stream), "dedup_wm_out")
     val got = s.sql("SELECT count(*) FROM dedup_wm_out").head().getLong(0)
