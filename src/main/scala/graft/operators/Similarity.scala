@@ -66,6 +66,31 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    * rankings — the standard way to combine a lexical and a vector
+    * retriever into one hybrid result without score calibration:
+    * rrf(d) = Σ_r 1/(c + rank_r(d)) over the rankings that contain d.
+    * Inputs are slim (qid, id, rank) top-k lists, so the full-outer
+    * merge and re-rank touch at most 2k rows per query regardless of
+    * corpus size — the fusion stage is free at 100 TB; all cost lives
+    * in the upstream retrievers. Ranks are small ints and the RRF sum
+    * is two IEEE double terms added in fixed (a, b) order, so both
+    * engines agree bit-for-bit. Ties break by id.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    val fused = a.select(col("qid"), col("id"), col("rank").as("rank_a"))
+      .join(b.select(col("qid"), col("id"), col("rank").as("rank_b")),
+        Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_b")), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), round(col("rrf"), 6).as("rrf"))
+  }
+
   /** Sign-LSH bucket: concatenated sign bits of the selected dimensions
     * (axis-aligned random-hyperplane hashing — deterministic and
     * engine-portable).

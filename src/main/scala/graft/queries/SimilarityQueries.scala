@@ -133,6 +133,43 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
+    // HYBRID retrieval: reciprocal-rank fusion of a lexical retriever
+    // (distinct-token overlap with the query document, inverted-index
+    // join — never query×corpus) and the vector retriever (brute-force
+    // cosine top-10), fused as Σ 1/(60 + rank) per Cormack et al. 2009.
+    // The corpus is the doc∩embedding id intersection so both
+    // retrievers rank the same items (doc_id ≡ vec_id in the testdata).
+    // Scale shape: each retriever emits a slim per-query top-10 list;
+    // the fusion full-outer-joins ≤ 20 rows per query — at 100 TB the
+    // fusion is free, the retrievers are the scans, and each is
+    // independently replaceable by its indexed variant (s_ann_ivf /
+    // an inverted text index) without touching the fusion.
+    "s_hybrid_rrf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = Sources.table(s, dir, "documents")
+      val docs = d.join(e.select(col("vec_id")),
+        d("doc_id") === col("vec_id"), "left_semi")
+      val corpusE = e.join(d.select(col("doc_id")),
+        e("vec_id") === col("doc_id"), "left_semi")
+      val vec = Similarity.bruteForceTopK(
+        corpusE, corpusE.filter(col("vec_id").isin(QueryIds: _*)), k = 10)
+        .select(col("qid"), col("vid").as("id"), col("rank"))
+      val qtok = docs.filter(col("doc_id").isin(QueryIds: _*))
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val dtok = docs.select(col("doc_id").as("id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val overlap = qtok.join(dtok, "tok")
+        .filter(col("id") =!= col("qid"))
+        .groupBy("qid", "id").agg(count(lit(1)).as("ov"))
+      val wl = Window.partitionBy(col("qid"))
+        .orderBy(col("ov").desc, col("id"))
+      val lex = overlap.withColumn("rank", row_number().over(wl))
+        .filter(col("rank") <= 10)
+        .select("qid", "id", "rank")
+      Similarity.rrfFuse(vec, lex, k = 10).orderBy("qid", "rank")
+    }),
+
     // IVF ANN: assign every vector to its nearest of 16 deterministic
     // centroids, probe the 4 nearest cells per query, exact rerank top-5.
     "s_ann_ivf" -> ((s, dir) => {
@@ -500,6 +537,42 @@ object SimilarityQueries {
        |  FROM ${out}_terms GROUP BY $aId, $bId)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s_hybrid_rrf" ->
+      s"""WITH corpus AS (SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |cand AS (SELECT q.doc_id AS qid, c.doc_id AS vid,
+        |    q.embedding AS qvec, c.embedding AS cvec
+        |  FROM corpus q JOIN corpus c ON q.doc_id <> c.doc_id
+        |  WHERE q.doc_id IN (0, 1, 2)),
+        |$cosCte,
+        |rv AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, vid) AS rank
+        |  FROM scored),
+        |rv10 AS (SELECT qid, vid, rank FROM rv WHERE rank <= 10),
+        |qtok AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM corpus WHERE doc_id IN (0, 1, 2)),
+        |dtok AS (SELECT doc_id AS id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM corpus),
+        |ov AS (SELECT q.qid, d.id, count(*) AS ov
+        |  FROM qtok q JOIN dtok d USING (tok)
+        |  WHERE d.id <> q.qid GROUP BY 1, 2),
+        |rl AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY ov DESC, id) AS rank
+        |  FROM ov),
+        |rl10 AS (SELECT qid, id, rank FROM rl WHERE rank <= 10),
+        |fused AS (SELECT COALESCE(v.qid, l.qid) AS qid,
+        |    COALESCE(v.vid, l.id) AS id,
+        |    COALESCE(1.0 / (60.0 + CAST(v.rank AS DOUBLE)), 0.0)
+        |      + COALESCE(1.0 / (60.0 + CAST(l.rank AS DOUBLE)), 0.0) AS rrf
+        |  FROM rv10 v FULL OUTER JOIN rl10 l
+        |    ON v.qid = l.qid AND v.vid = l.id),
+        |rr AS (SELECT qid, id, rrf, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, id) AS rank
+        |  FROM fused)
+        |SELECT qid, rank, id, round(rrf, 6) AS rrf
+        |FROM rr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "s_ann_brute" ->
       s"""WITH cand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
         |    q.embedding AS qvec, c.embedding AS cvec

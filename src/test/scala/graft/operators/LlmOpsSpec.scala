@@ -51,6 +51,23 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(near.subsetOf(exact))
   }
 
+  test("minhashNearDupsAgainst == full self-join restricted to cross-split pairs") {
+    import org.apache.spark.sql.functions.col
+    val batch = docs.filter(col("doc_id") >= 400)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val inc = Dedup.minhashNearDupsAgainst(batch, corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full-corpus pairs come out ordered (lo, hi); batch ids are all
+    // higher than corpus ids, so the cross-split subset is exactly
+    // (corpus_id, batch_id) → reorient to the incremental (batch, corpus)
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (lo, hi) => lo < 400 && hi >= 400 }
+      .map { case (lo, hi) => (hi, lo) }.toSet
+    assert(inc.nonEmpty)
+    assert(inc == full)
+  }
+
   test("connectedComponents: chain + separate pair + symmetry, min-id labels") {
     val s = graft.SparkTestBase.spark
     import s.implicits._
