@@ -29,6 +29,17 @@ object ScaleProbe {
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
+    // Like explain: but with broadcast joins disabled — shows the
+    // exchange keys a too-big-to-broadcast build side would shuffle on
+    // (the plan shape that matters at 100 TB, which small-SF AQE hides
+    // behind BroadcastHashJoin).
+    if (what.startsWith("explainNoBc:")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val q = what.stripPrefix("explainNoBc:")
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.explain("formatted")
+    }
     if (what.startsWith("explain:")) {
       val q = what.stripPrefix("explain:")
       val df = SparkEntry.queries(q)(spark, sfDir)

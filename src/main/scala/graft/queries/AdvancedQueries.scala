@@ -21,6 +21,45 @@ object AdvancedQueries {
       (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2)))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Data-quality constraint report (Deequ-style): completeness,
+    // range, domain, and uniqueness checks over lineitem, emitted as a
+    // tall (check_name, metric, passed) audit table. ONE pass over the
+    // fact computes every metric (conditional sums + one distinct count
+    // in a single aggregate — no per-check scans); the pivot to tall
+    // form is a zero-shuffle stack over the 1-row aggregate. The
+    // discount_le_008 rule is deliberately violated by the data so the
+    // report demonstrates failure accounting, not just green checks.
+    "a_dq_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val agg = li.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(when(col("l_quantity").isNotNull, 1).otherwise(0))
+          .cast("double").as("nn_qty"),
+        sum(when(col("l_quantity").between(1, 50), 1).otherwise(0))
+          .cast("double").as("in_qty"),
+        sum(when(col("l_discount") <= 0.08, 1).otherwise(0))
+          .cast("double").as("lo_disc"),
+        sum(when(col("l_extendedprice") > 0, 1).otherwise(0))
+          .cast("double").as("pos_pr"),
+        countDistinct(concat_ws("#",
+          col("l_orderkey"), col("l_linenumber")))
+          .cast("double").as("uniq_ol"),
+        sum(when(col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0))
+          .cast("double").as("dom_rf"))
+      agg.select(expr(
+        "stack(6, " +
+          "'completeness_quantity', nn_qty/n, " +
+          "'range_quantity_1_50', in_qty/n, " +
+          "'discount_le_008', lo_disc/n, " +
+          "'positive_price', pos_pr/n, " +
+          "'uniqueness_orderline', uniq_ol/n, " +
+          "'domain_returnflag', dom_rf/n) as (check_name, metric)"))
+        .select(col("check_name"),
+          round(col("metric"), 6).as("metric"),
+          (col("metric") >= 1.0).as("passed"))
+        .orderBy("check_name")
+    }),
+
     // Sample variance/stddev from exact decimal power sums:
     // var = (n·Σx² − (Σx)²) / (n·(n−1)) — the decimal numerator is exact,
     // so both engines produce the same double.
@@ -168,6 +207,31 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a_dq_report" ->
+      """WITH a AS (SELECT
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS nn_qty,
+        |    CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0
+        |      END) AS DOUBLE) AS in_qty,
+        |    CAST(sum(CASE WHEN l_discount <= 0.08 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS lo_disc,
+        |    CAST(sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS pos_pr,
+        |    CAST(count(DISTINCT CAST(l_orderkey AS VARCHAR) || '#'
+        |      || CAST(l_linenumber AS VARCHAR)) AS DOUBLE) AS uniq_ol,
+        |    CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1
+        |      ELSE 0 END) AS DOUBLE) AS dom_rf
+        |  FROM lineitem),
+        |tall AS (
+        |  SELECT 'completeness_quantity' AS check_name, nn_qty/n AS m FROM a
+        |  UNION ALL SELECT 'range_quantity_1_50', in_qty/n FROM a
+        |  UNION ALL SELECT 'discount_le_008', lo_disc/n FROM a
+        |  UNION ALL SELECT 'positive_price', pos_pr/n FROM a
+        |  UNION ALL SELECT 'uniqueness_orderline', uniq_ol/n FROM a
+        |  UNION ALL SELECT 'domain_returnflag', dom_rf/n FROM a)
+        |SELECT check_name, round(m, 6) AS metric, m >= 1.0 AS passed
+        |FROM tall ORDER BY check_name""".stripMargin,
     "a_stats" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(18,2)) AS s1,

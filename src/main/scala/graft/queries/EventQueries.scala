@@ -29,6 +29,32 @@ object EventQueries {
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
         .orderBy("win_start", "event_type")),
 
+    // SCD2 (slowly-changing-dimension type 2) interval build from an
+    // event log: per user, the "current event_type" as [valid_from,
+    // valid_to) intervals, consecutive same-type events collapsed
+    // (gaps-and-islands). The warehouse shape for turning an append-only
+    // log into a versioned dimension: two window passes over the SAME
+    // (user_id → ts) partitioning — one exchange, both windows reuse it;
+    // at 100 TB the log shuffles once by user and every interval is
+    // derived locally. Open intervals surface as valid_to='current'.
+    "e_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = ev(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("event_type") =!= col("prev_type"))
+      changes
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("valid_from"),
+          coalesce(
+            date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            lit("current")).as("valid_to"))
+        .orderBy("user_id", "valid_from")
+    }),
+
     // Two-phase SALTED aggregation over the 6-value event_type domain —
     // the skew shape AQE cannot fix (a hash exchange on the raw key can
     // never use more than |domain| reducers; at 100 TB that is 6 tasks
@@ -279,6 +305,22 @@ object EventQueries {
         |  event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "e_scd2" ->
+      """WITH ordered AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |changes AS (SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE prev_type IS NULL OR event_type <> prev_type),
+        |iv AS (SELECT user_id, event_type, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS vt
+        |  FROM changes)
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  COALESCE(strftime(vt, '%Y-%m-%d %H:%M:%S.%f'), 'current')
+        |    AS valid_to
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin,
     "e_salted_agg" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.Joins
@@ -198,6 +199,51 @@ object SketchQueries {
         .orderBy("user_id")
     }),
 
+    // WINDOWED sketch merging — the property that makes sketches worth
+    // shipping at 100 TB: per-DAY KMV(64) states of the distinct-user
+    // hash space, merged across each trailing 3-day window by taking
+    // the 64 smallest of the union of the daily states. The rolling
+    // distinct count never re-touches raw data: each day contributes a
+    // ≤64-row state, the merge is a range join over day keys ×
+    // 64-row states (kilobytes), and the same states could roll up to
+    // weekly/monthly windows for free. exact_users_3d is the expensive
+    // distinct-over-window the merge replaces, kept for oracle-checked
+    // error accounting. All hashing is the portable md5 scheme of
+    // x_kmv_distinct, so estimates match DuckDB bit-for-bit.
+    "x_kmv_windowed" -> ((s, dir) => {
+      val k = 64
+      val ev = t(s, dir, "events")
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val dh = ev.select(to_date(col("ts")).as("day"), h.as("h")).distinct()
+      val wDay = Window.partitionBy(col("day")).orderBy(col("h"))
+      val dk = dh.withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") <= k).select("day", "h")
+      val days = dh.select("day").distinct()
+      val merged = days.as("d")
+        .join(dk.as("s"),
+          col("s.day").between(date_sub(col("d.day"), 2), col("d.day")))
+        .select(col("d.day").as("day"), col("s.h")).distinct()
+      val wM = Window.partitionBy(col("day")).orderBy(col("h"))
+      val est = merged
+        .withColumn("rn", row_number().over(wM))
+        .withColumn("nh", count(lit(1)).over(Window.partitionBy(col("day"))))
+        .filter(col("rn") === least(col("nh"), lit(k)))
+        .select(col("day"),
+          when(col("nh") < k, col("nh").cast("double"))
+            .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+              col("h").cast("double")).as("est"))
+      val du = ev.select(to_date(col("ts")).as("uday"), col("user_id")).distinct()
+      val exact = days.as("d2")
+        .join(du, col("uday").between(date_sub(col("d2.day"), 2), col("d2.day")))
+        .groupBy(col("d2.day").as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users_3d"))
+      est.join(exact, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("est"), 4).as("est_users_3d"), col("exact_users_3d"))
+        .orderBy("day")
+    }),
+
     // As-of join: every event picks up the user's latest prior (or
     // simultaneous) signup. DuckDB's native ASOF LEFT JOIN is the
     // oracle; the Spark side is the union-window composition
@@ -323,6 +369,36 @@ object SketchQueries {
         |    AS est_inter,
         |  exact_inter
         |FROM fl, ex""".stripMargin,
+    "x_kmv_windowed" ->
+      """WITH dh AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |dk AS (SELECT day, h FROM (
+        |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h)
+        |      AS rn
+        |    FROM dh) WHERE rn <= 64),
+        |days AS (SELECT DISTINCT day FROM dh),
+        |merged AS (SELECT DISTINCT d.day, s.h
+        |  FROM days d JOIN dk s ON s.day BETWEEN d.day - 2 AND d.day),
+        |ranked AS (SELECT day, h,
+        |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY day) AS nh
+        |  FROM merged),
+        |est AS (SELECT day,
+        |    CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+        |      ELSE 63.0 * 4294967296.0 / CAST(h AS DOUBLE) END AS est
+        |  FROM ranked WHERE rn = LEAST(nh, 64)),
+        |du AS (SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id
+        |  FROM events),
+        |exact AS (SELECT d.day, count(DISTINCT du.user_id)
+        |    AS exact_users_3d
+        |  FROM days d JOIN du ON du.uday BETWEEN d.day - 2 AND d.day
+        |  GROUP BY 1)
+        |SELECT CAST(e.day AS VARCHAR) AS day,
+        |  round(e.est, 4) AS est_users_3d, x.exact_users_3d
+        |FROM est e JOIN exact x ON e.day = x.day
+        |ORDER BY day""".stripMargin,
     "j_asof_signup" ->
       """WITH su AS (SELECT user_id, ts, max(event_id) AS sid
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
