@@ -50,6 +50,26 @@ object ScaleProbe {
       println("=== executed plan (post-AQE) ===")
       println(df.queryExecution.executedPlan.toString.take(60000))
     }
+    if (what == "spanstages") {
+      import org.apache.spark.sql.functions.{substring => ssub, _}
+      val docs = Sources.table(spark, sfDir, "documents")
+      val grams = docs.select(col("doc_id").as("id"),
+          explode(when(length(col("text")) >= 30,
+            sequence(lit(1), length(col("text")) - 29))
+            .otherwise(array())).as("pos"), col("text"))
+        .select(col("id"), col("pos"),
+          col("text").substr(col("pos"), lit(30)).as("h"))
+      timed("grams pass")(grams.select(max(length(col("h")))).count())
+      timed("grams pass 2")(grams.select(max(length(col("h")))).count())
+      val dup = grams.groupBy("h")
+        .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+        .filter(col("lo") =!= col("hi")).select("h")
+      timed("dup agg")(dup.count())
+      val dp = grams.join(dup, "h").select("id", "pos")
+      timed("join-back")(dp.count())
+      timed("full operator")(
+        Dedup.duplicatedSpans(docs, "doc_id", "text", 30, 2).count())
+    }
     if (what == "stages") {
       val docs = Sources.table(spark, sfDir, "documents")
       val rel = Dedup.shingleRelation(docs, "doc_id", "text")

@@ -103,6 +103,17 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SUBSTRING-level dedup (Lee et al. 2022): maximal character spans
+    // of ≥30 chars appearing verbatim in ≥2 distinct documents, via the
+    // distributed hash-gram inverted index + gaps-and-islands span
+    // merge. Catches duplicated passages inside otherwise-unique
+    // documents — the mode doc-level Jaccard and MinHash both miss.
+    "d_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text",
+        gramLen = 30, minDocs = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")),
+
     // SimHash signatures: 32-bit majority-vote over word hashes.
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashBits(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
@@ -204,6 +215,29 @@ object DedupQueries {
         |WHERE d.doc_id < 300
         |  AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster)
         |ORDER BY d.doc_id""".stripMargin,
+    "d_spans" ->
+      """WITH g AS (SELECT doc_id, i.i AS pos,
+        |    substring(text, i.i, 30) AS h
+        |  FROM documents, generate_series(1, 1000) AS i(i)
+        |  WHERE i.i + 29 <= length(text)),
+        |dp AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      min(doc_id) OVER (PARTITION BY h) AS lo,
+        |      max(doc_id) OVER (PARTITION BY h) AS hi
+        |    FROM g) WHERE lo <> hi),
+        |flagged AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL
+        |      OR pos > lag(pos) OVER w + 1 THEN 1 ELSE 0 END AS brk
+        |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |spans AS (SELECT doc_id, pos,
+        |    CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+        |  FROM flagged)
+        |SELECT doc_id, span_id, min(pos) AS span_start,
+        |  max(pos) + 29 AS span_end,
+        |  max(pos) + 29 - min(pos) + 1 AS span_len
+        |FROM spans GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin,
     "d_simhash" ->
       """WITH words AS (SELECT DISTINCT doc_id,
         |    unnest(list_distinct(string_split(text, ' '))) AS word
