@@ -70,6 +70,33 @@ object ScaleProbe {
       timed("full operator")(
         Dedup.duplicatedSpans(docs, "doc_id", "text", 30, 2).count())
     }
+    if (what == "rrfstages") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val e = Sources.table(spark, sfDir, "embeddings")
+      val d = Sources.table(spark, sfDir, "documents")
+      val qids = Seq(0L, 1L, 2L)
+      val docs = d.join(e.select(col("vec_id")),
+        d("doc_id") === col("vec_id"), "left_semi")
+      val corpusE = e.join(d.select(col("doc_id")),
+        e("vec_id") === col("doc_id"), "left_semi")
+      timed("semi joins")(docs.count() + corpusE.count())
+      val vec = Similarity.bruteForceTopK(
+        corpusE, corpusE.filter(col("vec_id").isin(qids: _*)), k = 10)
+      timed("vector top-10")(vec.count())
+      val qtok = docs.filter(col("doc_id").isin(qids: _*))
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val dtok = docs.select(col("doc_id").as("id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val overlap = qtok.join(dtok, "tok").filter(col("id") =!= col("qid"))
+        .groupBy("qid", "id").agg(count(lit(1)).as("ov"))
+      val wl = Window.partitionBy(col("qid")).orderBy(col("ov").desc, col("id"))
+      val lex = overlap.withColumn("rank", row_number().over(wl))
+        .filter(col("rank") <= 10).select("qid", "id", "rank")
+      timed("lexical top-10")(lex.count())
+      timed("full query")(SparkEntry.queries("s_hybrid_rrf")(spark, sfDir).count())
+    }
     if (what == "stages") {
       val docs = Sources.table(spark, sfDir, "documents")
       val rel = Dedup.shingleRelation(docs, "doc_id", "text")

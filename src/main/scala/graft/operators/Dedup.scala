@@ -224,6 +224,45 @@ object Dedup {
     jaccardForCandidates(relB.union(relC), cand, threshold)
   }
 
+  /** Persist the corpus MinHash band table as a BUCKETED catalog table
+    * on (band, key) — the standing index an incremental-dedup pipeline
+    * maintains. Computed once per corpus generation (the signature pass
+    * is the expensive stage), then every arriving batch's band join
+    * reads it with ZERO exchange on the index side: the bucket layout
+    * IS the join partitioning, so only the (small) batch shuffles.
+    * Append each ingested batch's bands to keep the index current.
+    */
+  def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
+      table: graft.model.TableRef, bands: Int = 6, rowsPerBand: Int = 2,
+      buckets: Int = 8): Unit =
+    graft.sources.CatalogOps.writeBucketed(
+      minhashBands(df, idCol, textCol, bands, rowsPerBand),
+      table, bucketCols = Seq("band", "key"), numBuckets = buckets,
+      sortCols = Seq("band", "key"))
+
+  /** Incremental near-dups of `batch` against a PERSISTED band index
+    * (written by [[writeBandIndex]]) — the production shape of
+    * [[minhashNearDupsAgainst]]: the corpus signature pass is already
+    * paid, so the batch pays only its own signatures, a band join that
+    * leaves the bucketed index unshuffled, and exact-Jaccard
+    * verification of the candidates (which reads corpus TEXT only for
+    * candidate ids, via the candidate-keyed joins).
+    */
+  def minhashNearDupsAgainstIndex(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      indexTable: graft.model.TableRef,
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    val relB = shingleRelation(batch, idCol, textCol)
+    val cand = bandsFromRelation(relB, bands, rowsPerBand).as("x")
+      .join(spark.table(indexTable.qualified).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    jaccardForCandidates(
+      relB.union(shingleRelation(corpus, idCol, textCol)), cand, threshold)
+  }
+
   /** Duplicated-SPAN detection (the substring-level dedup of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models
     * Better", re-shaped from suffix arrays to a distributed

@@ -60,6 +60,38 @@ object AdvancedQueries {
         .orderBy("check_name")
     }),
 
+    // Deterministic NEGATIVE SAMPLING — the contrastive-training pair
+    // constructor: for every (order, part) positive, draw a pseudo-
+    // random negative part as 1 + md5-hash(row id) mod |parts|. No RNG:
+    // the draw is a pure hash of the row identity, so pairs are
+    // reproducible across engines, runs, and cluster sizes, and the
+    // join to the part dim (BROADCAST) proves every negative is a valid
+    // FK. Collisions (negative == positive) are flagged, not silently
+    // dropped — downstream resampling policy stays explicit. Map-only
+    // over the fact + two broadcasts (|parts| scalar, part dim).
+    "a_neg_sampling" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val mp = part.agg(max(col("p_partkey")).as("mp"))
+      val h = conv(substring(md5(concat(lit("neg:"),
+        col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))), 1, 8), 16, 10).cast("long")
+      li.crossJoin(broadcast(mp))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").as("pos_part"),
+          (lit(1L) + pmod(h, col("mp"))).as("neg_part"))
+        .join(broadcast(part.select(col("p_partkey"),
+          col("p_type").as("neg_type"))),
+          col("neg_part") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("pos_part"), col("neg_part"),
+          (col("neg_part") === col("pos_part")).as("collision"),
+          col("neg_type"))
+        // (orderkey, linenumber) is NOT unique in the synthetic data —
+        // pos_part completes the deterministic total order
+        .orderBy("l_orderkey", "l_linenumber", "pos_part")
+    }),
+
     // Sample variance/stddev from exact decimal power sums:
     // var = (n·Σx² − (Σx)²) / (n·(n−1)) — the decimal numerator is exact,
     // so both engines produce the same double.
@@ -207,6 +239,16 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a_neg_sampling" ->
+      """WITH p AS (SELECT max(p_partkey) AS mp FROM part),
+        |n AS (SELECT l_orderkey, l_linenumber, l_partkey AS pos_part,
+        |    1 + CAST(('0x' || substring(md5('neg:' || l_orderkey || ':'
+        |      || l_linenumber), 1, 8)) AS BIGINT) % mp AS neg_part
+        |  FROM lineitem, p)
+        |SELECT n.l_orderkey, n.l_linenumber, n.pos_part, n.neg_part,
+        |  n.neg_part = n.pos_part AS collision, pt.p_type AS neg_type
+        |FROM n JOIN part pt ON n.neg_part = pt.p_partkey
+        |ORDER BY l_orderkey, l_linenumber, pos_part""".stripMargin,
     "a_dq_report" ->
       """WITH a AS (SELECT
         |    CAST(count(*) AS DOUBLE) AS n,

@@ -68,6 +68,46 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(inc == full)
   }
 
+  test("persisted band index: same near-dups, index side never shuffles") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val idxT = graft.model.TableRef("graft_test", "band_idx")
+    val batch = docs.filter(col("doc_id") >= 400)
+    val corpus = docs.filter(col("doc_id") < 400)
+    try {
+      Dedup.writeBandIndex(corpus, "doc_id", "text", idxT)
+      val viaIndex = Dedup.minhashNearDupsAgainstIndex(
+        batch, corpus, "doc_id", "text", 0.5, idxT)
+      val inline = Dedup.minhashNearDupsAgainst(
+        batch, corpus, "doc_id", "text", 0.5)
+      val a = viaIndex.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = inline.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a.nonEmpty && a == b)
+
+      // the band join must not re-shuffle the bucketed index: with
+      // broadcast disabled, the only (band, key) exchange is the batch
+      // side's — the index side joins straight off its bucketed scan.
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val cand = Dedup.bandsFromRelation(
+          Dedup.shingleRelation(batch, "doc_id", "text"), 6, 2).as("x")
+          .join(s.table(idxT.qualified).as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+        cand.collect()
+        // AdaptiveSparkPlan.toString prints the final plan followed by
+        // the initial one — count exchanges in the FINAL section only.
+        val plan = cand.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(plan.contains("SelectedBucketsCount"), plan)
+        val exchanges = "hashpartitioning\\(band".r
+          .findAllMatchIn(plan).length
+        assert(exchanges == 1, s"expected 1 band exchange, plan:\n$plan")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally graft.sources.CatalogOps.dropTable(s, idxT)
+  }
+
   test("connectedComponents: chain + separate pair + symmetry, min-id labels") {
     val s = graft.SparkTestBase.spark
     import s.implicits._
