@@ -138,6 +138,49 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Per-ROW band keys — the ZERO-SHUFFLE twin of [[bandsFromRelation]]:
+    * a document's MinHash signature depends only on its own shingle
+    * set, so it can be computed entirely inside one row with
+    * higher-order array functions (`transform` + `array_min`) instead
+    * of explode + groupBy. Emits exactly the same (id, band, key) rows.
+    *
+    * Two uses: (1) STREAMING — a streaming plan cannot groupBy before a
+    * stream-static join without update-mode/state, but map-only
+    * projections pass through untouched, so this is what lets arriving
+    * documents band themselves on the fly; (2) batch corpora whose
+    * documents are long enough that the per-doc shingle array stays
+    * cache-friendly — no exchange at all vs the relation path's one.
+    * Each intermediate (tokens, shingles, hash structs) is its own
+    * projection: Catalyst does not CSE inside lambdas, and the k=12
+    * min-folds each reference the hash array once — inlining would
+    * recompute the md5 per fold.
+    */
+  def mapOnlyBands(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 6, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    val toks = col("__toks")
+    val staged = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"), array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(off => element_at(toks, i + off)): _*)))
+        .as("__sh"))
+      .select(col("id"), transform(col("__sh"), s => struct(
+        conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("h2")))
+        .as("__hs"))
+    val mins = staged.select(col("id") +: (0 until k).map(i =>
+      array_min(transform(col("__hs"), p =>
+        p.getField("h1") + lit(i.toLong) * p.getField("h2"))).as(s"m$i")): _*)
+    val bandStructs = (0 until bands).map { b =>
+      val keyCols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("|", keyCols: _*).as("key"))
+    }
+    mins.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   /** LSH candidate pairs: ids sharing any band bucket (id_a < id_b). */
   def lshCandidates(bandsDf: DataFrame): DataFrame =
     bandsDf.as("x").join(bandsDf.as("y"),

@@ -92,6 +92,33 @@ object AdvancedQueries {
         .orderBy("l_orderkey", "l_linenumber", "pos_part")
     }),
 
+    // Pearson correlation + OLS slope from exact decimal power sums
+    // (Σx, Σy, Σx², Σy², Σxy) — the bivariate extension of a_stats'
+    // recipe: every sum is an exact decimal, converted to double only
+    // in the final closed-form expressions, so both engines emit
+    // identical doubles. ONE pass over the fact per group; the five
+    // power sums are the entire sufficient statistic (and a mergeable
+    // one — partial sums combine map-side, and the same five numbers
+    // would merge across 1000 executors or across days).
+    "a_corr" -> ((s, dir) => {
+      val x = col("l_quantity").cast(DecimalType(9, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      val m = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      val (nD, sxD, syD) =
+        (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"))
+      val (sxxD, syyD, sxyD) =
+        (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      val covN = nD * sxyD - sxD * syD
+      m.select(col("l_returnflag"), col("n"),
+        round(covN / (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD)), 6)
+          .as("corr"),
+        round(covN / (nD * sxxD - sxD * sxD), 6).as("slope"))
+        .orderBy("l_returnflag")
+    }),
+
     // Sample variance/stddev from exact decimal power sums:
     // var = (n·Σx² − (Σx)²) / (n·(n−1)) — the decimal numerator is exact,
     // so both engines produce the same double.
@@ -249,6 +276,29 @@ object AdvancedQueries {
         |  n.neg_part = n.pos_part AS collision, pt.p_type AS neg_type
         |FROM n JOIN part pt ON n.neg_part = pt.p_partkey
         |ORDER BY l_orderkey, l_linenumber, pos_part""".stripMargin,
+    "a_corr" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(9,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(9,2))
+        |      * CAST(l_quantity AS DECIMAL(9,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(9,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS corr,
+        |  round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) AS slope
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "a_dq_report" ->
       """WITH a AS (SELECT
         |    CAST(count(*) AS DOUBLE) AS n,

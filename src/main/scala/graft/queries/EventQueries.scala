@@ -55,6 +55,28 @@ object EventQueries {
         .orderBy("user_id", "valid_from")
     }),
 
+    // First-order Markov TRANSITION MATRIX over per-user event
+    // sequences — the sequence-modeling prep step (next-action
+    // prediction features, anomaly baselines): P(next | current) =
+    // transition count / row total. One (user → ts) exchange for the
+    // lead() window, then counts aggregate on the tiny type×type
+    // domain; the row-total join is a broadcast of ≤|domain| rows.
+    "e_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val c = ev(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = c.groupBy("event_type").agg(sum(col("n")).as("tot"))
+      c.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("p"))
+        .orderBy("event_type", "next_type")
+    }),
+
     // Two-phase SALTED aggregation over the 6-value event_type domain —
     // the skew shape AQE cannot fix (a hash exchange on the raw key can
     // never use more than |domain| reducers; at 100 TB that is 6 tasks
@@ -321,6 +343,18 @@ object EventQueries {
         |  COALESCE(strftime(vt, '%Y-%m-%d %H:%M:%S.%f'), 'current')
         |    AS valid_to
         |FROM iv ORDER BY user_id, valid_from""".stripMargin,
+    "e_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.event_type, c.next_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |ORDER BY c.event_type, c.next_type""".stripMargin,
     "e_salted_agg" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** CONTINUOUS incremental dedup: documents arriving as a file stream
+  * are checked against the standing corpus band index
+  * ([[graft.operators.Dedup.writeBandIndex]]) as they land — the
+  * streaming face of `d_incremental`.
+  *
+  * Pipeline shape (and why it is streaming-legal):
+  *  1. arriving docs band themselves with
+  *     [[graft.operators.Dedup.mapOnlyBands]] — pure per-row
+  *     projections, no state, no aggregation before the join;
+  *  2. band keys join the PERSISTED index STREAM-STATIC (inner) — the
+  *     allowed-everywhere join kind; the bucketed index side never
+  *     shuffles;
+  *  3. candidate (arriving, corpus) pairs flow into `foreachBatch`,
+  *     where each micro-batch (a plain DataFrame) pays candidate
+  *     dedup + exact-Jaccard verification against the static document
+  *     store via the same candidate-keyed joins as the batch operator —
+  *     work bounded by the batch's own candidates.
+  * At 100 TB the corpus index grows by appending each verified batch's
+  * bands; arriving data never triggers a corpus-sized recomputation.
+  */
+object DocStreams {
+
+  /** File-source schema of the documents table. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Open a documents directory as a file stream. */
+  def readDocs(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(path)
+
+  /** Stage 1+2: map-only bands of the arriving docs, stream-static
+    * joined against the persisted band index. Output has one row per
+    * (arriving doc, corpus doc, matching band) — candidate pairs, with
+    * per-band duplicates still present (dedup needs state; it happens
+    * per micro-batch in [[confirmNearDups]]).
+    */
+  def nearDupCandidates(stream: DataFrame, indexTable: String,
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val spark = stream.sparkSession
+    Dedup.mapOnlyBands(stream, "doc_id", "text", bands, rowsPerBand).as("x")
+      .join(spark.table(indexTable).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+  }
+
+  /** Stage 3: per-micro-batch candidate dedup + exact-Jaccard
+    * verification against the static `docStore` (which must contain
+    * both the corpus and the arriving documents' text — in production,
+    * the document table the stream is also appended to). Confirmed
+    * pairs (id_a, id_b, jac) append to `outDir` as parquet.
+    */
+  def confirmNearDups(candidates: DataFrame, docStore: DataFrame,
+      threshold: Double, outDir: String, checkpoint: String): StreamingQuery = {
+    val q = candidates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cand = batch.distinct()
+        val rel = Dedup.shingleRelation(docStore, "doc_id", "text")
+        Dedup.jaccardForCandidates(rel, cand, threshold)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.operators.Dedup
+import graft.sources.CatalogOps
+
+/** Streaming incremental dedup: the stream-static pipeline's confirmed
+  * pairs must equal the batch operator's, and the zero-shuffle per-row
+  * banding must emit exactly the relation-path band rows.
+  */
+class DocStreamsSpec extends SparkFunSuite {
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("mapOnlyBands == bandsFromRelation (identical band rows)") {
+    val viaRows = Dedup.mapOnlyBands(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaRel = Dedup.bandsFromRelation(
+      Dedup.shingleRelation(docs, "doc_id", "text"), 6, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaRows.nonEmpty && viaRows == viaRel)
+  }
+
+  test("streaming near-dups against the band index == batch incremental dedup") {
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val idxT = graft.model.TableRef("graft_test", "stream_band_idx")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val streamDir = tmpDir("doc_stream")
+    val outDir = tmpDir("dup_out")
+    try {
+      Dedup.writeBandIndex(corpus, "doc_id", "text", idxT)
+      // stage the arriving batch as one flat parquet file
+      val staged = tmpDir("doc_stage")
+      batch.coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(streamDir, "arrivals.parquet"))
+
+      val stream = DocStreams.readDocs(s, streamDir)
+      val cand = DocStreams.nearDupCandidates(stream, idxT.qualified)
+      DocStreams.confirmNearDups(cand, docs, 0.5,
+        s"$outDir/pairs", tmpDir("dup_ckpt"))
+
+      val got = s.read.parquet(s"$outDir/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Dedup.minhashNearDupsAgainst(
+        batch, corpus, "doc_id", "text", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.nonEmpty && got == want)
+    } finally CatalogOps.dropTable(s, idxT)
+  }
+}
