@@ -70,6 +70,19 @@ object ScaleProbe {
       timed("full operator")(
         Dedup.duplicatedSpans(docs, "doc_id", "text", 30, 2).count())
     }
+    if (what == "minhashcmp") {
+      val docs = Sources.table(spark, sfDir, "documents")
+      val rel = Dedup.shingleRelation(docs, "doc_id", "text")
+      timed("cand via relation bands")(
+        Dedup.lshCandidates(Dedup.bandsFromRelation(rel, 6, 2)).count())
+      timed("cand via map-only bands")(
+        Dedup.lshCandidates(Dedup.mapOnlyBands(docs, "doc_id", "text")).count())
+      timed("full d_minhash (relation)")(
+        Dedup.minhashNearDups(docs, "doc_id", "text", 0.5).count())
+      val candM = Dedup.lshCandidates(Dedup.mapOnlyBands(docs, "doc_id", "text"))
+      timed("full d_minhash (map-only bands)")(
+        Dedup.jaccardForCandidates(rel, candM, 0.5).count())
+    }
     if (what == "rrfstages") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
