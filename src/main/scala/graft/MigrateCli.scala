@@ -27,7 +27,10 @@ import graft.resume.Checkpoint
   * Modes: `single` (one table, full state machine), `full` (every
   * parquet table under --source), `resync` (incremental: re-copy only
   * partitions whose count/checksum drifted vs the published --dest;
-  * `--drop-orphans true` also removes destination-only partitions).
+  * `--drop-orphans true` also removes destination-only partitions),
+  * `dq` (one-pass per-column data-quality profile of --source, written
+  * as a JSON report; `--min-completeness 0.99` turns it into a gate —
+  * exit 1 if any column's non-null fraction falls below it).
   */
 object MigrateCli {
 
@@ -35,7 +38,7 @@ object MigrateCli {
     val args = ConfigResolver.parseArgs(argv)
     val cfg = ConfigResolver.resolve(args)
     require(cfg.sourcePath.nonEmpty, "--source is required")
-    require(cfg.destPath.nonEmpty, "--dest is required")
+    if (cfg.mode != "dq") require(cfg.destPath.nonEmpty, "--dest is required")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -69,14 +72,53 @@ object MigrateCli {
             else ("part", lit("all"))
         }
 
-      val ckpt = new Checkpoint(cfg.checkpointPath)
-      val mig = new Migrator(spark, ckpt, cfg.lockDir, cfg.insertIntervalSec)
-
-      /** Read a source table via Sources so nanosecond-timestamp columns
-        * (events.ts) convert instead of failing the vectorized reader.
+      /** Read a source table via Sources so either events.ts timestamp
+        * flavor normalizes instead of failing the vectorized reader.
         */
       def readTable(dir: String, name: String) =
         graft.sources.Sources.table(spark, dir, name)
+
+      if (cfg.mode == "dq") {
+        // Data-quality profile mode: one pass, per-COLUMN output rows
+        // (bounded by schema width — the collect here is a report of
+        // ~n_columns rows, never row data).
+        val f = new java.io.File(cfg.sourcePath)
+        val src = readTable(f.getParent, f.getName.stripSuffix(".parquet"))
+        val rows = graft.operators.DataQuality.profile(src)
+          .orderBy("column").collect()
+        def js(s: String) = "\"" + s.replace("\\", "\\\\")
+          .replace("\"", "\\\"") + "\""
+        val body = rows.map { r =>
+          s"""{"column": ${js(r.getString(0))}, "n_rows": ${r.getLong(1)},
+             | "null_count": ${r.getLong(2)},
+             | "completeness": ${r.getDouble(3)},
+             | "approx_distinct": ${r.getLong(4)},
+             | "min": ${Option(r.getString(5)).fold("null")(js)},
+             | "max": ${Option(r.getString(6)).fold("null")(js)}}"""
+            .stripMargin.replace("\n", "")
+        }.mkString("[\n  ", ",\n  ", "\n]")
+        val dir = new java.io.File(args.getOrElse("report-dir", "reports"))
+        dir.mkdirs()
+        val out = new java.io.File(dir, s"dq_report_$start.json").toPath
+        java.nio.file.Files.writeString(out, body)
+        rows.foreach { r =>
+          println(s"[graft] dq column=${r.getString(0)} " +
+            s"completeness=${r.getDouble(3)} distinct~${r.getLong(4)}")
+        }
+        val minC = args.get("min-completeness").map(_.toDouble).getOrElse(0.0)
+        val bad = rows.filter(_.getDouble(3) < minC)
+        bad.foreach(r => System.err.println(
+          s"[graft] dq GATE FAILED column=${r.getString(0)} " +
+            s"completeness=${r.getDouble(3)} < $minC"))
+        println(s"[graft] dq report=$out columns=${rows.length} " +
+          s"violations=${bad.length}")
+        spark.stop()
+        if (bad.nonEmpty) sys.exit(1)
+        return
+      }
+
+      val ckpt = new Checkpoint(cfg.checkpointPath)
+      val mig = new Migrator(spark, ckpt, cfg.lockDir, cfg.insertIntervalSec)
 
       val results = cfg.mode match {
         case "single" =>
