@@ -41,6 +41,24 @@ class SkewSpec extends SparkFunSuite {
     assert(salted.collect().toSet == plain.collect().toSet)
   }
 
+  test("saltedAgg plan: (key, salt) exchange feeding a key-only exchange") {
+    val salted = Skew.saltedAgg(
+      events, keys = Seq("event_type"),
+      seed = col("event_id"), buckets = 16,
+      partials = Seq(count(lit(1)).as("pc")),
+      finals = Seq(sum(col("pc")).as("cnt")))
+    salted.collect()
+    // AdaptiveSparkPlan prints final then initial plan — final only
+    val plan = salted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val saltedEx = "hashpartitioning\\(event_type#\\d+, __salt".r
+      .findAllMatchIn(plan).length
+    val plainEx = "hashpartitioning\\(event_type#\\d+, \\d+\\)".r
+      .findAllMatchIn(plan).length
+    assert(saltedEx == 1, s"expected one (key, salt) exchange:\n$plan")
+    assert(plainEx == 1, s"expected one key-only exchange:\n$plan")
+  }
+
   test("salt spreads each key over many buckets") {
     val spread = events
       .select(col("event_type"), Skew.salt(col("event_id"), 16).as("s"))
