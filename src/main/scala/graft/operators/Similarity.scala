@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -234,13 +234,16 @@ object Similarity {
   /** Search phase shared by the seeded and trained IVF variants:
     * assign → probe → exact rerank (see [[ivfTopK]]'s scale notes).
     */
-  private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
-      nProbe: Int, cents: DataFrame,
+  /** Corpus → cell assignment (vid, cell, cvec): nearest centroid by
+    * rounded codegen-float cosine, ties toward the smaller cell id —
+    * the shared build step of the inline and persisted IVF paths.
+    */
+  def assignCells(corpus: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     import graft.plans.FloatVecOps.{floatDot, floatNorm2}
     val centsN = cents.select(col("cid"), col("centvec"),
       sqrt(floatNorm2(col("centvec"))).as("cnrm"))
-    val assigned = corpus
+    corpus
       .select(col(idCol).as("vid"), col(vecCol).as("cvec"),
         sqrt(floatNorm2(col(vecCol))).as("vnrm"))
       .join(broadcast(centsN))
@@ -252,18 +255,27 @@ object Similarity {
       .agg(
         max_by(col("cid"), struct(col("acos"), -col("cid"))).as("cell"),
         first(col("cvec")).as("cvec"))
+  }
 
-    // Queries are few — the per-pair exact fold is fine at q·nlist
-    // pairs, and produces the same doubles as the hash-agg path.
+  /** Per-query probe cells: top-nProbe centroids by exact cosine.
+    * Queries are few — the per-pair exact fold is fine at q·nlist
+    * pairs, and produces the same doubles as the hash-agg path.
+    */
+  private def probeCells(queries: DataFrame, cents: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val qw = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("cid"))
-    val qprobes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .join(broadcast(cents))
       .select(col("qid"), col("qvec"), col("cid"),
         cosineExact(col("qvec"), col("centvec")).as("acos"))
       .withColumn("rn", row_number().over(qw))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("qvec"), col("cid").as("cell"))
+  }
 
+  /** Exact rerank of probed cells → per-query top-k. */
+  private def rerankCells(assigned: DataFrame, qprobes: DataFrame,
+      k: Int): DataFrame = {
     val scored = assigned.join(broadcast(qprobes), Seq("cell"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
@@ -272,6 +284,47 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "vid", "cos")
+  }
+
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    rerankCells(assignCells(corpus, cents, idCol, vecCol),
+      probeCells(queries, cents, nProbe, idCol, vecCol), k)
+
+  /** Persist the IVF index: centroids (tiny) plus the corpus assignment
+    * laid out `partitionBy(cell)` — one directory per inverted list.
+    * The layout IS the index: a probed search reads ONLY its probe
+    * cells' directories via partition pruning, so an nProbe/nlist probe
+    * scans that fraction of the corpus bytes. Built once per corpus
+    * generation; at 100 TB this (like the MinHash band index) is the
+    * standing artifact arriving queries hit.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = seedCentroids(corpus, nlist, idCol, vecCol)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assignCells(corpus, cents, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** ANN over a PERSISTED [[writeIvfIndex]] index: probe cells come
+    * from the stored centroids, and the cell scan is partition-pruned
+    * to the probed cell ids. The probe-cell list is collected at
+    * plan-build time — q·nProbe small integers (index metadata, never
+    * row data), the IVF analog of reading an index root page.
+    * Same results as [[ivfTopK]] over the same corpus.
+    */
+  def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val qprobes = probeCells(queries, cents, nProbe, idCol, vecCol)
+    val cells = qprobes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(cells: _*))
+    rerankCells(assigned, qprobes, k)
   }
 
   /** Mean-pooled centroid per group, in LONG form: (group key, pos, m)
