@@ -42,6 +42,29 @@ object MigrationQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("part")),
 
+    // Partition-SKEW diagnosis — the planning step before a migration
+    // (or any shuffle keyed on the partition column): per-partition row
+    // counts plus each partition's share of the table and a hot flag
+    // (> 1.5× the mean). The per-partition counts are the same one-pass
+    // aggregate as m_counts_by_partition; the table totals reduce to a
+    // single broadcast row. Hot partitions are the ones Skew.saltedAgg /
+    // AQE skew-splitting exist for.
+    "m_partition_skew" -> ((s, dir) => {
+      val counts = li(s, dir)
+        .groupBy(monthStr(col("l_shipdate")).as("part"))
+        .agg(count(lit(1)).as("n_rows"))
+      val totals = counts.agg(sum(col("n_rows")).as("total"),
+        count(lit(1)).as("n_parts"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("part"), col("n_rows"),
+          round(col("n_rows").cast("double") / col("total").cast("double"), 6)
+            .as("share"),
+          (col("n_rows").cast("double") >
+            lit(1.5) * col("total").cast("double") / col("n_parts").cast("double"))
+            .as("hot"))
+        .orderBy("part")
+    }),
+
     // Composite-key analogs of A24/A20 (SURVEY.md §7.5 hard part 1): the
     // two-key (month, returnflag) partitioning at the oracle-checked
     // query surface — enumeration and the one-pass per-partition counts.
@@ -173,6 +196,16 @@ object MigrationQueries {
     "m_partition_count" ->
       """SELECT count(*) AS cnt FROM lineitem
         |WHERE strftime(l_shipdate, '%Y-%m') = '1996-03'""".stripMargin,
+    "m_partition_skew" ->
+      """WITH c AS (SELECT strftime(l_shipdate, '%Y-%m') AS part,
+        |    count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS total, count(*) AS n_parts FROM c)
+        |SELECT part, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  CAST(n_rows AS DOUBLE)
+        |    > 1.5 * CAST(total AS DOUBLE) / CAST(n_parts AS DOUBLE) AS hot
+        |FROM c, t ORDER BY part""".stripMargin,
     "m_counts_by_partition" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS part, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY part""".stripMargin,
