@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.PortableFns._
@@ -155,6 +156,24 @@ object AdvancedQueries {
           round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
           round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
         .orderBy("o_orderstatus")),
+
+    // Deterministic MODE (most frequent value) per group, ties broken
+    // toward the smaller value — engine-portable where a native mode()
+    // is not (tie behavior differs across engines). Two grouped
+    // aggregates: value-counts (map-side combined), then a per-group
+    // top-1 window over the tiny (group × distinct-value) domain.
+    "a_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_quantity"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n").as("n_mode"))
+        .orderBy("l_returnflag")
+    }),
 
     // Deterministic arg-max: the order with the max price per status;
     // ties broken by min orderkey (join-based, no engine-specific
@@ -345,6 +364,15 @@ object AdvancedQueries {
         |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_quantity, n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY n DESC, l_quantity) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "a_argmax" ->
       """WITH mx AS (SELECT o_orderstatus AS status, max(o_totalprice) AS max_price
         |  FROM orders GROUP BY 1)
