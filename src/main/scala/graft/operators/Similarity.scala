@@ -34,17 +34,28 @@ object Similarity {
     * agree across engines.
     */
   def dotExact(a: Column, b: Column): Column =
+    dotExactDec(a, b).cast("double")
+
+  /** Exact-decimal squared L2 norm. */
+  def norm2Exact(a: Column): Column =
+    norm2ExactDec(a).cast("double")
+
+  /** Decimal-accumulator twin of [[dotExact]]: same TermType terms,
+    * same exact fold, returned AS the decimal so partial sums (e.g. the
+    * per-subspace ADC partials) can be summed further before the single
+    * double conversion — decimal addition is exact here, so any
+    * regrouping of the terms lands on the identical final double.
+    */
+  private def dotExactDec(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") * y.cast("double")).cast(TermType)),
       lit(0).cast(AccType), (acc, v) => (acc + v).cast(AccType))
-      .cast("double")
 
-  /** Exact-decimal squared L2 norm. */
-  def norm2Exact(a: Column): Column =
+  /** Decimal-accumulator twin of [[norm2Exact]] (see [[dotExactDec]]). */
+  private def norm2ExactDec(a: Column): Column =
     aggregate(a, lit(0).cast(AccType), (acc, v) =>
       (acc + (v.cast("double") * v.cast("double")).cast(TermType)).cast(AccType))
-      .cast("double")
 
   /** Cosine similarity, rounded for stable cross-engine comparison. */
   def cosineExact(a: Column, b: Column, scale: Int = 6): Column =
@@ -325,6 +336,123 @@ object Similarity {
     val assigned = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(cells: _*))
     rerankCells(assigned, qprobes, k)
+  }
+
+  /** Per-query ADC lookup tables — the FAISS asymmetric-distance trick
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"): for each (query, subspace m, codebook entry cid), the
+    * exact-decimal partial dot of the query's m-th subvector with that
+    * entry, plus the entry's partial squared norm. The cosine of a query
+    * against ANY code-reconstructed vector is then `mm` byte-indexed
+    * lookups summed — the corpus's original floats are never touched.
+    *
+    * Output is q·mm·K rows (3·8·16 = 384 at demo geometry) — broadcast
+    * state, same size class as the codebooks themselves.
+    *
+    * Hash-exactness: the decimal terms are EXACT (TermType rounds each
+    * double product once; accumulation never rounds), so summing `mm`
+    * per-subspace partials reproduces bit-for-bit the 64-term fold that
+    * [[cosineExact]] computes over the full reconstruction — ADC results
+    * hash-match the reconstruction path by associativity, not by luck.
+    */
+  def pqLut(queries: DataFrame, cents: DataFrame, mm: Int, dd: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qsubs = queries.select(col(idCol).as("qid"),
+      posexplode(array((0 until mm).map(m =>
+        slice(col(vecCol), m * dd + 1, dd)): _*)).as(Seq("m", "qsv")))
+    qsubs.join(broadcast(cents), "m")
+      .select(col("qid"), col("m"), col("cid"),
+        dotExactDec(col("qsv"), col("cv")).as("pdot"),
+        norm2ExactDec(col("cv")).as("pnorm"))
+  }
+
+  /** (qid, vid, cos) ADC scores for every (query, coded vector) pair:
+    * the corpus-side scan reads ONLY the (vec_id, m, cid) code rows —
+    * no reconstruction join, no float arrays — joins the broadcast
+    * [[pqLut]] and map-side-combines the `mm` decimal partials per
+    * pair into one slim row. Values are bit-identical to
+    * `cosineExact(query, reconstruction)` (see [[pqLut]]).
+    *
+    * Scale shape: the scan is over codes (64× smaller than floats at
+    * PQ8×4), the LUT join is broadcast, and the aggregate's map-side
+    * combine shrinks the shuffle to one row per (query, vector) — at
+    * 100 TB this is the pass that makes billion-vector search read
+    * gigabytes, not terabytes.
+    */
+  def adcScores(codes: DataFrame, cents: DataFrame, queries: DataFrame,
+      mm: Int = 8, dd: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lut = pqLut(queries, cents, mm, dd, idCol, vecCol)
+    val qn = queries.select(col(idCol).as("qid"),
+      sqrt(norm2Exact(col(vecCol))).as("qnrm"))
+    codes.select(col(idCol).as("vid"), col("m"), col("cid"))
+      .join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy("qid", "vid")
+      .agg(sum(col("pdot")).as("dot"), sum(col("pnorm")).as("cn"))
+      .join(broadcast(qn), "qid")
+      .select(col("qid"), col("vid"),
+        round(col("dot").cast("double") /
+          (col("qnrm") * sqrt(col("cn").cast("double"))), 6).as("cos"))
+  }
+
+  /** ADC top-k over PQ codes: [[adcScores]] + the per-query rank
+    * window. Same output contract as `bruteForceTopK(recon, queries)`
+    * — identical rows, identical hashes — at `mm` lookup-adds per pair
+    * instead of a 3×64-term decimal fold over reconstructed arrays.
+    */
+  def adcTopK(codes: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int, mm: Int = 8, dd: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = adcScores(codes, cents, queries, mm, dd, idCol, vecCol)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
+  }
+
+  /** IndexIVFPQ search with ADC scoring. The coarse stage is unchanged
+    * from [[ivfTopK]] over the reconstruction — cell assignment is the
+    * association-sensitive codegen-float cosine, so it must stay on the
+    * exact same arithmetic path to keep cells bit-identical — but the
+    * probed-cell rerank (the cost center: ~nProbe/nlist of the corpus
+    * per query) is the ADC sum over codes, never touching the
+    * reconstructed arrays. Results hash-match `ivfTopK(recon, queries)`.
+    *
+    * Scale shape: persisted IVFPQ stores codes partitioned by cell
+    * (the [[writeIvfIndex]] layout), so the `pairs` join below becomes
+    * a partition-pruned scan of the probed cells' code files; the LUT
+    * and probe list stay broadcast. The reconstruction is only needed
+    * to BUILD the index (assignment), amortized across query batches.
+    */
+  def adcIvfTopK(codes: DataFrame, cents: DataFrame, recon: DataFrame,
+      queries: DataFrame, k: Int, nlist: Int = 16, nProbe: Int = 4,
+      mm: Int = 8, dd: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coarse = seedCentroids(recon, nlist, idCol, vecCol)
+    val assigned = assignCells(recon, coarse, idCol, vecCol)
+      .select(col("vid"), col("cell"))
+    val qprobes = probeCells(queries, coarse, nProbe, idCol, vecCol)
+      .select(col("qid"), col("cell"))
+    val pairs = assigned.join(broadcast(qprobes), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"))
+    val lut = pqLut(queries, cents, mm, dd, idCol, vecCol)
+    val qn = queries.select(col(idCol).as("qid"),
+      sqrt(norm2Exact(col(vecCol))).as("qnrm"))
+    val scored = codes.select(col(idCol).as("vid"), col("m"), col("cid"))
+      .join(pairs, "vid")
+      .join(broadcast(lut), Seq("qid", "m", "cid"))
+      .groupBy("qid", "vid")
+      .agg(sum(col("pdot")).as("dot"), sum(col("pnorm")).as("cn"))
+      .join(broadcast(qn), "qid")
+      .select(col("qid"), col("vid"),
+        round(col("dot").cast("double") /
+          (col("qnrm") * sqrt(col("cn").cast("double"))), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
   }
 
   /** Mean-pooled centroid per group, in LONG form: (group key, pos, m)

@@ -281,29 +281,31 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
-    // PQ SEARCH (asymmetric): the corpus lives as 8×4-bit codes; at
-    // query time each vector is reconstructed from its subspace
-    // codebook entries (an M-way lookup against 128 broadcast rows —
-    // at scale this is the ADC table trick: distances come from codes
-    // + codebooks, the original floats are never read) and ranked by
-    // full-precision-query cosine. Same structure as s_sq8_ann one
-    // compression rung further down; hash-checked end-to-end.
-    // Measured recall@5 vs exact at this tiny demo geometry (K=16,
-    // one Lloyd round): 0.40 — the honest face of 64× compression,
-    // and exactly why production PQ stacks widen k here and rerank
-    // survivors at full precision (the same rerank stage s_ann_ivf
-    // already demonstrates).
+    // PQ SEARCH via TRUE ADC (Jégou et al. 2011): the corpus lives as
+    // 8×4-bit codes and is scanned AS codes — per query, a 128-entry
+    // lookup table of exact-decimal partial dots/norms vs each codebook
+    // entry is built once and broadcast, and each (query, vector)
+    // cosine is 8 byte-indexed lookup-adds. No reconstruction join, no
+    // float arrays in the scan: distances come from codes + LUTs, the
+    // original floats are never read. Results are bit-identical to
+    // ranking the reconstructions (decimal partials sum exactly —
+    // Similarity.pqLut's associativity argument), so the oracle below
+    // still reproduces every hash. Measured recall@5 vs exact at this
+    // tiny demo geometry (K=16, one Lloyd round): 0.40 — the honest
+    // face of 64× compression, and exactly why production PQ stacks
+    // widen k here and rerank survivors at full precision (s_pq_rerank).
     "s_pq_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.bruteForceTopK(
-        pqRecon(e), e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+      val centsL = pqCodebooks(s, e)
+      Similarity.adcTopK(pqCodes(e, centsL), centsL,
+        e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
         .orderBy("qid", "rank")
     }),
 
     // PQ search WITH THE RERANK STAGE — the production composition the
     // plain `s_pq_ann` deliberately omits to show the compression
     // error: stage 1 widens the ADC candidate set (top-`PqWiden` by
-    // code-reconstructed cosine — at 100 TB this pass reads only the
+    // LUT-summed code cosine — at 100 TB this pass reads only the
     // 64×-compressed codes), stage 2 reranks ONLY those survivors at
     // full precision against the original vectors (a candidate-bounded
     // id join — q·PqWiden slim rows — then the exact-decimal cosine).
@@ -315,8 +317,9 @@ object SimilarityQueries {
     "s_pq_rerank" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id").isin(QueryIds: _*))
-      val widened = Similarity.bruteForceTopK(pqRecon(e), q, k = PqWiden)
-        .select(col("qid"), col("vid"))
+      val centsL = pqCodebooks(s, e)
+      val widened = Similarity.adcTopK(pqCodes(e, centsL), centsL, q,
+        k = PqWiden).select(col("qid"), col("vid"))
       val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val cv = e.select(col("vec_id").as("vid"), col("embedding").as("cvec"))
       val scored = widened.join(broadcast(qv), "qid").join(cv, "vid")
@@ -333,16 +336,19 @@ object SimilarityQueries {
     // The IndexIVFPQ composition — FAISS's workhorse, completing the
     // index family: IVF cells bound the scan to the probed fraction
     // while the cell contents are PQ codes (64× compression; vs SQ8's
-    // 4× in `s_ann_ivf_sq8`). Corpus vectors are code reconstructions
-    // (codes + broadcast codebooks are all that's stored); centroids,
-    // assignment, probing, and rerank ride the same ivfTopK as every
-    // other IVF variant; queries stay full precision (asymmetric
+    // 4× in `s_ann_ivf_sq8`). Coarse assignment/probing stay on the
+    // reconstruction's codegen-float path (bit-identical cells); the
+    // probed-cell rerank — the cost center — is the ADC lookup-table
+    // sum over codes (see `s_pq_ann`), so search never reads the
+    // reconstructed arrays; queries stay full precision (asymmetric
     // distance). Every stage is hash-checked by the oracle below;
     // recall-vs-probe is asserted in SimilarityQueriesSpec.
     "s_ann_ivf_pq" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfTopK(
-        pqRecon(e), e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+      val centsL = pqCodebooks(s, e)
+      val codes = pqCodes(e, centsL)
+      Similarity.adcIvfTopK(codes, centsL, reconOf(codes, centsL),
+        e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
         .orderBy("qid", "rank")
     }),
 
@@ -378,19 +384,26 @@ object SimilarityQueries {
 
   /** Corpus reconstructed from PQ codes: each vector is its M subspace
     * codebook entries concatenated in subspace order — the decoded form
-    * of the 8×4-bit code word, shared by `s_pq_ann` / `s_pq_rerank` /
-    * `s_ann_ivf_pq`. The join is codes × broadcast codebooks (M·K = 128
-    * rows); output embeddings are float arrays (codebook entries are
-    * round-6 floats).
+    * of the 8×4-bit code word. Since the ADC rewrite the SEARCH paths
+    * never touch this; it remains the coarse-index build input for
+    * `s_ann_ivf_pq` (cell assignment needs real arrays) and the
+    * spec-level recall baselines. The join is codes × broadcast
+    * codebooks (M·K = 128 rows); output embeddings are float arrays
+    * (codebook entries are round-6 floats).
     */
   private[queries] def pqRecon(e: DataFrame): DataFrame = {
     val (enc, cents1) = pqEncode(e)
+    reconOf(enc, cents1)
+  }
+
+  /** [[pqRecon]] body over already-computed codes + codebooks, so
+    * callers holding both don't re-run pqEncode. */
+  private def reconOf(enc: DataFrame, cents1: DataFrame): DataFrame =
     enc.join(cents1, Seq("m", "cid"))
       .groupBy("vec_id")
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("m"), col("cv")))),
         x => x.getField("cv"))).as("embedding"))
-  }
 
   /** Oracle CTE mirroring [[pqRecon]]: code-reconstructed vectors from
     * the `a1` assignment and `cents1` codebooks of [[pqCtesSql]].
@@ -447,35 +460,52 @@ object SimilarityQueries {
     * trained codebooks: (m, cid, cv)). Every step deterministic and
     * oracle-reproducible; see the `s_pq_recon` entry for scale notes.
     */
-  private def pqEncode(e: DataFrame): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.types.DecimalType
+  private val PqM = 8
+  private val PqD = 8
+  private val PqK = 16
+
+  /** Corpus split into the M=8 per-subspace 8-dim subvectors. */
+  private def subvecs(df: DataFrame): DataFrame = df.select(col("vec_id"),
+    posexplode(array((0 until PqM).map(m =>
+      slice(col("embedding"), m * PqD + 1, PqD)): _*)).as(Seq("m", "sv")))
+
+  /** Argmin codebook assignment: (vec_id, m, cid, sv). The n·M·K
+    * distance pass runs the codegen float kernel: its round-6 value
+    * feeds only the ARGMIN (round-6 double and round-6 exact decimal
+    * agree on the winner — the ivfSearch assignment precedent).
+    */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
     import graft.plans.FloatVecOps.floatSqDist
-    val (mm, dd, kk) = (8, 8, 16)
-    def subvecs(df: DataFrame) = df.select(col("vec_id"),
-      posexplode(array((0 until mm).map(m =>
-        slice(col("embedding"), m * dd + 1, dd)): _*)).as(Seq("m", "sv")))
-    val subs = subvecs(e)
-    val cents0 = subvecs(e.filter(col("vec_id") < kk))
-      .select(col("vec_id").cast("int").as("cid"), col("m"),
-        col("sv").as("cv"))
-    // The n·M·K distance pass runs the codegen float kernel: its round-6
-    // value feeds only the ARGMIN (round-6 double and round-6 exact
-    // decimal agree on the winner — the ivfSearch assignment precedent).
-    // The exact-decimal distance is recomputed for the n·M winners only,
-    // because those values ARE hash-compared downstream (codes → MSE) —
-    // a K=16-fold cut in the Decimal work plus a codegen hot loop.
-    def assign(cents: DataFrame) = subs.join(broadcast(cents), "m")
+    subs.join(broadcast(cents), "m")
       .select(col("vec_id"), col("m"), col("sv"), col("cid"),
         round(floatSqDist(col("sv"), col("cv")), 6).as("adist"))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("adist"), col("cid"))).as("mn"),
         first(col("sv")).as("sv"))
       .select(col("vec_id"), col("m"), col("mn.cid").as("cid"), col("sv"))
+  }
+
+  private def pqEncode(e: DataFrame): (DataFrame, DataFrame) = {
+    // The exact-decimal distance is recomputed for the n·M winners only,
+    // because those values ARE hash-compared downstream (codes → MSE) —
+    // a K=16-fold cut in the Decimal work plus a codegen hot loop.
+    def assign(cents: DataFrame) = pqAssign(subvecs(e), cents)
       .join(broadcast(cents), Seq("m", "cid"))
       .select(col("vec_id"), col("m"), col("cid"), col("sv"),
         round(Similarity.squaredErrorExact(col("sv"), col("cv")), 6)
           .as("dist"))
-    val cents1 = assign(cents0)
+    val cents1 = trainedCents(e)
+    (assign(cents1).drop("sv"), cents1)
+  }
+
+  /** The PQ training chain: seed codebooks from the K lowest-id vectors,
+    * one Lloyd round of exact-decimal means — as a lazy plan. */
+  private def trainedCents(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents0 = subvecs(e.filter(col("vec_id") < PqK))
+      .select(col("vec_id").cast("int").as("cid"), col("m"),
+        col("sv").as("cv"))
+    pqAssign(subvecs(e), cents0)
       .select(col("m"), col("cid"),
         posexplode(col("sv")).as(Seq("pos", "v")))
       .groupBy("m", "cid", "pos")
@@ -487,8 +517,36 @@ object SimilarityQueries {
       .groupBy("m", "cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
         x => x.getField("mv")).as("cv"))
-    (assign(cents1).drop("sv"), cents1)
   }
+
+  /** Trained codebooks COLLECTED to a literal relation: M·K·dd = 1024
+    * floats of model state — the same driver-state size class as the
+    * SQ8 stats or broadcast IVF centroids, never row data. Spark plans
+    * are lazily re-evaluated per reference, and the search queries
+    * reference the codebooks from several subtrees (LUT build, encode,
+    * reconstruction); as a literal the training chain runs ONCE per
+    * query instead of once per reference — the FAISS model exactly:
+    * train → hold codebooks as model state → encode/search against
+    * them. Values are the deterministic training output unchanged, so
+    * hashes are unaffected.
+    */
+  private def pqCodebooks(s: SparkSession, e: DataFrame): DataFrame = {
+    val rows = trainedCents(e).collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+  }
+
+  /** Codes via one broadcast argmin pass against literal codebooks —
+    * the encode step once training state is in hand. */
+  private def pqCodes(e: DataFrame, centsLit: DataFrame): DataFrame =
+    pqAssign(subvecs(e), centsLit).select("vec_id", "m", "cid")
 
   /** Collected [[Similarity.sq8Stats]] as (mns, mxs) literal seqs in
     * 0-based dimension order — O(dims) driver rows.

@@ -60,6 +60,36 @@ class SimilarityQueriesSpec extends SparkFunSuite {
     assert(recall(ivf(4)) <= recall(ivf(16)))
   }
 
+  test("ADC search plans stay code-only: no reconstruction materialized") {
+    // The whole point of the LUT rewrite: the corpus-side scan reads
+    // (vec_id, m, cid) codes and sums broadcast decimal partials —
+    // the reconstructed float arrays (whose plan signature is the
+    // `flatten` over collected codebook entries) must not appear
+    // anywhere in the pure ADC search plans. (s_ann_ivf_pq still
+    // reconstructs for the coarse cell assignment, by design.)
+    for (q <- Seq("s_pq_ann", "s_pq_rerank")) {
+      val plan = SimilarityQueries.defs(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("flatten("),
+        s"$q plan materializes reconstructed arrays (flatten found)")
+    }
+  }
+
+  test("ADC ranking is bit-identical to brute force over the reconstruction") {
+    // Exact-decimal partials sum associatively, so 8 LUT lookups per
+    // pair must reproduce the 64-term fold over reconstructed arrays
+    // EXACTLY — same rows, same round-6 cosines, not just same ranking.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+    val adc = SimilarityQueries.defs("s_pq_ann")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(SimilarityQueries.pqRecon(e), q, k = 5)
+      .orderBy("qid", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(adc == brute)
+  }
+
   /** Jobs submitted while `build` runs, counted via an in-order
     * listener: a marker job after `build` bounds the wait (listener
     * delivery is async but ordered, so once the marker arrives every
