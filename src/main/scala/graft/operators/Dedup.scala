@@ -161,11 +161,19 @@ object Dedup {
     val toks = col("__toks")
     val staged = df
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      // Guard like duplicatedSpans: a doc with < n tokens has no
+      // n-grams — without the `when`, sequence(1, size-2) descends and
+      // element_at(toks, 0) throws, killing the whole micro-batch on
+      // the streaming ingest path where corpus guarantees are weakest.
+      // Short docs emit no bands (filtered below) instead of failing.
       .select(col("id"), array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ",
-            (0 until n).map(off => element_at(toks, i + off)): _*)))
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(off => element_at(toks, i + off)): _*)))
+          .otherwise(array().cast("array<string>")))
         .as("__sh"))
+      .filter(size(col("__sh")) > 0)
       .select(col("id"), transform(col("__sh"), s => struct(
         conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("h1"),
         conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("h2")))

@@ -216,10 +216,11 @@ object DedupQueries {
         |  AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster)
         |ORDER BY d.doc_id""".stripMargin,
     "d_spans" ->
-      """WITH g AS (SELECT doc_id, i.i AS pos,
-        |    substring(text, i.i, 30) AS h
-        |  FROM documents, generate_series(1, 1000) AS i(i)
-        |  WHERE i.i + 29 <= length(text)),
+      """WITH g0 AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text) - 29)) AS pos
+        |  FROM documents),
+        |g AS (SELECT doc_id, pos, substring(text, pos, 30) AS h
+        |  FROM g0),
         |dp AS (SELECT doc_id, pos FROM (
         |    SELECT doc_id, pos,
         |      min(doc_id) OVER (PARTITION BY h) AS lo,

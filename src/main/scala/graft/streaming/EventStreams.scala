@@ -15,11 +15,12 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** File-source schema. The testdata's `ts` is parquet
-    * TIMESTAMP(MICROS, isAdjustedToUTC=false); requesting TimestampType
-    * reads it interpreted in the session zone (UTC here) — the same
-    * normalization [[graft.sources.Sources.table]] applies on the batch
-    * side, so stream and batch twins see identical instants.
+  /** File-source schema for the MICROS flavor: `ts` as TimestampType
+    * reads TIMESTAMP(MICROS, isAdjustedToUTC=false) interpreted in the
+    * session zone (UTC here) — the same normalization
+    * [[graft.sources.Sources.table]] applies on the batch side, so
+    * stream and batch twins see identical instants. [[readEvents]]
+    * swaps the `ts` field for the NANOS flavor.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -29,11 +30,38 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open the events parquet as a stream (file micro-batch source). */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(path)
+  /** Open the events parquet as a stream (file micro-batch source).
+    *
+    * Testdata regenerates per round and `ts` has shipped as both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across generations; a file
+    * stream needs an EXPLICIT schema, so probe the flavor from batch
+    * inference (the [[graft.sources.Sources.table]] branch) rather than
+    * assuming one — otherwise a regeneration flips the stream source
+    * into a schema-mismatch failure while batch keeps working.
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    val tsType = try {
+      spark.conf.set(key, "true")
+      spark.read.parquet(path).schema("ts").dataType
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    tsType match {
+      case LongType =>
+        // NANOS flavor: unlike the batch reader's set-and-restore, the
+        // stream re-reads parquet every micro-batch, so the legacy conf
+        // must stay set for the stream's lifetime.
+        spark.conf.set(key, "true")
+        val nanoSchema = StructType(rawSchema.map {
+          case f if f.name == "ts" => StructField("ts", LongType)
+          case f => f
+        })
+        spark.readStream.schema(nanoSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        spark.readStream.schema(rawSchema).parquet(path)
+    }
+  }
 
   /** Tumbling 1-hour counts with a 10-minute watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =

@@ -38,6 +38,22 @@ class DataQualitySpec extends SparkFunSuite {
     assert(DataQuality.completenessViolations(prof, 0.5).collect().isEmpty)
   }
 
+  test("profile survives exotic column names and empty tables (ADVICE r11)") {
+    val s = spark
+    import s.implicits._
+    // names with quotes/backticks previously broke the stack() SQL text
+    val exotic = Seq((1L, "x")).toDF("we`ird", "qu'ote")
+    val pe = DataQuality.profile(exotic).collect()
+    assert(pe.map(_.getString(0)).toSet == Set("we`ird", "qu'ote"))
+    assert(pe.forall(_.getDouble(3) == 1.0))
+    // an empty table must report defined completeness, not NaN
+    // (MigrateCli writes these values straight into a JSON report)
+    val empty = DataQuality.profile(frame.limit(0)).collect()
+    assert(empty.length == 3)
+    assert(empty.forall(r => r.getLong(1) == 0L && r.getDouble(3) == 1.0))
+    assert(empty.forall(r => !r.getDouble(3).isNaN))
+  }
+
   test("profile on a real testdata table runs one pass and covers all columns") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val p = DataQuality.profile(docs).collect()

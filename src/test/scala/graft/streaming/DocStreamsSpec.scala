@@ -23,6 +23,20 @@ class DocStreamsSpec extends SparkFunSuite {
     assert(viaRows.nonEmpty && viaRows == viaRel)
   }
 
+  test("mapOnlyBands: docs with < n tokens emit no bands instead of failing (ADVICE r11)") {
+    val s = spark
+    import s.implicits._
+    // one-token and two-token docs previously made sequence(1, size-2)
+    // descend and element_at(toks, 0) throw at runtime — fatal to a
+    // whole streaming micro-batch; a 3+-token doc alongside must still
+    // band normally.
+    val mixed = Seq((1L, "single"), (2L, "two tokens"),
+      (3L, "three token doc here")).toDF("doc_id", "text")
+    val bands = Dedup.mapOnlyBands(mixed, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(bands == Set(3L), s"short docs must emit no bands, got $bands")
+  }
+
   test("streaming near-dups against the band index == batch incremental dedup") {
     val s = spark
     s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
