@@ -7,13 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, batched decode / feature-extract / resize / frame-sample.
   *
-  * Two REAL decoder paths, both JDK-built-in (zero external
+  * Three REAL decoder paths, all JDK-built-in (zero external
   * dependencies): `javax.imageio` for images (PNG/JPEG/GIF/BMP —
-  * dims / band-count / channel means / luma / aspect) and
+  * dims / band-count / channel means / luma / aspect),
   * `javax.sound.sampled` for uncompressed audio (WAV/AIFF/AU PCM —
   * sample rate / channels / frames / duration / per-channel means /
-  * RMS / peak). Only VIDEO falls back to a deterministic stub (no
-  * video codec ships with the JDK). Every kind shares the same
+  * RMS / peak), and a RIFF chunk walk + per-frame `javax.imageio`
+  * JPEG decode for MJPEG-in-AVI video ([[parseAvi]]/[[videoFrames]] —
+  * the one video format needing no codec). Non-MJPEG video and other
+  * undecodable kinds fall back to a deterministic stub (the FFI-codec
+  * stand-in). Every kind shares the same
   * Spark-side contract, and that contract is what's tested: schema,
   * partitioning, batch shape (mapPartitions streams a whole
   * partition's rows through one decoder instance, the same lifecycle a
@@ -77,11 +80,13 @@ object Multimodal {
     * `javax.imageio` decoder, audio payloads through the real
     * `javax.sound.sampled` PCM decoder (WAV/AIFF/AU; compressed audio
     * has no JDK codec and decodes to the zero vector — data, not an
-    * error, same contract as a corrupt image); everything else (video)
-    * through the deterministic stub (an 8-dim byte-histogram
-    * projection) standing in for the codecs this environment lacks.
-    * All paths emit the same 8-float feature shape, so downstream
-    * schema is kind-independent.
+    * error, same contract as a corrupt image), video payloads through
+    * the real MJPEG-in-AVI path ([[parseAvi]] + per-frame JPEG decode;
+    * other video codecs have no JDK decoder and yield the zero vector).
+    * Only kinds with NO JDK decode path at all fall through to the
+    * deterministic stub (an 8-dim byte-histogram projection) standing
+    * in for an FFI codec. All paths emit the same 8-float feature
+    * shape, so downstream schema is kind-independent.
     */
   def decodeFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -97,11 +102,31 @@ object Multimodal {
         val feature =
           if (kind.startsWith("image/")) imageDecoder.decode(payload)
           else if (kind.startsWith("audio/")) audioDecoder.decode(payload)
+          else if (kind.startsWith("video/")) videoFeature(payload, imageDecoder)
           else stub.decode(payload)
         MediaFeatures(id, kind, payload.length, feature)
       }
     }
   }
+
+  /** Video feature vector (8 floats, the kind-independent shape):
+    * `[width, height, nFrames, durationMs, luma(first), luma(last),
+    * meanLuma(all), fps]` — container facts from [[parseAvi]], content
+    * facts from real per-frame JPEG decodes (the image decoder's luma,
+    * index 6). Unparseable/empty clips yield the zero vector.
+    */
+  private def videoFeature(payload: Array[Byte],
+      imageDecoder: ImageIoDecoder): Array[Float] =
+    parseAvi(payload) match {
+      case Some(info) if info.frames.nonEmpty =>
+        val lumas = info.frames.map(f => imageDecoder.decode(f)(6))
+        Array(info.width.toFloat, info.height.toFloat,
+          info.frames.length.toFloat, info.durationMs.toFloat,
+          lumas.head, lumas.last, lumas.sum / lumas.length,
+          if (info.durationMs > 0)
+            info.frames.length * 1000f / info.durationMs else 0f)
+      case _ => new Array[Float](8)
+    }
 
   final case class ResizedMedia(
       media_id: Long,
@@ -242,6 +267,156 @@ object Multimodal {
     var i = 0
     while (i < cells) { sb.append(if (means(i) > mean) '1' else '0'); i += 1 }
     sb.toString
+  }
+
+  // ----- video: MJPEG-in-AVI, pure JDK ---------------------------------
+
+  /** Parsed AVI: (width, height, duration_ms, frame payloads). */
+  private[operators] final case class AviInfo(
+      width: Int, height: Int, durationMs: Long, frames: Array[Array[Byte]])
+
+  /** RIFF/AVI container walk — the real (de-stubbed) video path. No
+    * video CODEC ships with the JDK, but MJPEG needs none: the
+    * container is a RIFF chunk tree and every frame chunk (`##dc`/
+    * `##db`) is a standalone JPEG that `javax.imageio` decodes. The
+    * walk is iterative over (fourcc, size) pairs, descending into
+    * LISTs, reading `avih` for geometry/rate and collecting frame
+    * chunk bodies; any structural violation (truncated chunk, missing
+    * header, zero dims) returns None — a corrupt clip is data, not an
+    * error, the contract every decoder here shares.
+    */
+  private[operators] def parseAvi(p: Array[Byte]): Option[AviInfo] = {
+    def u32(off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String = new String(p, off, 4, "US-ASCII")
+    if (p.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return None
+    var microPerFrame = 0L
+    var width = 0
+    var height = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val sz = u32(off + 4)
+        val body = off + 8
+        if (sz > Int.MaxValue - body) return
+        val isz = sz.toInt
+        if (id == "LIST" && isz >= 4 && body + 4 <= end) {
+          // a truncated LIST still yields its intact prefix chunks
+          // (salvage: a half-written clip's leading frames are data)
+          walk(body + 4, math.min(body + isz, end))
+          if (body + isz > end) return
+        } else if (body + isz > end) return // truncated chunk: stop
+        else if (id == "avih" && isz >= 40) {
+          microPerFrame = u32(body)
+          width = u32(body + 32).toInt
+          height = u32(body + 36).toInt
+        } else if (id(0).isDigit && id(1).isDigit &&
+          (id.substring(2) == "dc" || id.substring(2) == "db")) {
+          frames += java.util.Arrays.copyOfRange(p, body, body + isz)
+        }
+        off = body + isz + (isz & 1) // RIFF chunks pad to even offsets
+      }
+    }
+    val riffEnd = math.min(p.length.toLong, u32(4) + 8L).toInt
+    walk(12, riffEnd)
+    if (width <= 0 || height <= 0) None
+    else Some(AviInfo(width, height,
+      frames.length.toLong * microPerFrame / 1000L, frames.toArray))
+  }
+
+  final case class VideoFrames(
+      media_id: Long,
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      frame_hashes: Array[String])
+
+  /** Real video decode: RIFF walk + per-frame JPEG decode + perceptual
+    * [[averageHash]] per frame — frame extraction and content hashing
+    * from the same parts as image near-dup, so video near-dup composes
+    * with [[Dedup.simhashBandedPairs]] over the frame hashes exactly
+    * like images. One pass per row, one partition-wide decoder
+    * lifecycle ([[decodeFeatures]]'s batch shape). Non-video kinds and
+    * unparseable payloads yield zero frames/dims, not a task failure.
+    */
+  def videoFrames(media: DataFrame, grid: Int = 8)(
+      implicit spark: SparkSession): Dataset[VideoFrames] = {
+    import spark.implicits._
+    media.select("media_id", "meta.kind", "payload").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val payload =
+          if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+        val parsed =
+          if (kind.startsWith("video/")) parseAvi(payload) else None
+        parsed match {
+          case Some(info) =>
+            VideoFrames(id, info.frames.length, info.width, info.height,
+              info.durationMs, info.frames.map(f => ahashOf(f, grid)))
+          case None =>
+            VideoFrames(id, 0, 0, 0, 0L, Array.empty[String])
+        }
+      }
+    }
+  }
+
+  /** Deterministic MJPEG-in-AVI synthesizer — the fixture half of the
+    * video path (no video files ship with this container; synthetic
+    * clips exercise the REAL RIFF walk + JPEG decode end-to-end).
+    * Frames alternate two-tone geometry: even frames dark-left/
+    * light-right, odd frames dark-top/light-bottom — patterns whose
+    * decoded [[averageHash]] is closed-form ('0'/'1' by cell half)
+    * with ~250-greylevel margins, so JPEG quantization noise cannot
+    * flip a bit and an external oracle can predict the hashes without
+    * decoding anything.
+    */
+  def syntheticAvi(nFrames: Int, w: Int, h: Int,
+      microPerFrame: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val frameBytes: Seq[Array[Byte]] = (0 until nFrames).map { i =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val dark = if (i % 2 == 0) x < w / 2 else y < h / 2
+          img.setRGB(x, y, if (dark) 0x000000 else 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    // MainAVIHeader: 14 little-endian u32s; only the fields the reader
+    // consumes are meaningful (µs/frame, total frames, width, height).
+    val avih = chunk("avih",
+      u32(microPerFrame) ++ u32(0) ++ u32(0) ++ u32(0) ++
+        u32(nFrames.toLong) ++ u32(0) ++ u32(1) ++ u32(0) ++
+        u32(w.toLong) ++ u32(h.toLong) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0))
+    val hdrl = list("hdrl", avih)
+    val movi = list("movi",
+      frameBytes.map(f => chunk("00dc", f)).fold(Array.empty[Byte])(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body
   }
 
   /** Frame sampling for a time-indexed payload: pick every `stride`-th

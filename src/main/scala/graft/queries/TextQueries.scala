@@ -303,6 +303,44 @@ object TextQueries {
         chunkBytes = 32, stride = 2)
         .orderBy("media_id")
     }),
+
+    // REAL video decode end-to-end: per document, a deterministic
+    // MJPEG-in-AVI clip is synthesized ((n_chars % 5)+1 two-tone 32×32
+    // JPEG frames at 25 fps; docs with n_chars % 7 == 0 instead carry
+    // their raw text bytes — a non-RIFF payload exercising the corrupt
+    // path), then decoded by the real RIFF walk + per-frame JPEG decode
+    // + perceptual aHash. Every output is closed-form from document
+    // fields: frame count and geometry from the synthesis parameters,
+    // duration from frames × 40 ms, and the hash-pattern counts from
+    // the two-tone alternation (even frames hash to the dark-left
+    // pattern, odd to dark-top — JPEG noise is ~2 greylevels against a
+    // ~250-level margin, so no bit can flip). DuckDB verifies the
+    // whole decode chain without decoding anything itself.
+    "mm_video" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val leftDark = ("0000" + "1111") * 8       // even frames: dark left half
+      val topDark = "0" * 32 + "1" * 32          // odd frames: dark top half
+      val media = docs(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+        .map { r =>
+          val id = r.getLong(0)
+          val nc = r.getLong(1)
+          val payload =
+            if (nc % 7 == 0) r.getString(2).getBytes("UTF-8")
+            else Multimodal.syntheticAvi(((nc % 5) + 1).toInt, 32, 32, 40000L)
+          (id, payload)
+        }.toDF("media_id", "payload")
+      Multimodal.videoFrames(
+        Multimodal.packBinary(media, "media_id", "payload", "video/avi"))
+        .select(col("media_id"), col("n_frames"), col("width"), col("height"),
+          col("duration_ms"),
+          size(filter(col("frame_hashes"), h => h === lit(leftDark)))
+            .as("left_dark"),
+          size(filter(col("frame_hashes"), h => h === lit(topDark)))
+            .as("top_dark"))
+        .orderBy("media_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -517,6 +555,19 @@ object TextQueries {
         |  octet_length(encode(text)) AS payload_bytes,
         |  'text/plain' AS kind,
         |  ascii(substring(text, 1, 1)) AS first_byte
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_video" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN n_chars % 7 = 0 THEN 0
+        |    ELSE n_chars % 5 + 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN n_chars % 7 = 0 THEN 0 ELSE 32 END AS INT) AS width,
+        |  CAST(CASE WHEN n_chars % 7 = 0 THEN 0 ELSE 32 END AS INT) AS height,
+        |  CAST(CASE WHEN n_chars % 7 = 0 THEN 0
+        |    ELSE (n_chars % 5 + 1) * 40 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN n_chars % 7 = 0 THEN 0
+        |    ELSE (n_chars % 5 + 1 + 1) // 2 END AS INT) AS left_dark,
+        |  CAST(CASE WHEN n_chars % 7 = 0 THEN 0
+        |    ELSE (n_chars % 5 + 1) // 2 END AS INT) AS top_dark
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,

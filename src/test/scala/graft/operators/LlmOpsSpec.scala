@@ -593,6 +593,60 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(math.abs(mb - 0.5f) < 1e-6)
   }
 
+  test("videoFrames: synthetic MJPEG-AVI round-trips exactly (count, dims, duration, hashes)") {
+    implicit val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val avi = Multimodal.syntheticAvi(nFrames = 5, w = 32, h = 32,
+      microPerFrame = 40000L)
+    val media = Multimodal.packBinary(
+      Seq((7L, avi)).toDF("id", "payload"), "id", "payload", "video/avi")
+    val out = Multimodal.videoFrames(media).collect()
+    assert(out.length == 1)
+    val v = out.head
+    assert(v.n_frames == 5 && v.width == 32 && v.height == 32)
+    assert(v.duration_ms == 200L) // 5 frames × 40 ms
+    val leftDark = ("0000" + "1111") * 8
+    val topDark = "0" * 32 + "1" * 32
+    // even frames dark-left, odd dark-top — JPEG noise is ~2 greylevels
+    // against a ~250-level margin, so the hashes are exact
+    assert(v.frame_hashes.toSeq ==
+      Seq(leftDark, topDark, leftDark, topDark, leftDark))
+  }
+
+  test("videoFrames: corrupt payloads are data, not errors (truncation, garbage, wrong kind)") {
+    implicit val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val good = Multimodal.syntheticAvi(3, 32, 32, 40000L)
+    val cases = Seq(
+      1L -> "not a RIFF container at all".getBytes("UTF-8"),
+      2L -> good.take(20), // RIFF header, truncated before any chunk ends
+      3L -> good.take(good.length - 7), // cut mid-frame-chunk
+      4L -> Array.empty[Byte],
+      5L -> good) // control: still decodes alongside the corrupt rows
+    val media = Multimodal.packBinary(
+      cases.toDF("id", "payload"), "id", "payload", "video/avi")
+    val out = Multimodal.videoFrames(media).collect()
+      .map(v => v.media_id -> v).toMap
+    assert(out(1L).n_frames == 0 && out(1L).width == 0)
+    assert(out(2L).n_frames == 0)
+    // mid-chunk cut: the walk stops at the structural violation — the
+    // intact prefix frames (2 of 3) survive, header geometry intact
+    assert(out(3L).width == 32 && out(3L).n_frames == 2)
+    assert(out(4L).n_frames == 0 && out(4L).duration_ms == 0L)
+    assert(out(5L).n_frames == 3 && out(5L).duration_ms == 120L)
+    // a non-video kind never enters the RIFF walk
+    val asImage = Multimodal.packBinary(
+      Seq((9L, good)).toDF("id", "payload"), "id", "payload", "application/x")
+    assert(Multimodal.videoFrames(asImage).collect().head.n_frames == 0)
+    // and decodeFeatures routes video/* through the real path: facts
+    // from the container, lumas from real frame decodes
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    assert(feats(5L)(0) == 32f && feats(5L)(2) == 3f && feats(5L)(3) == 120f)
+    assert(feats(5L)(4) > 0.3f && feats(5L)(4) < 0.7f) // half-dark luma
+    assert(feats(1L).forall(_ == 0f))
+  }
+
   test("sampleFrames: stride-2 over 10-byte chunks") {
     implicit val s = graft.SparkTestBase.spark
     val media = Multimodal.packText(docs.limit(5), "doc_id", "text")
