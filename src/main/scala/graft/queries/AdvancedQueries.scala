@@ -61,33 +61,22 @@ object AdvancedQueries {
         .orderBy("check_name")
     }),
 
-    // Deterministic NEGATIVE SAMPLING — the contrastive-training pair
-    // constructor: for every (order, part) positive, draw a pseudo-
-    // random negative part as 1 + md5-hash(row id) mod |parts|. No RNG:
-    // the draw is a pure hash of the row identity, so pairs are
-    // reproducible across engines, runs, and cluster sizes, and the
-    // join to the part dim (BROADCAST) proves every negative is a valid
-    // FK. Collisions (negative == positive) are flagged, not silently
-    // dropped — downstream resampling policy stays explicit. Map-only
-    // over the fact + two broadcasts (|parts| scalar, part dim).
+    // Deterministic NEGATIVE SAMPLING via the sort-free
+    // [[graft.operators.Sampling.negativeSample]] operator (map-only +
+    // two broadcasts; see its scaladoc for the hash-mod recipe and FK
+    // proof). This wrapper is the VERIFY EDGE: the hash-compare
+    // contract needs a canonical total order, so the global sort lives
+    // here — library callers of the operator never pay it.
     "a_neg_sampling" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val part = t(s, dir, "part")
-      val mp = part.agg(max(col("p_partkey")).as("mp"))
-      val h = conv(substring(md5(concat(lit("neg:"),
-        col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string"))), 1, 8), 16, 10).cast("long")
-      li.crossJoin(broadcast(mp))
+      val dim = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_type").as("neg_type"))
+      graft.operators.Sampling
+        .negativeSample(li, dim,
+          Seq("l_orderkey", "l_linenumber"), "l_partkey", "p_partkey")
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey").as("pos_part"),
-          (lit(1L) + pmod(h, col("mp"))).as("neg_part"))
-        .join(broadcast(part.select(col("p_partkey"),
-          col("p_type").as("neg_type"))),
-          col("neg_part") === col("p_partkey"))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("pos_part"), col("neg_part"),
-          (col("neg_part") === col("pos_part")).as("collision"),
-          col("neg_type"))
+          col("pos_key").as("pos_part"), col("neg_key").as("neg_part"),
+          col("collision"), col("neg_type"))
         // (orderkey, linenumber) is NOT unique in the synthetic data —
         // pos_part completes the deterministic total order
         .orderBy("l_orderkey", "l_linenumber", "pos_part")

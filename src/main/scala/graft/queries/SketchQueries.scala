@@ -15,7 +15,10 @@ import graft.sources.Sources
   * SparkEntry); their exact twins (q_distinct_agg, a_percentile) ARE
   * oracle-checked. `x_kmv_distinct` shows the alternative: a sketch
   * whose hash function is engine-portable (md5) is deterministic and
-  * fully oracle-checkable, estimate and error included.
+  * fully oracle-checkable, estimate and error included — and
+  * `x_rs_quantiles` closes the loop for QUANTILES: each native-sketch
+  * query now has a portable hash-checked sibling (KMV for HLL, the
+  * md5 bottom-k reservoir for the t-digest).
   */
 object SketchQueries {
 
@@ -44,6 +47,48 @@ object SketchQueries {
           element_at(col("approx_p"), 2).cast("double").as("p90"),
           element_at(col("approx_p"), 3).cast("double").as("p99"))
         .orderBy("o_orderstatus")),
+
+    // Quantile sketch with a FULL oracle — the hash-checked sibling of
+    // `x_approx_quantiles` (whose t-digest internals are not portable):
+    // a deterministic "reservoir" of the k=128 rows with the smallest
+    // md5-prefix hashes per group (the KMV trick applied to sampling —
+    // md5 makes the random sample a pure function of the data, so both
+    // engines draw the SAME sample), read at ranks ceil(q·size) for
+    // type-1/disc quantile estimates. Estimate, exact disc quantile,
+    // AND realized error are all hash-compared. EXECUTION runs the
+    // bounded-state [[graft.functions.ReservoirSketch]] UDAF — k
+    // (hash, value) pairs per group of mergeable, map-side-combinable
+    // state (never a global per-group sort at 100 TB); the exact twin
+    // column is the expensive full-sort the sketch replaces, kept here
+    // for the error accounting. The ORACLE stays the window/row_number
+    // formulation, which ReservoirSketchSpec proves bit-identical.
+    "x_rs_quantiles" -> ((s, dir) => {
+      val k = 128
+      val rs = udaf(new graft.functions.ReservoirSketch(k))
+      val h = conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+        16, 10).cast("long")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderstatus"), h.as("h"), col("o_totalprice").as("v"))
+      val samp = o.groupBy("o_orderstatus")
+        .agg(rs(col("h"), col("v")).as("sample"),
+          count(lit(1)).as("n"))
+      val est = samp
+        .select(col("o_orderstatus"), col("n"), col("sample"),
+          explode(array(Seq(0.5, 0.9, 0.99).map(lit): _*)).as("q"))
+        .select(col("o_orderstatus"), col("q"),
+          element_at(col("sample"),
+            ceil(col("q") * least(col("n"), lit(k))).cast("int")).as("est"),
+          ceil(col("q") * col("n")).as("rk"))
+      val w = Window.partitionBy("o_orderstatus").orderBy("v")
+      val ranked = o.select(col("o_orderstatus"), col("v"))
+        .withColumn("rn", row_number().over(w))
+      est.join(ranked, Seq("o_orderstatus"))
+        .filter(col("rn") === col("rk"))
+        .select(col("o_orderstatus"), col("q"), col("est"),
+          col("v").as("exact"),
+          round(col("est") - col("v"), 2).as("err"))
+        .orderBy("o_orderstatus", "q")
+    }),
 
     // KMV (k-minimum-values) distinct-count sketch, k=64: estimate =
     // (k-1)·2³² / kth-smallest-hash over DISTINCT md5-prefix hashes.
@@ -307,6 +352,35 @@ object SketchQueries {
     // the oracle keys on rn = LEAST(nh, 64) instead of rn = 64 — a bare
     // rn = 64 would silently DROP such groups (latent mismatch at tiny
     // SFs or under a higher-cardinality group column).
+    "x_rs_quantiles" ->
+      """WITH o AS (SELECT o_orderstatus,
+        |    CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h,
+        |    o_totalprice AS v
+        |  FROM orders),
+        |s AS (SELECT o_orderstatus, h, v,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY h, v)
+        |      AS hrn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM o),
+        |samp AS (SELECT o_orderstatus, v,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY v) AS srn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS m
+        |  FROM s WHERE hrn <= 128),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |est AS (SELECT sa.o_orderstatus, q.q, sa.v AS est
+        |  FROM samp sa JOIN qs q
+        |    ON sa.srn = CAST(ceil(q.q * sa.m) AS BIGINT)),
+        |ex AS (SELECT r.o_orderstatus, q.q, r.v AS exact
+        |  FROM (SELECT o_orderstatus, v, n,
+        |      row_number() OVER (PARTITION BY o_orderstatus ORDER BY v) AS rn
+        |    FROM s) r
+        |  JOIN qs q ON r.rn = CAST(ceil(q.q * r.n) AS BIGINT))
+        |SELECT e.o_orderstatus, e.q, e.est, x.exact,
+        |  round(e.est - x.exact, 2) AS err
+        |FROM est e JOIN ex x
+        |  ON e.o_orderstatus = x.o_orderstatus AND e.q = x.q
+        |ORDER BY e.o_orderstatus, e.q""".stripMargin,
     "x_kmv_distinct" ->
       """WITH ks AS (SELECT DISTINCT l_returnflag,
         |    CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
