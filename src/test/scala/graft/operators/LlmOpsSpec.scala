@@ -454,7 +454,7 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(math.abs(luma - (0.299f + 0.114f) / 2) < 1e-6)
   }
 
-  test("decodeFeatures: JPEG dims exact, corrupt image → zero vector, stub fallback intact") {
+  test("decodeFeatures: JPEG dims exact, corrupt image → zero vector, non-AVI video → zero vector") {
     implicit val s = graft.SparkTestBase.spark
     import s.implicits._
     val img = new java.awt.image.BufferedImage(6, 3,
@@ -475,7 +475,9 @@ class LlmOpsSpec extends SparkFunSuite {
     // JPEG is lossy but dimensions survive decode exactly
     assert(by(1L).feature(0) == 6f && by(1L).feature(1) == 3f)
     assert(by(2L).feature.forall(_ == 0f)) // corrupt → zeros, no crash
-    assert(math.abs(by(3L).feature.sum - 1f) < 1e-4) // stub histogram path
+    // non-MJPEG-AVI video has no JDK decoder: zero vector, same
+    // corrupt-is-data contract as images/audio (Multimodal.scala:85)
+    assert(by(3L).feature.forall(_ == 0f))
   }
 
   test("decodeFeatures: real stereo 16-bit WAV via javax.sound.sampled — exact sample math") {
