@@ -129,6 +129,59 @@ object ScaleProbe {
       timed("full pipeline (no persist)")(
         Dedup.minhashNearDups(docs, "doc_id", "text", 0.6).count())
     }
+    if (what == "r11adds") {
+      // Factor-10 protocol for the round-11 additions (VERDICT r11 item
+      // 5): print the scale-invariant COUNTS each design claim is made
+      // of, then time the full query. Run at sf0.1 and at the ScaleData
+      // 10× dir; the counts must track the data ratio (or stay constant
+      // where the claim is output-boundedness).
+      val docs = Sources.table(spark, sfDir, "documents")
+      val li = Sources.table(spark, sfDir, "lineitem")
+      // d_spans: gram rows are O(corpus chars) — the one exchange the
+      // operator pays; duplicated positions and merged spans are
+      // data-dependent but bounded by gram rows.
+      println("spanGramRows=" + docs.select(
+        sum(greatest(length(col("text")) - 29, lit(0)))).head().getLong(0))
+      val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      val grams = docs.select(col("doc_id").as("id"),
+          explode(when(length(col("text")) >= 30,
+            sequence(lit(1), length(col("text")) - 29))
+            .otherwise(array())).as("pos"), col("text"))
+        .select(col("id"), col("pos"),
+          col("text").substr(col("pos"), lit(30)).as("h"))
+      println("spanDupPositions=" + grams
+        .withColumn("lo", min(col("id")).over(wH))
+        .withColumn("hi", max(col("id")).over(wH))
+        .filter(col("lo") =!= col("hi")).count())
+      println("spanOutputRows=" + timed("full d_spans")(
+        Dedup.duplicatedSpans(docs, "doc_id", "text", 30, 2).count()))
+      // a_dq_report: input grows; output is fixed at |rules| — the
+      // whole report is ONE pass of conditional aggregates.
+      println("dqInputRows=" + li.count())
+      println("dqOutputRows=" + timed("full a_dq_report")(
+        SparkEntry.queries("a_dq_report")(spark, sfDir).count()))
+      // s_hybrid_rrf: fusion meets only slim per-query top-k lists —
+      // fused rows stay O(q·k) no matter the corpus size; the lexical
+      // retriever's token join is the corpus-sized stage.
+      println("rrfFusedRows=" + timed("full s_hybrid_rrf")(
+        SparkEntry.queries("s_hybrid_rrf")(spark, sfDir).count()))
+      // a_neg_sampling: map-only + two broadcasts, output rows == fact
+      // rows. Time the LIBRARY operator (sort-free) and the query
+      // wrapper (verify-edge sort) separately — the delta is the sort
+      // a library caller no longer pays.
+      val dim = Sources.table(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_type").as("neg_type"))
+      println("negSampleRows=" + timed("library negativeSample (sort-free)")(
+        graft.operators.Sampling.negativeSample(li, dim,
+          Seq("l_orderkey", "l_linenumber"), "l_partkey", "p_partkey")
+          .count()))
+      timed("full a_neg_sampling (verify wrapper, sorted)")(
+        SparkEntry.queries("a_neg_sampling")(spark, sfDir).count())
+      // x_rs_quantiles (r12 addition): per-group sketch state is k
+      // (hash,value) pairs regardless of input size.
+      timed("full x_rs_quantiles")(
+        SparkEntry.queries("x_rs_quantiles")(spark, sfDir).count())
+    }
     if (what == "all" || what == "minhash") {
       val docs = Sources.table(spark, sfDir, "documents")
       val rel = Dedup.shingleRelation(docs, "doc_id", "text")

@@ -588,4 +588,60 @@ object Dedup {
       .agg(sum(when(col("a.c") =!= col("b.c"), 1).otherwise(0)).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then search for
+    * near-duplicates only WITHIN each cluster — the clustering replaces
+    * LSH banding as the candidate generator, catching paraphrase-level
+    * duplicates whose token overlap (MinHash) and bit signatures
+    * (SimHash/sign-LSH) miss but whose embeddings sit together.
+    *
+    * Semantics (deterministic, parallel-safe): cells come from the
+    * oracle-reproducible Lloyd k-means ([[Similarity.trainCentroids]] —
+    * lowest-id seeds, exact-decimal means, fixed rounds); a vector is
+    * PRUNED iff some smaller-id vector in its cell has exact-decimal
+    * cosine ≥ `tau` with it, and `witness` records the smallest such
+    * id. Keep/prune is thus a pure function of the data — no RNG, no
+    * iteration order — so the decision is reproducible across engines,
+    * runs, and cluster sizes (the paper keeps a random representative;
+    * a pipeline that must be re-runnable wants the deterministic rule).
+    *
+    * Scale shape: training + assignment are the IVF build (broadcast
+    * centroids, one argmax pass); the pair search shuffles on `cell`
+    * and pairs only within cells — Σ|cell|²/2, never n²/2. Cell size is
+    * the knob: at 100 TB raise `nlist` so cells stay bounded (the paper
+    * runs 50k clusters at 100M docs) and train on a sample. A
+    * codegen-float prefilter at `tau − 0.01` guards the exact-decimal
+    * cosine the way [[Similarity.nearDupPairs]] does, and vectors stay
+    * OUT of the pair join until scoring (norms precomputed per row).
+    *
+    * Output: one row per vector — (vec_id, cell, witness, keep),
+    * `witness` null ⇔ keep.
+    */
+  def semanticDedup(emb: DataFrame, tau: Double, nlist: Int = 16,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.FloatVecOps.{floatDot, floatNorm2}
+    val cents = Similarity.trainCentroids(emb, nlist, iters, idCol, vecCol)
+    val assigned = Similarity.assignCells(emb, cents, idCol, vecCol)
+      .select(col("vid"), col("cell"), col("cvec"),
+        sqrt(floatNorm2(col("cvec"))).as("nrm"))
+    val a = assigned.select(col("cell"), col("vid").as("id_a"),
+      col("cvec").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vid").as("id_b"),
+      col("cvec").as("vb"), col("nrm").as("nb"))
+    val cheap = round(floatDot(col("va"), col("vb")) / (col("na") * col("nb")), 8)
+    val witness = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cheap >= lit(tau - 0.01))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineExact(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id_b").as("vid"))
+      .agg(min(col("id_a")).as("witness"))
+    assigned.select(col("vid"), col("cell"))
+      .join(witness, Seq("vid"), "left")
+      .select(col("vid"), col("cell"), col("witness"),
+        col("witness").isNull.as("keep"))
+  }
 }

@@ -29,6 +29,43 @@ object EventQueries {
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
         .orderBy("win_start", "event_type")),
 
+    // Time-series GAP FILL + LOCF. Complements `a_gapfill` (fixed
+    // calendar spine, zero-filled counts): here the spine is DERIVED
+    // per event_type from its own [min, max] hour range (sequence()
+    // explode — |types|·|hours| rows, a dense bounded domain, not
+    // data-sized), and missing hours additionally carry the last
+    // observed hourly sum forward (`last(..., ignoreNulls)` window) —
+    // the LOCF interpolation a feature pipeline needs, not just
+    // densification. The resample/densify
+    // primitive every monitoring/feature pipeline needs before
+    // windowed models. Scale shape: the raw log is touched once (the
+    // map-side-combined hourly agg); after that everything is
+    // domain-sized — the hourly aggregate broadcasts to the spine (a
+    // preserved left side can't broadcast, the build side can), and
+    // the LOCF window exchanges |types|·|hours| rows on event_type.
+    "e_gapfill" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      val spine = e
+        .groupBy(col("event_type"))
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 hour"))).as("hr"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      spine.join(broadcast(hourly), Seq("event_type", "hr"), "left")
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm").as("win_start"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          col("sum_value").isNull.as("filled"),
+          round(last(col("sum_value"), ignoreNulls = true).over(w), 2)
+            .as("locf_sum"))
+        .orderBy("event_type", "win_start")
+    }),
+
     // SCD2 (slowly-changing-dimension type 2) interval build from an
     // event log: per user, the "current event_type" as [valid_from,
     // valid_to) intervals, consecutive same-type events collapsed
@@ -327,6 +364,29 @@ object EventQueries {
         |  event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "e_gapfill" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    count(*) AS cnt,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi
+        |  FROM events GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        |  FROM bounds),
+        |j AS (SELECT s.event_type, s.hr,
+        |    CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt,
+        |    h.sum_value IS NULL AS filled, h.sum_value
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.event_type = h.event_type AND s.hr = h.hr)
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M') AS win_start,
+        |  cnt, filled,
+        |  round(last_value(sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS locf_sum
+        |FROM j ORDER BY event_type, win_start""".stripMargin,
     "e_scd2" ->
       """WITH ordered AS (SELECT user_id, event_type, ts, event_id,
         |    lag(event_type) OVER w AS prev_type

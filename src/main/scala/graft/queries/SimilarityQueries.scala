@@ -86,6 +86,17 @@ object SimilarityQueries {
       Similarity.nearDupPairs(emb(s, dir), threshold = 0.4, prefilter = 0.35)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup-style SEMANTIC dedup (lives here rather than in
+    // DedupQueries so its oracle shares the Lloyd-training CTEs with
+    // s_ann_ivf_trained): deterministic k-means cells over embeddings,
+    // prune any vector with a τ-similar smaller-id neighbor IN ITS
+    // CELL. Pairing is cluster-bounded (Σ|cell|²/2, never n²/2).
+    "d_semantic" -> ((s, dir) =>
+      graft.operators.Dedup.semanticDedup(emb(s, dir), tau = 0.4)
+        .select(col("vid").as("vec_id"), col("cell"), col("witness"),
+          col("keep"))
+        .orderBy("vec_id")),
+
     // The SCALE geometry of the same operator, oracle-checked in its own
     // right — and CHOSEN BY COMPUTATION, not hardcoded: chooseGeometry
     // budgets the banding for the production capture threshold (0.9,
@@ -594,6 +605,52 @@ object SimilarityQueries {
        |      6) AS cos
        |  FROM ${out}_terms GROUP BY $aId, $bId)""".stripMargin
 
+  /** One oracle Lloyd round: assign every vector to its nearest cents$i
+    * centroid (round-6 cosine, smaller-cid tie-break), then rebuild
+    * each surviving cell's centroid as the per-dimension EXACT-DECIMAL
+    * mean rounded to 6 dp and cast to REAL — bit-identical to the Spark
+    * side's trainCentroids arithmetic. Shared by the trained-IVF and
+    * semantic-dedup oracles so the training recipe can't drift.
+    */
+  private def lloydCte(i: Int): String =
+    s"""apairs$i AS (SELECT e.vec_id AS vid, e.embedding AS evec,
+       |    c.cid, c.centvec
+       |  FROM embeddings e CROSS JOIN cents$i c),
+       |${cosBlock(s"apairs$i", "vid", "cid", "evec", "centvec", s"ascored$i")},
+       |assigned$i AS (SELECT vid, cid AS cell FROM (
+       |    SELECT vid, cid, row_number() OVER (
+       |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+       |      FROM ascored$i) WHERE rn = 1),
+       |means$i AS (SELECT a.cell AS cid, i AS pos,
+       |    CAST(round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
+       |        AS DECIMAL(25,12))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS REAL) AS m
+       |  FROM assigned$i a JOIN embeddings e ON e.vec_id = a.vid,
+       |    generate_series(1, 64) AS t(i)
+       |  GROUP BY a.cell, i),
+       |cents${i + 1} AS (SELECT cid, list(m ORDER BY pos) AS centvec
+       |  FROM means$i GROUP BY cid)""".stripMargin
+
+  /** Shared oracle CTE chain: 2 Lloyd rounds from the lowest-16-id
+    * seeds, then the FINAL cell assignment `assignedF(vid, cell)` —
+    * exactly [[graft.operators.Similarity.trainCentroids]](nlist=16,
+    * iters=2) + assignCells.
+    */
+  private val trainedAssignSql: String =
+    s"""cents0 AS (SELECT CAST(vec_id AS INT) AS cid,
+      |    embedding AS centvec
+      |  FROM embeddings WHERE vec_id < 16),
+      |${lloydCte(0)},
+      |${lloydCte(1)},
+      |apairsF AS (SELECT e.vec_id AS vid, e.embedding AS evec,
+      |    c.cid, c.centvec
+      |  FROM embeddings e CROSS JOIN cents2 c),
+      |${cosBlock("apairsF", "vid", "cid", "evec", "centvec", "ascoredF")},
+      |assignedF AS (SELECT vid, cid AS cell FROM (
+      |    SELECT vid, cid, row_number() OVER (
+      |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+      |      FROM ascoredF) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s_hybrid_rrf" ->
       s"""WITH corpus AS (SELECT d.doc_id, d.text, e.embedding
@@ -757,43 +814,8 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
-    "s_ann_ivf_trained" -> {
-      // One Lloyd round: assign every vector to its nearest cents$i
-      // centroid (round-6 cosine, smaller-cid tie-break), then rebuild
-      // each surviving cell's centroid as the per-dimension EXACT-
-      // DECIMAL mean rounded to 6 dp and cast to REAL — bit-identical
-      // to the Spark side's trainCentroids arithmetic.
-      def lloyd(i: Int): String =
-        s"""apairs$i AS (SELECT e.vec_id AS vid, e.embedding AS evec,
-           |    c.cid, c.centvec
-           |  FROM embeddings e CROSS JOIN cents$i c),
-           |${cosBlock(s"apairs$i", "vid", "cid", "evec", "centvec", s"ascored$i")},
-           |assigned$i AS (SELECT vid, cid AS cell FROM (
-           |    SELECT vid, cid, row_number() OVER (
-           |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
-           |      FROM ascored$i) WHERE rn = 1),
-           |means$i AS (SELECT a.cell AS cid, i AS pos,
-           |    CAST(round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)
-           |        AS DECIMAL(25,12))) AS DOUBLE)
-           |      / CAST(count(*) AS DOUBLE), 6) AS REAL) AS m
-           |  FROM assigned$i a JOIN embeddings e ON e.vec_id = a.vid,
-           |    generate_series(1, 64) AS t(i)
-           |  GROUP BY a.cell, i),
-           |cents${i + 1} AS (SELECT cid, list(m ORDER BY pos) AS centvec
-           |  FROM means$i GROUP BY cid)""".stripMargin
-      s"""WITH cents0 AS (SELECT CAST(vec_id AS INT) AS cid,
-        |    embedding AS centvec
-        |  FROM embeddings WHERE vec_id < 16),
-        |${lloyd(0)},
-        |${lloyd(1)},
-        |apairsF AS (SELECT e.vec_id AS vid, e.embedding AS evec,
-        |    c.cid, c.centvec
-        |  FROM embeddings e CROSS JOIN cents2 c),
-        |${cosBlock("apairsF", "vid", "cid", "evec", "centvec", "ascoredF")},
-        |assignedF AS (SELECT vid, cid AS cell FROM (
-        |    SELECT vid, cid, row_number() OVER (
-        |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
-        |      FROM ascoredF) WHERE rn = 1),
+    "s_ann_ivf_trained" ->
+      s"""WITH $trainedAssignSql,
         |qprobes AS (SELECT vid AS qid, cid AS cell FROM (
         |    SELECT vid, cid, row_number() OVER (
         |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
@@ -810,8 +832,22 @@ object SimilarityQueries {
         |      AS rank
         |  FROM scored)
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin
-    },
+        |ORDER BY qid, rank""".stripMargin,
+    "d_semantic" ->
+      s"""WITH $trainedAssignSql,
+        |cand AS (SELECT x.vid AS qid, y.vid AS vid,
+        |    xe.embedding AS qvec, ye.embedding AS cvec
+        |  FROM assignedF x
+        |  JOIN assignedF y ON x.cell = y.cell AND x.vid < y.vid
+        |  JOIN embeddings xe ON xe.vec_id = x.vid
+        |  JOIN embeddings ye ON ye.vec_id = y.vid),
+        |$cosCte,
+        |wit AS (SELECT vid, min(qid) AS witness
+        |  FROM scored WHERE cos >= 0.4 GROUP BY vid)
+        |SELECT a.vid AS vec_id, a.cell, w.witness,
+        |  w.witness IS NULL AS keep
+        |FROM assignedF a LEFT JOIN wit w ON a.vid = w.vid
+        |ORDER BY vec_id""".stripMargin,
     "s_pq_recon" ->
       s"""WITH $pqCtesSql
         |SELECT vid AS vec_id,

@@ -159,6 +159,29 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // BPE pair statistics (Sennrich et al. 2016 — the first merge step
+    // of byte-pair-encoding tokenizer training): corpus word
+    // frequencies, then adjacent CHARACTER-pair counts weighted by word
+    // frequency, top-50 merge candidates. The classic BPE economy is
+    // load-bearing at scale: pair enumeration runs over the DISTINCT
+    // vocabulary (bounded, Heaps-law growth), never over corpus tokens
+    // — one corpus-sized word-count shuffle (map-side combined), then
+    // everything else is vocab-sized, finishing in a TakeOrdered top-k,
+    // no global sort.
+    "t_bpe_pairs" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      words
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(50)
+    }),
+
     // Deterministic train/val/test split by salted-md5 id bands: a
     // document's split never changes as the corpus grows (no RNG, no
     // sampling shuffle — the contamination-safety property a training
@@ -447,6 +470,18 @@ object TextQueries {
         |SELECT rank, token, cnt,
         |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
         |FROM r, t WHERE rank <= 30 ORDER BY rank""".stripMargin,
+    "t_bpe_pairs" ->
+      """WITH words AS (SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p0 AS (SELECT w, freq,
+        |    unnest(generate_series(1, length(w) - 1)) AS i
+        |  FROM words),
+        |pairs AS (SELECT substring(w, i, 2) AS pair,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM p0 GROUP BY 1)
+        |SELECT pair, cnt FROM pairs
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
     "t_split" ->
       """WITH s AS (SELECT doc_id,
         |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)

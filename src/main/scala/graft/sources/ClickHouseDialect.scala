@@ -69,6 +69,32 @@ import org.apache.spark.sql.types._
   * Registered automatically the first time [[Sources.clickhouseJdbc]]
   * runs (idempotent — `ensureRegistered` can also be called directly by
   * applications that build their own JDBC reads).
+  *
+  * ==Driver-version compatibility (the fallback matrix)==
+  * The offline build carries no clickhouse-jdbc jar, and the driver
+  * generations disagree on the `java.sql.Types` codes they report
+  * (legacy `ru.yandex.clickhouse`, `com.clickhouse` 0.3–0.6, and the
+  * v2 `com.clickhouse.jdbc` rewrite). The dialect is therefore
+  * deliberately NAME-driven: `getCatalystType` ignores the reported
+  * code entirely, so every driver generation resolves identically
+  * (ClickHouseDialectSpec sweeps the full `java.sql.Types` constant
+  * space to pin this). Where a name DEFERS (`None`), resolution falls
+  * through to Spark's generic `JdbcUtils.getCatalystType` keyed on the
+  * driver's code + metadata — the intended behavior in exactly two
+  * cases:
+  *   - top-level `Decimal(P, S)` → driver reports `DECIMAL` with exact
+  *     precision/scale metadata, which is MORE precise than re-parsing
+  *     the name;
+  *   - `AggregateFunction(...)` / unknown future types → whatever code
+  *     the driver reports (typically `OTHER` → error, or `VARBINARY` →
+  *     BinaryType), surfacing the unsupported type instead of silently
+  *     mis-mapping it.
+  * What a LIVE-server round trip would add beyond this (and why it
+  * must wait for an environment with a reachable ClickHouse): the
+  * server's own DDL acceptance of the write-side type strings, and the
+  * driver's VALUE marshalling (e.g. UInt64 → BigInteger) — the type
+  * strings themselves are pinned against ClickHouse's public
+  * documented DDL grammar in the spec's round-trip cases.
   */
 object ClickHouseDialect extends JdbcDialect {
 

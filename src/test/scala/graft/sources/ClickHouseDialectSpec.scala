@@ -263,6 +263,52 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("driver type-code invariance: the name-driven mapping is identical across every java.sql.Types code") {
+    // The real clickhouse-jdbc driver jar is not on the offline
+    // classpath, and its reported java.sql.Types codes have CHANGED
+    // across driver generations (the legacy ru.yandex driver, the
+    // com.clickhouse 0.3/0.4 line, and the v2 com.clickhouse.jdbc
+    // rewrite do not agree on codes for UInt64, FixedString, Enum,
+    // UUID, Array, Map, or Tuple). This contract test pins the
+    // property that makes every one of those drivers work unmodified:
+    // getCatalystType is a pure function of the TYPE NAME — for any
+    // code any driver version reports, the result is the same. The
+    // code space swept is the full public java.sql.Types constant set.
+    val allJdbcCodes: Seq[Int] =
+      classOf[java.sql.Types].getFields.toSeq
+        .filter(f => f.getType == classOf[Int] || f.getType == java.lang.Integer.TYPE)
+        .map(_.getInt(null)).distinct
+    assert(allJdbcCodes.size > 30) // the sweep really is the whole set
+    val names = Seq(
+      "UInt8", "UInt16", "UInt32", "UInt64", "Int8", "Int16", "Int32",
+      "Int64", "Float32", "Float64", "String", "FixedString(16)",
+      "Date", "Date32", "DateTime", "DateTime64(3, 'UTC')",
+      "Enum8('a' = 1)", "UUID", "Bool", "Nullable(UInt64)",
+      "LowCardinality(Nullable(String))", "Array(Float32)",
+      "Array(Nullable(String))", "Map(String, UInt8)",
+      "Tuple(a UInt8, b Array(String))", "Nested(a UInt8, b String)",
+      "Array(Decimal(18, 4))")
+    names.foreach { n =>
+      val expected = catalyst(n, Types.OTHER)
+      assert(expected.nonEmpty, s"$n must map")
+      allJdbcCodes.foreach { code =>
+        assert(catalyst(n, code) == expected,
+          s"$n mapped differently under java.sql.Types code $code")
+      }
+    }
+    // The documented exceptions — names that DEFER to the generic
+    // mapping (None), where the driver's code+metadata DO decide:
+    // top-level Decimal(P, S) (driver DECIMAL precision/scale is
+    // exact) and AggregateFunction (CH-internal binary states). The
+    // deferral itself must also be code-invariant.
+    Seq("Decimal(18, 4)", "AggregateFunction(sum, UInt64)").foreach { n =>
+      allJdbcCodes.foreach { code =>
+        assert(catalyst(n, code).isEmpty,
+          s"$n must defer to the generic mapping under code $code")
+      }
+    }
+  }
+
   test("truncate: ClickHouse TRUNCATE TABLE, non-cascading") {
     assert(d.getTruncateQuery("`db`.`t`") == "TRUNCATE TABLE `db`.`t`")
     assert(d.isCascadingTruncateTable.contains(false))
