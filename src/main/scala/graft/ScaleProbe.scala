@@ -182,6 +182,35 @@ object ScaleProbe {
       timed("full x_rs_quantiles")(
         SparkEntry.queries("x_rs_quantiles")(spark, sfDir).count())
     }
+    if (what == "r12adds") {
+      // Factor-10 protocol for the round-12 additions: d_semantic's
+      // scale claim is that pairing is cluster-bounded (Σ|cell|²/2) and
+      // nlist is the knob that keeps it near-linear; e_gapfill's spine
+      // is domain-sized (|types|·|hours|, constant as the log grows);
+      // t_bpe_pairs enumerates pairs over the DISTINCT vocab, not
+      // corpus tokens.
+      val docs = Sources.table(spark, sfDir, "documents")
+      val emb = Sources.table(spark, sfDir, "embeddings")
+      for (nlist <- Seq(16, 64)) {
+        val cents = Similarity.trainCentroids(emb, nlist, 2)
+        val assigned = Similarity.assignCells(emb, cents, "vec_id", "embedding")
+        val pairs = assigned.groupBy("cell").count()
+          .agg(sum((col("count") * (col("count") - lit(1)) / 2).cast("long")))
+          .head().getLong(0)
+        println(s"semPairBudget(nlist=$nlist)=$pairs")
+      }
+      timed("full d_semantic (nlist=16)")(
+        SparkEntry.queries("d_semantic")(spark, sfDir).count())
+      timed("d_semantic nlist=64")(
+        Dedup.semanticDedup(emb, tau = 0.4, nlist = 64).count())
+      println("gapfillSpineRows=" + timed("full e_gapfill")(
+        SparkEntry.queries("e_gapfill")(spark, sfDir).count()))
+      println("bpeVocabRows=" + docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2).distinct().count())
+      timed("full t_bpe_pairs")(
+        SparkEntry.queries("t_bpe_pairs")(spark, sfDir).count())
+    }
     if (what == "all" || what == "minhash") {
       val docs = Sources.table(spark, sfDir, "documents")
       val rel = Dedup.shingleRelation(docs, "doc_id", "text")

@@ -622,7 +622,7 @@ object Dedup {
       iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import graft.plans.FloatVecOps.{floatDot, floatNorm2}
-    val cents = Similarity.trainCentroids(emb, nlist, iters, idCol, vecCol)
+    val cents = Similarity.trainCentroidsLiteral(emb, nlist, iters, idCol, vecCol)
     val assigned = Similarity.assignCells(emb, cents, idCol, vecCol)
       .select(col("vid"), col("cell"), col("cvec"),
         sqrt(floatNorm2(col("cvec"))).as("nrm"))

@@ -178,7 +178,28 @@ object Similarity {
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfSearch(corpus, queries, k, nProbe,
-      trainCentroids(corpus, nlist, iters, idCol, vecCol), idCol, vecCol)
+      trainCentroidsLiteral(corpus, nlist, iters, idCol, vecCol),
+      idCol, vecCol)
+
+  /** [[trainCentroids]] COLLECTED to a literal relation — nlist·dims
+    * floats of MODEL STATE, the PQ-codebook treatment (see
+    * SimilarityQueries `pqCodebooks` and the SCALING.md round-12
+    * entry): Spark re-evaluates lazy subtrees per reference, and the
+    * trained centroids feed several subtrees of a search (corpus
+    * assignment + query probe), so the lazy plan re-ran the whole
+    * multi-exchange Lloyd chain once per reference. Collecting re-plans
+    * the centroids as a literal: training runs exactly once, and every
+    * consumer broadcasts the same tiny relation. Values are
+    * bit-identical (floats round-trip exactly through collect), so
+    * results and oracle hashes are unchanged.
+    */
+  def trainCentroidsLiteral(corpus: DataFrame, nlist: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val trained = trainCentroids(corpus, nlist, iters, idCol, vecCol)
+    val rows = trained.collect()
+    corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), trained.schema)
+  }
 
   /** Training-free deterministic centroids: the `nlist` lowest-id
     * vectors (see [[ivfTopK]]'s scaladoc for the rationale).

@@ -165,6 +165,43 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_totalprice"),
           dateStr(col("o_orderdate")).as("o_orderdate_s"))),
 
+    // RECURSIVE CTE (Spark 4 UnionLoop): per-customer order chains
+    // walked step-by-step from each customer's first order — the
+    // iterate-until-empty-frontier SQL surface (hierarchies, BOM,
+    // graph reachability), capped at depth 8 (the bounded-recursion
+    // idiom; an uncapped walk is ~25 deep here and each UnionLoop
+    // iteration re-evaluates the frontier join, so the cap bounds
+    // wall-clock at every SF while touching every customer).
+    // Scale note: recursion executes O(depth) frontier joins — right
+    // for depth-bounded hierarchies; unbounded-diameter closure over
+    // big graphs belongs to d_components' pointer doubling (O(log n)
+    // rounds), which this query deliberately complements, not
+    // replaces.
+    "q_recursive" -> ((s, dir) => {
+      // The edge relation is loop-INVARIANT but referenced by every
+      // UnionLoop iteration, which would re-run its window each round —
+      // persist it once (the GraphX treatment of iteration-invariant
+      // inputs; 2 slim columns per order, memory-trivial, and the
+      // cache is keyed to this plan so re-registration is idempotent).
+      import org.apache.spark.sql.expressions.Window
+      val edges = t(s, dir, "orders")
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+          lag(col("o_orderkey"), 1).over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))).as("prev_ok"))
+        .persist()
+      edges.createOrReplaceTempView("edges_qrec")
+      s.sql("""
+        WITH RECURSIVE chain AS (
+          SELECT cust, ok, 1 AS depth FROM edges_qrec WHERE prev_ok IS NULL
+          UNION ALL
+          SELECT e.cust, e.ok, c.depth + 1
+          FROM chain c JOIN edges_qrec e ON e.prev_ok = c.ok
+          WHERE c.depth < 8
+        )
+        SELECT cust, ok, depth FROM chain ORDER BY cust, depth
+      """)
+    }),
+
     // Correlated LATERAL subquery: top-2 suppliers by balance PER
     // nation, expressed as the lateral join both engines support (the
     // per-group-limit idiom that windowless SQL users reach for).
@@ -550,6 +587,20 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+    "q_recursive" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_ok
+        |  FROM orders),
+        |chain AS (
+        |  SELECT cust, ok, 1 AS depth FROM edges WHERE prev_ok IS NULL
+        |  UNION ALL
+        |  SELECT e.cust, e.ok, c.depth + 1
+        |  FROM chain c JOIN edges e ON e.prev_ok = c.ok
+        |  WHERE c.depth < 8
+        |)
+        |SELECT cust, ok, depth FROM chain ORDER BY cust, depth""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
