@@ -644,4 +644,74 @@ object Dedup {
       .select(col("vid"), col("cell"), col("witness"),
         col("witness").isNull.as("keep"))
   }
+
+  /** INCREMENTAL [[semanticDedup]]: an arriving batch checked against a
+    * standing corpus — the semantic twin of [[minhashNearDupsAgainst]].
+    * Cells come from the CORPUS's seeded centroids (the
+    * [[Similarity.writeIvfIndex]] recipe — batch arrival must not move
+    * cells, or every prior keep/prune decision would be invalidated);
+    * a batch vector is pruned iff some corpus vector in its cell is
+    * τ-similar, `witness` = the smallest such corpus id. The pair join
+    * is batch×corpus WITHIN shared cells — never batch×corpus overall,
+    * never corpus².
+    *
+    * Output: one row per BATCH vector — (vid, cell, witness, keep).
+    */
+  def semanticDedupAgainst(corpus: DataFrame, batch: DataFrame,
+      tau: Double, nlist: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("int").as("cid"), col(vecCol).as("centvec"))
+    semanticWitness(
+      Similarity.assignCells(corpus, cents, idCol, vecCol),
+      Similarity.assignCells(batch, cents, idCol, vecCol), tau)
+  }
+
+  /** [[semanticDedupAgainst]] over a PERSISTED [[Similarity
+    * .writeIvfIndex]] index: the corpus-side scan partition-prunes to
+    * the cells the batch actually occupies (the batch's distinct cell
+    * ids are collected at plan-build time — ≤ nlist small ints, index
+    * metadata, never row data — exactly [[Similarity.ivfTopKIndexed]]'s
+    * probe-cell collect). At 100 TB this is the difference between
+    * re-reading the whole corpus assignment per ingested batch and
+    * reading only the touched inverted lists.
+    */
+  def semanticDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val bAss = Similarity.assignCells(batch, cents, idCol, vecCol)
+    val cells = bAss.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cAss = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(cells: _*))
+    semanticWitness(cAss, bAss, tau)
+  }
+
+  /** Shared pair-search of the incremental semantic-dedup variants:
+    * for each target (batch) vector, the smallest τ-similar witness id
+    * among the witness-side (corpus) vectors sharing its cell. Same
+    * codegen-prefilter + exact-decimal-cosine shape as
+    * [[semanticDedup]]; both assignments carry (vid, cell, cvec).
+    */
+  private def semanticWitness(witSide: DataFrame, tgtSide: DataFrame,
+      tau: Double): DataFrame = {
+    import graft.plans.FloatVecOps.{floatDot, floatNorm2}
+    val a = witSide.select(col("cell"), col("vid").as("id_a"),
+      col("cvec").as("va"), sqrt(floatNorm2(col("cvec"))).as("na"))
+    val b = tgtSide.select(col("cell"), col("vid").as("id_b"),
+      col("cvec").as("vb"), sqrt(floatNorm2(col("cvec"))).as("nb"))
+    val cheap = round(floatDot(col("va"), col("vb")) / (col("na") * col("nb")), 8)
+    val witness = a.join(b, Seq("cell"))
+      .filter(cheap >= lit(tau - 0.01))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineExact(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id_b").as("vid"))
+      .agg(min(col("id_a")).as("witness"))
+    tgtSide.select(col("vid"), col("cell"))
+      .join(witness, Seq("vid"), "left")
+      .select(col("vid"), col("cell"), col("witness"),
+        col("witness").isNull.as("keep"))
+  }
 }

@@ -97,6 +97,23 @@ object SimilarityQueries {
           col("keep"))
         .orderBy("vec_id")),
 
+    // INCREMENTAL semantic dedup: the last 100 vectors arrive as a
+    // batch against the standing corpus (the d_incremental cut idiom).
+    // Cells are the corpus's SEEDED centroids — the writeIvfIndex
+    // recipe, so the index-backed variant (spec-proven equal, with the
+    // corpus scan partition-pruned to the batch's cells) shares them.
+    "d_semantic_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cut = e.agg((max(col("vec_id")) - lit(99L)).as("cut"))
+      val withCut = e.crossJoin(broadcast(cut))
+      val batch = withCut.filter(col("vec_id") >= col("cut")).drop("cut")
+      val corpus = withCut.filter(col("vec_id") < col("cut")).drop("cut")
+      graft.operators.Dedup.semanticDedupAgainst(corpus, batch, tau = 0.4)
+        .select(col("vid").as("vec_id"), col("cell"), col("witness"),
+          col("keep"))
+        .orderBy("vec_id")
+    }),
+
     // The SCALE geometry of the same operator, oracle-checked in its own
     // right — and CHOSEN BY COMPUTATION, not hardcoded: chooseGeometry
     // budgets the banding for the production capture threshold (0.9,
@@ -833,6 +850,33 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "d_semantic_incremental" ->
+      s"""WITH cut AS (SELECT max(vec_id) - 99 AS c FROM embeddings),
+        |cents AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS centvec
+        |  FROM embeddings WHERE vec_id < 16),
+        |apairs AS (SELECT e.vec_id AS vid, e.embedding AS evec,
+        |    c.cid, c.centvec
+        |  FROM embeddings e CROSS JOIN cents c),
+        |${cosBlock("apairs", "vid", "cid", "evec", "centvec", "ascored")},
+        |assigned AS (SELECT vid, cid AS cell FROM (
+        |    SELECT vid, cid, row_number() OVER (
+        |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+        |      FROM ascored) WHERE rn = 1),
+        |cand AS (SELECT b.vid AS qid, a.vid AS vid,
+        |    be.embedding AS qvec, ae.embedding AS cvec
+        |  FROM assigned b
+        |  JOIN cut ON b.vid >= cut.c
+        |  JOIN assigned a ON a.cell = b.cell AND a.vid < cut.c
+        |  JOIN embeddings be ON be.vec_id = b.vid
+        |  JOIN embeddings ae ON ae.vec_id = a.vid),
+        |$cosCte,
+        |wit AS (SELECT qid, min(vid) AS witness
+        |  FROM scored WHERE cos >= 0.4 GROUP BY qid)
+        |SELECT b.vid AS vec_id, b.cell, w.witness,
+        |  w.witness IS NULL AS keep
+        |FROM assigned b JOIN cut ON b.vid >= cut.c
+        |LEFT JOIN wit w ON b.vid = w.qid
+        |ORDER BY vec_id""".stripMargin,
     "d_semantic" ->
       s"""WITH $trainedAssignSql,
         |cand AS (SELECT x.vid AS qid, y.vid AS vid,

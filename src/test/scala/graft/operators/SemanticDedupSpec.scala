@@ -73,6 +73,63 @@ class SemanticDedupSpec extends SparkFunSuite {
     assert(run() == run())
   }
 
+  test("incremental: witnesses are τ-similar in-cell corpus vectors; batch-only output") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val out = Dedup.semanticDedupAgainst(corpus, batch, tau = 0.4)
+    val rows = out.collect()
+    // one row per BATCH vector, none for corpus vectors
+    assert(rows.length == batch.count())
+    assert(rows.forall(_.getAs[Long]("vid") >= 400))
+    // reference: all batch×corpus in-cell pairs with exact cosine
+    val cells = out.select(col("vid"), col("cell"))
+    val cents = corpus.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centvec"))
+    val cAss = Similarity.assignCells(corpus, cents, "vec_id", "embedding")
+      .select(col("vid").as("cid_v"), col("cell"), col("cvec"))
+    val bSide = emb.select(col("vec_id").as("vid"), col("embedding").as("bv"))
+      .join(cells, "vid")
+    val ref = bSide.join(cAss, "cell")
+      .select(col("vid"), col("cid_v"),
+        Similarity.cosineExact(col("bv"), col("cvec")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .groupBy("vid").agg(min(col("cid_v")).as("ref_witness"))
+    val joined = out.join(ref, Seq("vid"), "left").collect()
+    joined.foreach { r =>
+      val w = Option(r.getAs[java.lang.Long]("witness"))
+      val rw = Option(r.getAs[java.lang.Long]("ref_witness"))
+      assert(w == rw, s"vid=${r.getAs[Long]("vid")}: witness $w != reference $rw")
+    }
+    assert(joined.exists(!_.getAs[Boolean]("keep")), "rule must fire")
+  }
+
+  test("index-backed incremental == inline; corpus scan partition-prunes to batch cells") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 400)
+    // a deliberately narrow batch so it cannot occupy every cell
+    val batch = emb.filter(col("vec_id") >= 490)
+    val path = tmpDir("sem_idx")
+    Similarity.writeIvfIndex(corpus, path, nlist = 16)
+    val indexed = Dedup.semanticDedupAgainstIndex(spark, path, batch, tau = 0.4)
+    val inline = Dedup.semanticDedupAgainst(corpus, batch, tau = 0.4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("vid"), r.getAs[Int]("cell"),
+        Option(r.getAs[java.lang.Long]("witness")),
+        r.getAs[Boolean]("keep"))).toSet
+    assert(rows(indexed).nonEmpty && rows(indexed) == rows(inline))
+    // partition pruning: the cells scan carries an IN/INSET on cell
+    // (Spark prints `IN (…)` for short lists, `INSET …` for long ones)
+    indexed.collect()
+    val plan = indexed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val inList = "PartitionFilters: \\[cell#\\d+ IN(?:SET)? ?\\(?([0-9, ]+)".r
+      .findFirstMatchIn(plan)
+    assert(inList.isDefined, s"no partition filter on cell:\n$plan")
+    val touched = inList.get.group(1).split(",").count(_.trim.nonEmpty)
+    assert(touched < 16, s"batch of 10 vectors touched all $touched cells")
+  }
+
   test("plan shape: pair search shuffles on cell, no cartesian product") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
