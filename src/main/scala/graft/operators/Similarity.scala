@@ -289,6 +289,36 @@ object Similarity {
         first(col("cvec")).as("cvec"))
   }
 
+  /** [[assignCells]] as a MAP-ONLY operator: centroids arrive as Scala
+    * values (collected model state — the trainCentroidsLiteral /
+    * ivfTopKIndexed size class) and the per-row argmax is an
+    * `array_max` over a literal-built struct array, so assignment runs
+    * with ZERO exchanges. This is the streaming-legal form — the
+    * aggregate-based [[assignCells]] cannot precede a stream-static
+    * join in append mode (the [[graft.operators.Dedup.mapOnlyBands]]
+    * precedent). Arithmetic is kept IDENTICAL to [[assignCells]]: same
+    * codegen float dot/norm kernels (centroid norms computed by the
+    * same expressions over the literal arrays), same round-6 cosine,
+    * same smaller-cid tie-break via the (acos, -cid) struct order —
+    * spec-proven row-identical.
+    */
+  def assignCellsMapOnly(df: DataFrame, cents: Seq[(Int, Array[Float])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.FloatVecOps.{floatDot, floatNorm2}
+    import org.apache.spark.sql.functions.typedlit
+    val vnrm = sqrt(floatNorm2(col(vecCol)))
+    val entries = cents.map { case (cid, vec) =>
+      val cv = typedlit(vec.toSeq)
+      struct(
+        round(floatDot(col(vecCol), cv) / (vnrm * sqrt(floatNorm2(cv))), 6)
+          .as("acos"),
+        lit(-cid).as("ncid"))
+    }
+    df.select(col(idCol).as("vid"),
+      (-array_max(array(entries: _*)).getField("ncid")).as("cell"),
+      col(vecCol).as("cvec"))
+  }
+
   /** Per-query probe cells: top-nProbe centroids by exact cosine.
     * Queries are few — the per-pair exact fold is fine at q·nlist
     * pairs, and produces the same doubles as the hash-agg path.

@@ -56,6 +56,75 @@ object DocStreams {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
   }
 
+  /** File-source schema of the embeddings table. */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Open an embeddings directory as a file stream. */
+  def readEmbeddings(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(embSchema).parquet(path)
+
+  /** CONTINUOUS semantic dedup — the streaming face of
+    * `d_semantic_incremental`, shaped like [[nearDupCandidates]]:
+    *  1. arriving vectors assign their cell with the ZERO-exchange
+    *     [[graft.operators.Similarity.assignCellsMapOnly]] (centroids
+    *     are collected model state from the persisted index — the
+    *     aggregation-based assignment is illegal before a
+    *     stream-static join in append mode);
+    *  2. the assignment joins the index's `cells` table STREAM-STATIC
+    *     on cell — candidates are batch×(touched cells), never
+    *     batch×corpus;
+    *  3. the codegen-float prefilter AND the exact-decimal cosine
+    *     threshold both run IN-STREAM (stateless projections — unlike
+    *     the Jaccard pipeline, similarity needs no corpus-side
+    *     aggregation), so only the per-vector min-witness reduction
+    *     is left to [[confirmSemanticDedup]]'s micro-batch.
+    * Output: (vid, witness, cos) candidate rows, tau-confirmed.
+    */
+  def semanticCandidates(stream: DataFrame, indexPath: String,
+      tau: Double): DataFrame = {
+    import graft.plans.FloatVecOps.{floatDot, floatNorm2}
+    import graft.operators.Similarity
+    val spark = stream.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+    val arriving = Similarity.assignCellsMapOnly(stream, cents)
+      .select(col("vid"), col("cell"), col("cvec").as("vb"),
+        sqrt(floatNorm2(col("cvec"))).as("nb"))
+    val corpus = spark.read.parquet(s"$indexPath/cells")
+      .select(col("cell"), col("vid").as("witness"), col("cvec").as("va"),
+        sqrt(floatNorm2(col("cvec"))).as("na"))
+    val cheap = round(floatDot(col("va"), col("vb")) / (col("na") * col("nb")), 8)
+    arriving.join(corpus, Seq("cell"))
+      .filter(cheap >= lit(tau - 0.01))
+      .select(col("vid"), col("witness"),
+        Similarity.cosineExact(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** Terminal reduction of [[semanticCandidates]]: per arriving vector,
+    * the smallest τ-similar corpus witness — a per-micro-batch groupBy
+    * (an arriving vector's candidates all live in its own micro-batch,
+    * so the per-batch min IS the global min). Confirmed (vid, witness)
+    * rows append to `outDir`.
+    */
+  def confirmSemanticDedup(candidates: DataFrame, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    val q = candidates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("vid")
+          .agg(min(col("witness")).as("witness"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Stage 3: per-micro-batch candidate dedup + exact-Jaccard
     * verification against the static `docStore` (which must contain
     * both the corpus and the arriving documents' text — in production,

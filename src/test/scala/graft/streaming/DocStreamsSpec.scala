@@ -37,6 +37,53 @@ class DocStreamsSpec extends SparkFunSuite {
     assert(bands == Set(3L), s"short docs must emit no bands, got $bands")
   }
 
+  test("assignCellsMapOnly == assignCells (identical cells, zero exchanges)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centvec"))
+    val centVals = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+    val viaAgg = graft.operators.Similarity
+      .assignCells(emb, cents, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val mapOnly = graft.operators.Similarity
+      .assignCellsMapOnly(emb, centVals)
+    val viaMap = mapOnly.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(viaMap.nonEmpty && viaMap == viaAgg)
+    assert(!mapOnly.queryExecution.executedPlan.toString.contains("Exchange"),
+      "map-only assignment must not shuffle")
+  }
+
+  test("streaming semantic dedup against the IVF index == batch incremental operator") {
+    val s = spark
+    val emb = s.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val idxPath = tmpDir("sem_stream_idx")
+    val streamDir = tmpDir("emb_stream")
+    val outDir = tmpDir("sem_out")
+    graft.operators.Similarity.writeIvfIndex(corpus, idxPath, nlist = 16)
+    // stage the arriving batch as one flat parquet file
+    val staged = tmpDir("emb_stage")
+    batch.coalesce(1).write.mode("overwrite").parquet(staged)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+      .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    java.nio.file.Files.move(java.nio.file.Paths.get(part),
+      java.nio.file.Paths.get(streamDir, "arrivals.parquet"))
+
+    val stream = DocStreams.readEmbeddings(s, streamDir)
+    val cand = DocStreams.semanticCandidates(stream, idxPath, tau = 0.4)
+    DocStreams.confirmSemanticDedup(cand, s"$outDir/pruned", tmpDir("sem_ckpt"))
+
+    val got = s.read.parquet(s"$outDir/pruned")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.Dedup
+      .semanticDedupAgainst(corpus, batch, tau = 0.4)
+      .filter(!col("keep"))
+      .collect().map(r => (r.getAs[Long]("vid"), r.getAs[Long]("witness"))).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming near-dups against the band index == batch incremental dedup") {
     val s = spark
     s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
