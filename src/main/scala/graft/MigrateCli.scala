@@ -30,7 +30,12 @@ import graft.resume.Checkpoint
   * `--drop-orphans true` also removes destination-only partitions),
   * `dq` (one-pass per-column data-quality profile of --source, written
   * as a JSON report; `--min-completeness 0.99` turns it into a gate —
-  * exit 1 if any column's non-null fraction falls below it).
+  * exit 1 if any column's non-null fraction falls below it), and
+  * `curate` (the end-to-end corpus-curation pipeline over a documents
+  * table: Gopher quality gate → exact dedup → MinHash near-dup
+  * collapse → deterministic split, written to --dest partitioned by
+  * split, with per-stage counts as the JSON report; `--jaccard 0.5`
+  * tunes the near-dup threshold).
   */
 object MigrateCli {
 
@@ -39,6 +44,8 @@ object MigrateCli {
     val cfg = ConfigResolver.resolve(args)
     require(cfg.sourcePath.nonEmpty, "--source is required")
     if (cfg.mode != "dq") require(cfg.destPath.nonEmpty, "--dest is required")
+    // curate is destructive at --dest only (overwrite of the curated
+    // corpus), never at --source.
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -114,6 +121,33 @@ object MigrateCli {
           s"violations=${bad.length}")
         spark.stop()
         if (bad.nonEmpty) sys.exit(1)
+        return
+      }
+
+      if (cfg.mode == "curate") {
+        val f = new java.io.File(cfg.sourcePath)
+        val src = readTable(f.getParent, f.getName.stripSuffix(".parquet"))
+        val jac = args.get("jaccard").map(_.toDouble).getOrElse(0.5)
+        val rep = graft.operators.Curation.curate(src, cfg.destPath,
+          jaccard = jac)
+        val splits = rep.bySplit.toSeq.sorted
+          .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+        val body =
+          s"""{"mode": "curate", "source": "${cfg.sourcePath}",
+             | "dest": "${cfg.destPath}", "jaccard": $jac,
+             | "input": ${rep.input}, "after_quality": ${rep.afterQuality},
+             | "after_exact_dedup": ${rep.afterExactDedup},
+             | "after_near_dup": ${rep.afterNearDup},
+             | "dropped": ${rep.dropped}, "by_split": $splits}"""
+            .stripMargin.replace("\n", "")
+        val dir = new java.io.File(args.getOrElse("report-dir", "reports"))
+        dir.mkdirs()
+        val out = new java.io.File(dir, s"curate_report_$start.json").toPath
+        java.nio.file.Files.writeString(out, body)
+        println(s"[graft] curate input=${rep.input} " +
+          s"quality=${rep.afterQuality} exact=${rep.afterExactDedup} " +
+          s"near_dup=${rep.afterNearDup} dest=${cfg.destPath} report=$out")
+        spark.stop()
         return
       }
 

@@ -105,6 +105,22 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isin(Stopwords: _*)))
 
+  /** The four Gopher-style quality rules (Rae et al. 2021 §A1.1,
+    * adapted to the synthetic corpus's ranges) as named flags — shared
+    * by the `t_gopher` audit query and [[Curation.curate]]'s quality
+    * gate so the two can never drift: (word-count band, mean-word-length
+    * band, type-token-ratio floor, ≥2-stopword rule).
+    */
+  def gopherRules(text: Column): Seq[Column] = Seq(
+    wordCount(text).between(20, 100000),
+    avgWordLen(text).between(3.0, 4.7),
+    distinctRatio(text) >= 0.3,
+    stopwordCount(text) >= 2)
+
+  /** Conjunction of [[gopherRules]] — the keep/drop quality gate. */
+  def gopherPass(text: Column): Column =
+    gopherRules(text).reduce(_ && _)
+
   /** Uniform 256-band content-free id hash (band ∈ [0, 255]): the first
     * two hex chars of `md5(salt || id)` as an integer. The shared
     * primitive behind [[hashSplit]]-style splits and per-stratum

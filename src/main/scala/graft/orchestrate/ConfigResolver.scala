@@ -133,7 +133,8 @@ object ConfigResolver {
   def parseArgs(argv: Array[String]): Map[String, String] = {
     val known = Set("mode", "db", "table", "source", "dest", "keys",
       "insert-interval", "resume", "checkpoint", "lock-dir", "report-dir",
-      "partition-expr", "config", "drop-orphans", "min-completeness")
+      "partition-expr", "config", "drop-orphans", "min-completeness",
+      "jaccard")
     argv.grouped(2).map {
       case Array(k, v) if k.startsWith("--") =>
         val key = k.stripPrefix("--")

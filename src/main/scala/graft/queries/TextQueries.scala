@@ -205,16 +205,12 @@ object TextQueries {
     // engines agree bit-for-bit and at 100 TB the whole rule set fuses
     // into the document scan with zero shuffles.
     "t_gopher" -> ((s, dir) => {
-      val nW = TA.wordCount(col("text"))
-      val rWc = nW.between(20, 100000)
-      val rMwl = TA.avgWordLen(col("text")).between(3.0, 4.7)
-      val rTtr = TA.distinctRatio(col("text")) >= 0.3
-      val rStop = TA.stopwordCount(col("text")) >= 2
+      val Seq(rWc, rMwl, rTtr, rStop) = TA.gopherRules(col("text"))
       docs(s, dir).select(
-        col("doc_id"), nW.as("n_words"),
+        col("doc_id"), TA.wordCount(col("text")).as("n_words"),
         rWc.as("r_wc"), rMwl.as("r_mwl"), rTtr.as("r_ttr"),
         rStop.as("r_stop"),
-        (rWc && rMwl && rTtr && rStop).as("pass"))
+        TA.gopherPass(col("text")).as("pass"))
         .orderBy("doc_id")
     }),
 
