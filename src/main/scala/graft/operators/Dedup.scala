@@ -291,6 +291,20 @@ object Dedup {
       table, bucketCols = Seq("band", "key"), numBuckets = buckets,
       sortCols = Seq("band", "key"))
 
+  /** Grow a [[writeBandIndex]] index by an ingested batch: append the
+    * batch's OWN band rows (the batch-sized signature pass only — the
+    * standing corpus is never re-signed) with the same bucket spec, so
+    * the index stays bucket-joinable over old and new rows alike. Call
+    * after the batch's near-dup check admits it to the corpus.
+    */
+  def appendToBandIndex(batch: DataFrame, idCol: String, textCol: String,
+      table: graft.model.TableRef, bands: Int = 6, rowsPerBand: Int = 2,
+      buckets: Int = 8): Unit =
+    graft.sources.CatalogOps.appendBucketed(
+      minhashBands(batch, idCol, textCol, bands, rowsPerBand),
+      table, bucketCols = Seq("band", "key"), numBuckets = buckets,
+      sortCols = Seq("band", "key"))
+
   /** Incremental near-dups of `batch` against a PERSISTED band index
     * (written by [[writeBandIndex]]) — the production shape of
     * [[minhashNearDupsAgainst]]: the corpus signature pass is already

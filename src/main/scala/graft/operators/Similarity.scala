@@ -370,6 +370,21 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Grow a [[writeIvfIndex]] index by an ingested batch: assign the
+    * batch's vectors against the index's STORED centroids (cells must
+    * not move on ingest, or every inverted list would need rebuilding)
+    * and append them into the partitionBy(cell) layout — each batch
+    * row lands in its cell's directory, so probed searches and the
+    * incremental dedup path partition-prune over old and new rows
+    * alike. The batch pays only its own assignment pass.
+    */
+  def appendToIvfIndex(batch: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = batch.sparkSession.read.parquet(s"$path/centroids")
+    assignCells(batch, cents, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** ANN over a PERSISTED [[writeIvfIndex]] index: probe cells come
     * from the stored centroids, and the cell scan is partition-pruned
     * to the probed cell ids. The probe-cell list is collected at

@@ -148,4 +148,22 @@ object CatalogOps {
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     ws.format("parquet").saveAsTable(table.qualified)
   }
+
+  /** Append to an existing [[writeBucketed]] table with the SAME bucket
+    * spec (Spark validates the spec against the catalog and rejects a
+    * mismatch — the appended files land bucketed, so downstream
+    * bucket-joins keep their zero-exchange property over old AND new
+    * data). The growth path of a standing index: each ingested batch
+    * appends its own rows instead of recomputing the corpus.
+    */
+  def appendBucketed(df: DataFrame, table: TableRef,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode("append")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.format("parquet").saveAsTable(table.qualified)
+  }
 }

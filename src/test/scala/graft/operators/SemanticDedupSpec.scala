@@ -130,6 +130,29 @@ class SemanticDedupSpec extends SparkFunSuite {
     assert(touched < 16, s"batch of 10 vectors touched all $touched cells")
   }
 
+  test("appendToIvfIndex: grown index equals inline against the combined corpus") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 300)
+    val wave1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val wave2 = emb.filter(col("vec_id") >= 400)
+    val path = tmpDir("sem_idx_grow")
+    Similarity.writeIvfIndex(corpus, path, nlist = 16)
+    Similarity.appendToIvfIndex(wave1, path)
+    val grown = corpus.unionByName(wave1)
+    val viaIndex = Dedup.semanticDedupAgainstIndex(spark, path, wave2, tau = 0.4)
+    val inline = Dedup.semanticDedupAgainst(grown, wave2, tau = 0.4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("vid"), r.getAs[Int]("cell"),
+        Option(r.getAs[java.lang.Long]("witness")),
+        r.getAs[Boolean]("keep"))).toSet
+    assert(rows(viaIndex).nonEmpty && rows(viaIndex) == rows(inline))
+    // a witness from the appended wave must be reachable, or the
+    // growth path wasn't exercised (witness < 300 would also match the
+    // pre-append index)
+    assert(rows(viaIndex).exists(_._3.exists(w => w >= 300 && w < 400)),
+      s"no witness from the appended wave in ${rows(viaIndex)}")
+  }
+
   test("plan shape: pair search shuffles on cell, no cartesian product") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
