@@ -211,6 +211,20 @@ object ScaleProbe {
       timed("full t_bpe_pairs")(
         SparkEntry.queries("t_bpe_pairs")(spark, sfDir).count())
     }
+    if (what == "curate") {
+      // Factor-10 protocol for the curation pipeline: stage counts are
+      // the evidence (each stage reuses a measured primitive — gopher
+      // map-only, fingerprint window, minhash band join, components).
+      val docs = Sources.table(spark, sfDir, "documents")
+      val out = java.nio.file.Files
+        .createTempDirectory("curate_probe").toString
+      val t0 = System.nanoTime()
+      val rep = graft.operators.Curation.curate(docs, out, jaccard = 0.5)
+      println(f"curateWall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(s"curateInput=${rep.input} afterQuality=${rep.afterQuality} " +
+        s"afterExact=${rep.afterExactDedup} afterNearDup=${rep.afterNearDup} " +
+        s"bySplit=${rep.bySplit.toSeq.sorted.mkString(",")}")
+    }
     if (what == "all" || what == "minhash") {
       val docs = Sources.table(spark, sfDir, "documents")
       val rel = Dedup.shingleRelation(docs, "doc_id", "text")
