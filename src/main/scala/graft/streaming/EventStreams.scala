@@ -189,6 +189,80 @@ object EventStreams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  final case class GapState(lastHour: Long, lastSum: Option[Double])
+  final case class FilledHour(event_type: String, win_start: String,
+      cnt: Long, filled: Boolean, locf_sum: Option[Double])
+
+  /** CONTINUOUS gap-fill + LOCF — the streaming face of `e_gapfill`,
+    * and a problem plain windowed aggregation cannot express: hours
+    * with NO events produce no rows to aggregate, so the densified
+    * series must come from KEYED STATE that remembers each type's
+    * emitted frontier (last emitted hour + last observed hourly sum)
+    * and, on every arriving micro-batch, emits the zero-filled/LOCF
+    * rows between the frontier and the batch's newest hour.
+    *
+    * Arithmetic matches the batch twin exactly: per-hour sums fold as
+    * 2-decimal BigDecimals (the `dsum` DECIMAL(18,2) cast), converted
+    * to double once — so stream output is value-identical to
+    * `e_gapfill`, spec-proven across multiple micro-batches.
+    *
+    * Contract (the watermark analog, documented rather than hidden):
+    * ingestion is assumed hour-monotone per type across micro-batches —
+    * the hourly-file-drop shape this operator exists for; rows older
+    * than the emitted frontier are dropped (a frontier, like a
+    * watermark, cannot retract emitted results). State is O(1) per
+    * type. Each hour is emitted exactly once → Append mode.
+    */
+  /** Epoch-hour index → 'yyyy-MM-dd HH:mm' UTC. A module method rather
+    * than a captured formatter: DateTimeFormatter is not serializable,
+    * and the state closure must stay clean.
+    */
+  private def fmtHour(h: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(h * 3600L))
+
+  def gapFillStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_type"),
+        (unix_micros(date_trunc("hour", col("ts"))) / 3600000000L)
+          .cast("long").as("hr"),
+        col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, FilledHour](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (et, rows, state: GroupState[GapState]) =>
+          val byHour = rows.toSeq.groupBy(_._2).map { case (h, rs) =>
+            h -> (rs.size.toLong,
+              rs.map(r => BigDecimal(r._3)
+                .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP))
+                .sum.toDouble)
+          }
+          if (byHour.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption
+              .getOrElse(GapState(byHour.keys.min - 1, None))
+            val out = Seq.newBuilder[FilledHour]
+            ((st.lastHour + 1) to byHour.keys.max).foreach { h =>
+              val ws = fmtHour(h)
+              byHour.get(h) match {
+                case Some((n, s)) =>
+                  out += FilledHour(et, ws, n, filled = false, Some(s))
+                  st = GapState(h, Some(s))
+                case None =>
+                  out += FilledHour(et, ws, 0L, filled = true, st.lastSum)
+                  st = GapState(h, st.lastSum)
+              }
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+      .toDF("event_type", "win_start", "cnt", "filled", "locf_sum")
+  }
+
   final case class FunnelState(tv: Option[Long], tc: Option[Long], tp: Option[Long])
   final case class FunnelOut(userId: Long, stage: Int)
 

@@ -244,6 +244,41 @@ class EventStreamsSpec extends SparkFunSuite {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
 
+  test("gap-fill stream across micro-batches == batch e_gapfill (zero-fill + LOCF)") {
+    // two micro-batches; per-type hour gaps WITHIN a batch (click skips
+    // 11:00-12:00), ACROSS batches (click skips 14:00-15:00 spanning
+    // the batch boundary), and a type that first appears in batch 2.
+    val b0 = mbRows(Seq(
+      (1L, "2026-01-01 10:15:00", 1L, "click", 10.0),
+      (2L, "2026-01-01 10:45:00", 2L, "click", 5.5),
+      (3L, "2026-01-01 13:05:00", 1L, "click", 2.25),
+      (4L, "2026-01-01 11:00:00", 3L, "view", 1.0)))
+    val b1 = mbRows(Seq(
+      (5L, "2026-01-01 16:30:00", 1L, "click", 7.0),
+      (6L, "2026-01-01 14:10:00", 3L, "view", 3.0),
+      (7L, "2026-01-01 15:00:00", 4L, "purchase", 9.9)))
+    val dir = writeBatches(Seq(b0, b1))
+    EventStreams.runToMemory(
+      EventStreams.gapFillStream(spark, readMicroBatched(dir)),
+      "gapfill_out")
+    // batch twin: the oracle-checked e_gapfill query over the union,
+    // staged as an events table dir
+    val sfLike = java.nio.file.Files.createTempDirectory("gap_sf").toString
+    b0.unionByName(b1).write.mode("overwrite")
+      .parquet(s"$sfLike/events.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    val got = rows(spark.sql(
+      "SELECT event_type, win_start, cnt, filled, locf_sum FROM gapfill_out"))
+    val want = rows(graft.SparkEntry.queries("e_gapfill")(spark, sfLike))
+    assert(got.nonEmpty && got == want)
+    // the interesting rows really exist: zero-filled gap hours carrying
+    // the previous hour's sum forward, including across the batch split
+    assert(got.contains(("click", "2026-01-01 12:00", 0L, true, Some(15.5))))
+    assert(got.contains(("click", "2026-01-01 15:00", 0L, true, Some(2.25))))
+  }
+
   test("left-outer stream-stream join: watermark-driven null emission == batch left join") {
     // batch 0: user 1 clicks and never purchases; user 2 clicks and
     // purchases 5 min later. batches 1-3: far-future click+purchase
