@@ -146,6 +146,32 @@ object AdvancedQueries {
           round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
         .orderBy("o_orderstatus")),
 
+    // WINSORIZED mean: per-group p05/p95 caps (a_percentile's portable
+    // interpolated-percentile recipe, rounded to 2 dp so both engines
+    // clamp against identical decimal bounds), values clamped as exact
+    // decimals, mean via the davg decimal-sum recipe. The outlier-
+    // robust location statistic a feature pipeline prefers over a raw
+    // mean. Scale shape: the percentile pass is one grouped aggregate
+    // over the 4-value status domain, broadcast back to the fact —
+    // clamping is map-only on the one real scan.
+    "a_winsorize" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val caps = o.groupBy("o_orderstatus").agg(
+        round(expr("percentile(o_totalprice, 0.05)"), 2)
+          .cast(DecimalType(18, 2)).as("lo"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2)
+          .cast(DecimalType(18, 2)).as("hi"))
+      val clamped = o.join(broadcast(caps), "o_orderstatus")
+        .select(col("o_orderstatus"),
+          least(greatest(col("o_totalprice").cast(DecimalType(18, 2)),
+            col("lo")), col("hi")).as("w"))
+      clamped.groupBy("o_orderstatus")
+        .agg(round(sum(col("w")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("wmean"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Deterministic MODE (most frequent value) per group, ties broken
     // toward the smaller value — engine-portable where a native mode()
     // is not (tie behavior differs across engines). Two grouped
@@ -353,6 +379,22 @@ object AdvancedQueries {
         |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a_winsorize" ->
+      """WITH caps AS (SELECT o_orderstatus,
+        |    CAST(round(quantile_cont(o_totalprice, 0.05), 2)
+        |      AS DECIMAL(18,2)) AS lo,
+        |    CAST(round(quantile_cont(o_totalprice, 0.95), 2)
+        |      AS DECIMAL(18,2)) AS hi
+        |  FROM orders GROUP BY o_orderstatus),
+        |w AS (SELECT o.o_orderstatus,
+        |    least(greatest(CAST(o.o_totalprice AS DECIMAL(18,2)), c.lo),
+        |      c.hi) AS w
+        |  FROM orders o JOIN caps c ON o.o_orderstatus = c.o_orderstatus)
+        |SELECT o_orderstatus,
+        |  round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |    AS wmean,
+        |  count(*) AS n
+        |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "a_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
         |  FROM lineitem GROUP BY 1, 2),

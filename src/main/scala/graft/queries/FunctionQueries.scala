@@ -54,6 +54,27 @@ object FunctionQueries {
           instr(col("p_name"), "a").as("first_a"))
         .orderBy("p_partkey")),
 
+    // Spark 4 COLLATIONS: case-insensitive comparison as a TYPE
+    // property (`collate(col, 'UTF8_LCASE')`) instead of lower()
+    // rewrites — distinct/grouping under the collation dedupe case
+    // variants natively. Three case variants of every p_type (upper,
+    // lower, first-letter-capitalized — spelled with shared substring
+    // arithmetic, not initcap, so the oracle's variant set is
+    // byte-identical), counted distinct under binary vs UTF8_LCASE
+    // collation. At scale the collated comparison stays codegen'd in
+    // the scan, where a lower()-wrapped key breaks column-stat reuse.
+    "f_collate" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val mixed = concat(upper(substring(col("p_type"), 1, 1)),
+        lower(expr("substring(p_type, 2)")))
+      val variants = p.select(upper(col("p_type")).as("t"))
+        .union(p.select(lower(col("p_type")).as("t")))
+        .union(p.select(mixed.as("t")))
+      variants.agg(
+        countDistinct(col("t")).as("n_binary"),
+        countDistinct(collate(col("t"), "UTF8_LCASE")).as("n_lcase"))
+    }),
+
     // Date/time extraction and arithmetic.
     "f_date" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -328,6 +349,14 @@ object FunctionQueries {
         |  length(p_name) AS name_len,
         |  instr(p_name, 'a') AS first_a
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "f_collate" ->
+      """WITH v AS (SELECT upper(p_type) AS t FROM part
+        |  UNION ALL SELECT lower(p_type) FROM part
+        |  UNION ALL SELECT upper(substring(p_type, 1, 1))
+        |    || lower(substring(p_type, 2)) FROM part)
+        |SELECT count(DISTINCT t) AS n_binary,
+        |  count(DISTINCT lower(t)) AS n_lcase
+        |FROM v""".stripMargin,
     "f_date" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS y, month(o_orderdate) AS m,
