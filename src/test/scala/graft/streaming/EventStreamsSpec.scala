@@ -277,6 +277,15 @@ class EventStreamsSpec extends SparkFunSuite {
     // the previous hour's sum forward, including across the batch split
     assert(got.contains(("click", "2026-01-01 12:00", 0L, true, Some(15.5))))
     assert(got.contains(("click", "2026-01-01 15:00", 0L, true, Some(2.25))))
+    // frontier state survives the production state store too
+    EventStreams.withRocksDbStateStore(spark) {
+      EventStreams.runToMemory(
+        EventStreams.gapFillStream(spark, readMicroBatched(dir)),
+        "gapfill_rocks")
+    }
+    assert(rows(spark.sql(
+      "SELECT event_type, win_start, cnt, filled, locf_sum FROM gapfill_rocks"))
+      == want)
   }
 
   test("left-outer stream-stream join: watermark-driven null emission == batch left join") {
