@@ -66,6 +66,35 @@ object EventQueries {
         .orderBy("event_type", "win_start")
     }),
 
+    // Cohort RETENTION matrix — the other classic cohort workload next
+    // to e_funnel_cohort: users cohorted by FIRST-event day, then for
+    // each (cohort_day, day_offset) the distinct returning users and
+    // the retention fraction of the cohort. Scale shape: first-day and
+    // active-day reductions each shuffle once on user_id (map-side
+    // combined); the matrix aggregation runs on the small
+    // (cohorts × offsets) domain and cohort sizes broadcast back.
+    "e_retention" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val firstDay = e.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("cohort"))
+      val active = e.select(col("user_id"),
+        to_date(col("ts")).as("day")).distinct()
+      val sizes = firstDay.groupBy("cohort")
+        .agg(count(lit(1)).as("cohort_n"))
+      active.join(firstDay, "user_id")
+        .select(col("cohort"),
+          datediff(col("day"), col("cohort")).as("day_offset"),
+          col("user_id"))
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .join(broadcast(sizes), "cohort")
+        .select(dateStr(col("cohort")).as("cohort_day"), col("day_offset"),
+          col("active_users"), col("cohort_n"),
+          round(col("active_users").cast("double") /
+            col("cohort_n").cast("double"), 6).as("retention"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // SCD2 (slowly-changing-dimension type 2) interval build from an
     // event log: per user, the "current event_type" as [valid_from,
     // valid_to) intervals, consecutive same-type events collapsed
@@ -387,6 +416,23 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |    AS locf_sum
         |FROM j ORDER BY event_type, win_start""".stripMargin,
+    "e_retention" ->
+      """WITH fd AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |sizes AS (SELECT cohort, count(*) AS cohort_n FROM fd GROUP BY 1),
+        |r AS (SELECT f.cohort,
+        |    CAST(a.day - f.cohort AS INTEGER) AS day_offset,
+        |    count(DISTINCT a.user_id) AS active_users
+        |  FROM act a JOIN fd f ON a.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_day, day_offset,
+        |  active_users, s.cohort_n,
+        |  round(CAST(active_users AS DOUBLE) / CAST(s.cohort_n AS DOUBLE),
+        |    6) AS retention
+        |FROM r JOIN sizes s ON r.cohort = s.cohort
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "e_scd2" ->
       """WITH ordered AS (SELECT user_id, event_type, ts, event_id,
         |    lag(event_type) OVER w AS prev_type
