@@ -66,6 +66,36 @@ object EventQueries {
         .orderBy("event_type", "win_start")
     }),
 
+    // RFM (recency / frequency / monetary) user segmentation — scored
+    // against median thresholds rather than ntile(): a global ntile is
+    // a single-partition window (the documented anti-pattern), while
+    // the medians are one broadcast row and the scoring stays map-only
+    // over the per-user aggregate. One user_id shuffle total.
+    "e_rfm" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val maxTs = e.agg(max(col("ts")).as("mx"))
+      val rfm = e.groupBy("user_id").agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        dsum(col("value")).as("monetary"))
+        .crossJoin(broadcast(maxTs))
+        .select(col("user_id"),
+          datediff(to_date(col("mx")), to_date(col("last_ts")))
+            .as("recency_days"),
+          col("freq"), col("monetary"))
+      val cuts = rfm.agg(
+        round(expr("percentile(recency_days, 0.5)"), 6).as("r_med"),
+        round(expr("percentile(freq, 0.5)"), 6).as("f_med"),
+        round(expr("percentile(monetary, 0.5)"), 6).as("m_med"))
+      rfm.crossJoin(broadcast(cuts))
+        .select(col("user_id"), col("recency_days"), col("freq"),
+          col("monetary"),
+          (col("recency_days") <= col("r_med")).as("recent"),
+          (col("freq") >= col("f_med")).as("frequent"),
+          (col("monetary") >= col("m_med")).as("valuable"))
+        .orderBy("user_id")
+    }),
+
     // Cohort RETENTION matrix — the other classic cohort workload next
     // to e_funnel_cohort: users cohorted by FIRST-event day, then for
     // each (cohort_day, day_offset) the distinct returning users and
@@ -416,6 +446,26 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |    AS locf_sum
         |FROM j ORDER BY event_type, win_start""".stripMargin,
+    "e_rfm" ->
+      """WITH mx AS (SELECT max(ts) AS mx FROM events),
+        |rfm AS (SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY 1),
+        |r2 AS (SELECT user_id,
+        |    CAST(CAST(m.mx AS DATE) - CAST(last_ts AS DATE) AS INTEGER)
+        |      AS recency_days,
+        |    freq, monetary
+        |  FROM rfm, mx m),
+        |cuts AS (SELECT
+        |    round(quantile_cont(recency_days, 0.5), 6) AS r_med,
+        |    round(quantile_cont(freq, 0.5), 6) AS f_med,
+        |    round(quantile_cont(monetary, 0.5), 6) AS m_med
+        |  FROM r2)
+        |SELECT user_id, recency_days, freq, monetary,
+        |  recency_days <= c.r_med AS recent,
+        |  freq >= c.f_med AS frequent,
+        |  monetary >= c.m_med AS valuable
+        |FROM r2, cuts c ORDER BY user_id""".stripMargin,
     "e_retention" ->
       """WITH fd AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
         |  FROM events GROUP BY 1),
