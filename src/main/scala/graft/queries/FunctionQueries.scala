@@ -75,6 +75,27 @@ object FunctionQueries {
         countDistinct(collate(col("t"), "UTF8_LCASE")).as("n_lcase"))
     }),
 
+    // ANSI-safe arithmetic: Spark 4 runs ANSI mode ON by default, so
+    // division by zero / invalid casts THROW unless the try_* forms
+    // absorb them to NULL — the error-containment surface a batch
+    // pipeline needs when one malformed row must not kill a 100 TB
+    // job. All map-only.
+    "f_try" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(expr("try_divide(l_extendedprice, l_quantity)"), 6)
+            .as("unit_price"),
+          expr("try_divide(l_extendedprice, l_quantity - l_quantity)")
+            .as("div_zero"),
+          expr("try_cast(l_returnflag AS INT)").as("bad_cast"),
+          expr("try_cast(CAST(l_linenumber AS STRING) AS INT)")
+            .as("good_cast"),
+          expr("try_add(CAST(9223372036854775807 AS BIGINT), l_orderkey + 1)")
+            .as("overflow"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Date/time extraction and arithmetic.
     "f_date" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -357,6 +378,19 @@ object FunctionQueries {
         |SELECT count(DISTINCT t) AS n_binary,
         |  count(DISTINCT lower(t)) AS n_lcase
         |FROM v""".stripMargin,
+    "f_try" ->
+      // div_zero and overflow are provably NULL for every row
+      // (quantity−quantity = 0; orderkey ≥ 1 overflows Long.MaxValue),
+      // so the oracle states the null outcome directly where DuckDB
+      // has no try_* twin; TRY_CAST exists in both engines.
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice / l_quantity, 6) AS unit_price,
+        |  CAST(NULL AS DOUBLE) AS div_zero,
+        |  TRY_CAST(l_returnflag AS INT) AS bad_cast,
+        |  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS good_cast,
+        |  CAST(NULL AS BIGINT) AS overflow
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f_date" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS y, month(o_orderdate) AS m,
