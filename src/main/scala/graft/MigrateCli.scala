@@ -39,6 +39,13 @@ import graft.resume.Checkpoint
   */
 object MigrateCli {
 
+  /** JSON string escaper shared by the dq and curate report writers —
+    * paths may contain quotes/backslashes, so every interpolated string
+    * field must pass through here or the report file is malformed.
+    */
+  private def js(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   def main(argv: Array[String]): Unit = {
     val args = ConfigResolver.parseArgs(argv)
     val cfg = ConfigResolver.resolve(args)
@@ -93,8 +100,6 @@ object MigrateCli {
         val src = readTable(f.getParent, f.getName.stripSuffix(".parquet"))
         val rows = graft.operators.DataQuality.profile(src)
           .orderBy("column").collect()
-        def js(s: String) = "\"" + s.replace("\\", "\\\\")
-          .replace("\"", "\\\"") + "\""
         val body = rows.map { r =>
           s"""{"column": ${js(r.getString(0))}, "n_rows": ${r.getLong(1)},
              | "null_count": ${r.getLong(2)},
@@ -133,8 +138,8 @@ object MigrateCli {
         val splits = rep.bySplit.toSeq.sorted
           .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
         val body =
-          s"""{"mode": "curate", "source": "${cfg.sourcePath}",
-             | "dest": "${cfg.destPath}", "jaccard": $jac,
+          s"""{"mode": "curate", "source": ${js(cfg.sourcePath)},
+             | "dest": ${js(cfg.destPath)}, "jaccard": $jac,
              | "input": ${rep.input}, "after_quality": ${rep.afterQuality},
              | "after_exact_dedup": ${rep.afterExactDedup},
              | "after_near_dup": ${rep.afterNearDup},

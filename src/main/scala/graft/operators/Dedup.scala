@@ -674,8 +674,10 @@ object Dedup {
   def semanticDedupAgainst(corpus: DataFrame, batch: DataFrame,
       tau: Double, nlist: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).cast("int").as("cid"), col(vecCol).as("centvec"))
+    // Shared seed rule (fails fast if the corpus ids don't cover
+    // [0, nlist) — an id-shifted slice would otherwise silently yield
+    // an empty centroid set and an empty result).
+    val cents = Similarity.seedCentroidsLiteral(corpus, nlist, idCol, vecCol)
     semanticWitness(
       Similarity.assignCells(corpus, cents, idCol, vecCol),
       Similarity.assignCells(batch, cents, idCol, vecCol), tau)

@@ -195,8 +195,17 @@ object Similarity {
     */
   def trainCentroidsLiteral(corpus: DataFrame, nlist: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // EAGER by contract: Lloyd training runs HERE, at plan-build time,
+    // not when the returned relation is first executed — callers build
+    // search plans against model state that already exists (the FAISS
+    // train-then-search lifecycle). Building a plan you never execute
+    // still pays for training; don't construct these speculatively.
     val trained = trainCentroids(corpus, nlist, iters, idCol, vecCol)
     val rows = trained.collect()
+    require(rows.nonEmpty,
+      s"trainCentroidsLiteral: training produced no centroids — the " +
+        s"corpus has no $idCol in [0, $nlist); the lowest-id seed rule " +
+        "needs ids starting at 0 (re-key, or seed explicitly)")
     corpus.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), trained.schema)
   }
@@ -204,10 +213,30 @@ object Similarity {
   /** Training-free deterministic centroids: the `nlist` lowest-id
     * vectors (see [[ivfTopK]]'s scaladoc for the rationale).
     */
-  private def seedCentroids(corpus: DataFrame, nlist: Int,
+  private[graft] def seedCentroids(corpus: DataFrame, nlist: Int,
       idCol: String, vecCol: String): DataFrame =
     corpus.filter(col(idCol) < nlist)
       .select(col(idCol).cast("int").as("cid"), col(vecCol).as("centvec"))
+
+  /** [[seedCentroids]] COLLECTED (nlist rows of model state) and
+    * VALIDATED: the lowest-id seed rule silently yields a short or
+    * empty centroid set on a corpus whose ids don't cover [0, nlist)
+    * — e.g. an id-shifted slice — and an empty centroid relation turns
+    * every downstream cell join into an empty result instead of an
+    * error. Collecting lets us fail fast at plan-build time with the
+    * id-contract spelled out. EAGER, like [[trainCentroidsLiteral]].
+    */
+  private[graft] def seedCentroidsLiteral(corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val seeds = seedCentroids(corpus, nlist, idCol, vecCol)
+    val rows = seeds.collect()
+    require(rows.nonEmpty,
+      s"seedCentroids: no $idCol in [0, $nlist) — the lowest-id seed " +
+        "rule requires ids starting at 0; re-key the corpus or pass " +
+        "explicit centroids")
+    corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), seeds.schema)
+  }
 
   /** Deterministic Lloyd k-means over cosine assignment, built to be
     * ORACLE-REPRODUCIBLE: seeds are the `nlist` lowest-id vectors, the

@@ -179,27 +179,36 @@ object RelationalQueries {
     // replaces.
     "q_recursive" -> ((s, dir) => {
       // The edge relation is loop-INVARIANT but referenced by every
-      // UnionLoop iteration, which would re-run its window each round —
-      // persist it once (the GraphX treatment of iteration-invariant
-      // inputs; 2 slim columns per order, memory-trivial, and the
-      // cache is keyed to this plan so re-registration is idempotent).
+      // UnionLoop iteration, which would re-run its window each round.
+      // Materialize it ONCE via an eager localCheckpoint (the GraphX
+      // treatment of iteration-invariant inputs; 2 slim columns per
+      // order, distributed blocks, never collected). Unlike persist(),
+      // a localCheckpoint leaves NO session CacheManager entry — its
+      // blocks are dropped by the context cleaner when the plan is
+      // garbage-collected, so a long-lived session accumulates nothing
+      // (SparkEntrySpec sweeps for persist leaks). The view is
+      // unique-named and dropped as soon as sql() has analyzed the
+      // plan (the q_lateral scoping pattern).
       import org.apache.spark.sql.expressions.Window
       val edges = t(s, dir, "orders")
         .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
           lag(col("o_orderkey"), 1).over(Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_orderdate"), col("o_orderkey"))).as("prev_ok"))
-        .persist()
-      edges.createOrReplaceTempView("edges_qrec")
-      s.sql("""
+        .localCheckpoint()
+      val view = "edges_qrec_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      edges.createOrReplaceTempView(view)
+      try s.sql(s"""
         WITH RECURSIVE chain AS (
-          SELECT cust, ok, 1 AS depth FROM edges_qrec WHERE prev_ok IS NULL
+          SELECT cust, ok, 1 AS depth FROM $view WHERE prev_ok IS NULL
           UNION ALL
           SELECT e.cust, e.ok, c.depth + 1
-          FROM chain c JOIN edges_qrec e ON e.prev_ok = c.ok
+          FROM chain c JOIN $view e ON e.prev_ok = c.ok
           WHERE c.depth < 8
         )
         SELECT cust, ok, depth FROM chain ORDER BY cust, depth
       """)
+      finally s.catalog.dropTempView(view)
     }),
 
     // Correlated LATERAL subquery: top-2 suppliers by balance PER

@@ -155,12 +155,12 @@ object SketchQueries {
             .as("n_both"))
       val exact = keys("1995-01-01", "1997-01-01")
         .agg(count(lit(1)).as("exact_union"))
-        .crossJoin(
+        .crossJoin(broadcast(
           aKeys.join(bKeys, Seq("l_orderkey"), "left_semi")
-            .agg(count(lit(1)).as("exact_inter")))
+            .agg(count(lit(1)).as("exact_inter"))))
       val estU = when(col("n_u") < k, col("n_u").cast("double"))
         .otherwise(lit((k - 1).toDouble * 4294967296.0) / col("kth").cast("double"))
-      flagged.crossJoin(exact).select(
+      flagged.crossJoin(broadcast(exact)).select(
         round(estU, 4).as("est_union"),
         col("exact_union"),
         col("n_both"),

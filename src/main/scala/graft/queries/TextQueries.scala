@@ -121,7 +121,7 @@ object TextQueries {
       val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = d.agg(count(lit(1)).as("n"))
       val scored = tf.filter(col("doc_id") < 20)
-        .join(len, "doc_id").join(dfx, "term").crossJoin(n)
+        .join(len, "doc_id").join(dfx, "term").crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           round((col("tf").cast("double") / col("len").cast("double")) *
             (col("n").cast("double") / col("df").cast("double")), 6)
@@ -148,7 +148,7 @@ object TextQueries {
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
       val w = Window.orderBy(col("cnt").desc, col("token"))
-      counts.crossJoin(counts.agg(sum(col("cnt")).as("total")))
+      counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
         .withColumn("rank", row_number().over(w))
         .withColumn("cum_share",
           round(sum(col("cnt")).over(

@@ -29,4 +29,26 @@ class SparkEntrySpec extends SparkFunSuite {
       assert(n > 0, s"query $name returned no rows at sf0.001")
     }
   }
+
+  test("registry sweep leaves no persist() cache entries behind") {
+    // Builders may materialize loop-invariant state, but only via
+    // self-cleaning mechanisms (localCheckpoint blocks are dropped by
+    // the context cleaner on GC). A plain persist() without a matching
+    // unpersist() pins blocks in the session CacheManager for the
+    // session's lifetime — the r12 q_recursive leak. The previous test
+    // already executed every builder in this session; assert no
+    // non-checkpoint persistent RDDs and no lingering graft temp views
+    // survived (re-running the known view/persist users for ordering
+    // robustness).
+    Seq("q_recursive", "q_lateral").foreach(n =>
+      SparkEntry.queries(n)(spark, sf0001).count())
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed)
+    assert(leaked.isEmpty,
+      s"persist() leaks: ${leaked.map(_.name).mkString(", ")}")
+    val views = spark.catalog.listTables()
+      .collect().map(_.name).filter(n => n.startsWith("edges_qrec") ||
+        n.startsWith("lat_"))
+    assert(views.isEmpty, s"leaked temp views: ${views.mkString(", ")}")
+  }
 }
