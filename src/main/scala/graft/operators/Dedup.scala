@@ -305,6 +305,42 @@ object Dedup {
       table, bucketCols = Seq("band", "key"), numBuckets = buckets,
       sortCols = Seq("band", "key"))
 
+  /** OPTIMIZE for the standing band index: [[appendToBandIndex]] lands
+    * one file per bucket per ingested batch, so after B batches every
+    * bucket join opens B files per bucket — at 100 TB with
+    * minute-level ingest that is the classic small-files death spiral
+    * (open/seek overhead dwarfs scan bytes). Rewrites the table to ONE
+    * file per bucket while PRESERVING the (band, key) bucket spec —
+    * the repartition uses the same hash the bucket layout does, so
+    * each writer task holds exactly one bucket — and compaction
+    * therefore changes file counts, never join partitioning: the
+    * compacted index still band-joins with zero index-side exchange
+    * (spec-asserted in CompactionSpec). Write-stage-publish: the
+    * compacted copy is fully materialized in a staging table before
+    * the live one is swapped, so a crash mid-compaction leaves the
+    * original index intact.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      table: graft.model.TableRef, buckets: Int = 8): Unit = {
+    val staging = graft.model.TableRef(table.db, table.table + "_compacting")
+    graft.sources.CatalogOps.dropTable(spark, staging)
+    // Repartition on the COMPUTED bucket id (pmod(murmur3, n) — the
+    // bucket formula itself), not on (band, key): an exchange on the
+    // raw columns is ELIMINATED because the bucketed scan already
+    // satisfies that distribution, leaving the accreted file grouping
+    // in charge of output file count. The bucket-id key can't be
+    // elided, keeps every bucket whole within one writer task, and so
+    // yields exactly one file per bucket.
+    graft.sources.CatalogOps.writeBucketed(
+      spark.table(table.qualified)
+        .repartition(buckets, pmod(hash(col("band"), col("key")),
+          lit(buckets))),
+      staging, bucketCols = Seq("band", "key"), numBuckets = buckets,
+      sortCols = Seq("band", "key"))
+    graft.sources.CatalogOps.dropTable(spark, table)
+    graft.sources.CatalogOps.renameTable(spark, staging, table)
+  }
+
   /** Incremental near-dups of `batch` against a PERSISTED band index
     * (written by [[writeBandIndex]]) — the production shape of
     * [[minhashNearDupsAgainst]]: the corpus signature pass is already

@@ -433,6 +433,62 @@ object Similarity {
     rerankCells(assigned, qprobes, k)
   }
 
+  /** Subvector split for the mm×dd PQ geometry: (idCol, m, sv) with
+    * `sv` the m-th dd-dim slice of the vector — the shared front of
+    * training, encoding, and the LUT build.
+    */
+  private[graft] def pqSubvecs(df: DataFrame, mm: Int, dd: Int,
+      idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), posexplode(array((0 until mm).map(m =>
+      slice(col(vecCol), m * dd + 1, dd)): _*)).as(Seq("m", "sv")))
+
+  /** Argmin PQ codebook assignment over pre-split subvectors:
+    * (idCol, m, cid, sv). The n·M·K distance pass runs the codegen
+    * float kernel ([[graft.plans.FloatVecOps.floatSqDist]]); its
+    * round-6 value feeds only the ARGMIN (round-6 double and round-6
+    * exact decimal agree on the winner), ties to the lower centroid
+    * id. The single source of truth for PQ assignment — the query
+    * layer and the persisted-index growth path both call it, so the
+    * two can never drift.
+    */
+  private[graft] def pqAssignSubs(subs: DataFrame, cents: DataFrame,
+      idCol: String): DataFrame = {
+    import graft.plans.FloatVecOps.floatSqDist
+    subs.join(broadcast(cents), "m")
+      .select(col(idCol), col("m"), col("sv"), col("cid"),
+        round(floatSqDist(col("sv"), col("cv")), 6).as("adist"))
+      .groupBy(idCol, "m")
+      .agg(min(struct(col("adist"), col("cid"))).as("mn"),
+        first(col("sv")).as("sv"))
+      .select(col(idCol), col("m"), col("mn.cid").as("cid"), col("sv"))
+  }
+
+  /** PQ-encode a vector relation against GIVEN codebooks (m, cid, cv):
+    * one broadcast argmin pass → (idCol, m, cid) code rows, mm·⌈log₂K⌉
+    * bits of payload per vector. This is the encode-against-stored-
+    * model step of an ingest pipeline — codebooks are model state
+    * (train once, on a sample at 100 TB), the corpus pays one map-side
+    * pass.
+    */
+  def pqEncode(df: DataFrame, cents: DataFrame, mm: Int = 8, dd: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqAssignSubs(pqSubvecs(df, mm, dd, idCol, vecCol), cents, idCol)
+      .select(col(idCol), col("m"), col("cid"))
+
+  /** Decode PQ codes back to vectors: each vector is its subspace
+    * codebook entries concatenated in subspace order. Codes × broadcast
+    * codebooks (M·K rows); needed only where real arrays are required
+    * (coarse cell assignment, recall baselines) — the ADC search paths
+    * never call it.
+    */
+  def pqReconstruct(codes: DataFrame, cents: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    codes.join(broadcast(cents), Seq("m", "cid"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("cv")))),
+        x => x.getField("cv"))).as(vecCol))
+
   /** Per-query ADC lookup tables — the FAISS asymmetric-distance trick
     * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
     * Search"): for each (query, subspace m, codebook entry cid), the
@@ -537,6 +593,146 @@ object Similarity {
       sqrt(norm2Exact(col(vecCol))).as("qnrm"))
     val scored = codes.select(col(idCol).as("vid"), col("m"), col("cid"))
       .join(pairs, "vid")
+      .join(broadcast(lut), Seq("qid", "m", "cid"))
+      .groupBy("qid", "vid")
+      .agg(sum(col("pdot")).as("dot"), sum(col("pnorm")).as("cn"))
+      .join(broadcast(qn), "qid")
+      .select(col("qid"), col("vid"),
+        round(col("dot").cast("double") /
+          (col("qnrm") * sqrt(col("cn").cast("double"))), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
+  }
+
+  /** Persist the IVFPQ index — the artifact a 100 TB deployment
+    * actually keeps on object storage (FAISS IndexIVFPQ's on-disk
+    * shape): coarse centroids (nlist rows) and PQ codebooks (M·K rows)
+    * as tiny model-state files, and the corpus as CODE ROWS ONLY —
+    * (vid, m, cid) laid out `partitionBy(cell)`, one directory per
+    * inverted list, 64× smaller than the float vectors at PQ8×4. The
+    * original embeddings are not stored at all: searches are ADC over
+    * codes ([[adcIvfTopKIndexed]]), so the standing index costs code
+    * bytes, and a probed search reads only its probe cells' code files
+    * via partition pruning.
+    *
+    * `recon` is the PQ-reconstructed corpus ([[pqReconstruct]]) — cell
+    * assignment needs real arrays and must run on the SAME arithmetic
+    * as the inline [[adcIvfTopK]] (codegen-float cosine over
+    * reconstructions) for the persisted cells to be bit-identical to
+    * the inline ones. Build is once per corpus generation; growth is
+    * [[appendToIvfPqIndex]].
+    */
+  def writeIvfPqIndex(codes: DataFrame, cents: DataFrame, recon: DataFrame,
+      path: String, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val coarse = seedCentroidsLiteral(recon, nlist, idCol, vecCol)
+    coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    cents.write.mode("overwrite").parquet(s"$path/codebooks")
+    val assigned = assignCells(recon, coarse, idCol, vecCol)
+      .select(col("vid"), col("cell"))
+    codes.select(col(idCol).as("vid"), col("m"), col("cid"))
+      .join(assigned, "vid")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Grow a [[writeIvfPqIndex]] index by an ingested batch: encode the
+    * batch against the STORED codebooks (codebooks must not move on
+    * ingest, or every stored code would decode differently) and assign
+    * cells from the batch's RECONSTRUCTION against the STORED coarse
+    * centroids (cells must not move, or every inverted list would need
+    * rebuilding) — the same invariants as [[appendToIvfIndex]], now
+    * for both quantizer levels. Each batch row lands in its cell's
+    * directory; the batch pays one encode pass + one assignment pass,
+    * and the standing index never rewrites. Spec-proven equal to a
+    * full rebuild over the combined corpus (IvfIndexSpec).
+    */
+  def appendToIvfPqIndex(batch: DataFrame, path: String,
+      mm: Int = 8, dd: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val cbooks = spark.read.parquet(s"$path/codebooks")
+    val codes = pqEncode(batch, cbooks, mm, dd, idCol, vecCol)
+    val recon = pqReconstruct(codes, cbooks, idCol, vecCol)
+    val assigned = assignCells(recon, coarse, idCol, vecCol)
+      .select(col("vid"), col("cell"))
+    codes.select(col(idCol).as("vid"), col("m"), col("cid"))
+      .join(assigned, "vid")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** OPTIMIZE for the cell-partitioned vector indexes: each
+    * [[appendToIvfIndex]] / [[appendToIvfPqIndex]] batch lands its own
+    * small files inside every cell directory it touches, so after B
+    * batches a probed search opens O(B) files per probed cell — the
+    * small-files spiral that eventually dominates open/seek time at
+    * 100 TB ingest cadence. Rewrites the cell data to ONE file per
+    * cell, PRESERVING the partitionBy(cell) layout (each writer task
+    * holds whole cells after the repartition, so the dynamic-partition
+    * write emits exactly one file per cell) — partition pruning is
+    * untouched, spec-asserted in CompactionSpec. Write-stage-publish:
+    * the compacted copy is fully written beside the live directory,
+    * then swapped with two renames; a crash mid-compaction leaves
+    * either the original or both copies, never a torn index.
+    */
+  def compactCellIndex(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staging = s"${dir}._compacting"
+    spark.read.parquet(dir)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"${dir}._old")
+    fs.delete(old, true)
+    require(fs.rename(new Path(dir), old),
+      s"compactCellIndex: could not stage out live dir $dir")
+    require(fs.rename(new Path(staging), new Path(dir)),
+      s"compactCellIndex: could not publish compacted dir into $dir " +
+        s"(original preserved at $old)")
+    fs.delete(old, true)
+  }
+
+  /** [[compactCellIndex]] over a [[writeIvfIndex]] index. */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit =
+    compactCellIndex(spark, s"$path/cells")
+
+  /** [[compactCellIndex]] over a [[writeIvfPqIndex]] index. */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
+    compactCellIndex(spark, s"$path/codes")
+
+  /** ANN over a PERSISTED [[writeIvfPqIndex]] index — the full FAISS
+    * IndexIVFPQ read path: probe cells come from the stored coarse
+    * centroids (q·nProbe small ints collected at plan-build time —
+    * index metadata, the root-page read), the code scan is
+    * PARTITION-PRUNED to the probed cells' directories (plan-asserted
+    * in IvfIndexSpec), and scoring is the broadcast-LUT ADC sum over
+    * code rows with a map-side combine to one slim row per
+    * (query, vector). Nothing float-sized is ever read: at a billion
+    * vectors the probed fraction of a 64×-compressed corpus is
+    * gigabytes, not terabytes. Results hash-match the inline
+    * [[adcIvfTopK]] over the same corpus (decimal partials sum
+    * exactly; floats round-trip parquet bit-for-bit).
+    */
+  def adcIvfTopKIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4,
+      mm: Int = 8, dd: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val cbooks = spark.read.parquet(s"$path/codebooks")
+    val qprobes = probeCells(queries, coarse, nProbe, idCol, vecCol)
+      .select(col("qid"), col("cell"))
+    val cells = qprobes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val lut = pqLut(queries, cbooks, mm, dd, idCol, vecCol)
+    val qn = queries.select(col(idCol).as("qid"),
+      sqrt(norm2Exact(col(vecCol))).as("qnrm"))
+    val scored = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(qprobes), Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
       .join(broadcast(lut), Seq("qid", "m", "cid"))
       .groupBy("qid", "vid")
       .agg(sum(col("pdot")).as("dot"), sum(col("pnorm")).as("cn"))

@@ -380,6 +380,34 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // The same IndexIVFPQ search over the PERSISTED index — the round
+    // trip a 100 TB deployment actually runs: writeIvfPqIndex lays the
+    // corpus out as CODE ROWS ONLY partitionBy(cell) (64× smaller than
+    // the floats; the embeddings are not stored at all) plus tiny
+    // coarse-centroid/codebook model files, and adcIvfTopKIndexed
+    // probes it with a partition-pruned scan of the probed cells' code
+    // files + the broadcast ADC LUT. Hash-identical to the inline
+    // s_ann_ivf_pq (same oracle SQL): floats round-trip parquet
+    // bit-for-bit and decimal partials sum exactly, so persisting
+    // changes bytes read, never values. Build cost is inside this
+    // query (honest bench accounting); production amortizes it across
+    // query batches.
+    "s_ann_ivfpq_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centsL = pqCodebooks(s, e)
+      val codes = pqCodes(e, centsL)
+      // Deterministic per-sfDir path + overwrite mode: repeat runs in
+      // one environment rewrite in place instead of accreting /tmp
+      // dirs (bench runs every query twice per pass).
+      val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_" + Integer.toHexString(dir.hashCode)).toString
+      Similarity.writeIvfPqIndex(codes, centsL, reconOf(codes, centsL),
+        idxPath)
+      Similarity.adcIvfTopKIndexed(s, idxPath,
+        e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // Per-language mean-pooled embedding centroid (documents ⋈
     // embeddings on id), in shuffle-friendly long form — the "class
     // centroid" primitive for pseudo-labeling / drift monitoring /
@@ -425,13 +453,10 @@ object SimilarityQueries {
   }
 
   /** [[pqRecon]] body over already-computed codes + codebooks, so
-    * callers holding both don't re-run pqEncode. */
+    * callers holding both don't re-run pqEncode (delegates to
+    * [[Similarity.pqReconstruct]]). */
   private def reconOf(enc: DataFrame, cents1: DataFrame): DataFrame =
-    enc.join(cents1, Seq("m", "cid"))
-      .groupBy("vec_id")
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("m"), col("cv")))),
-        x => x.getField("cv"))).as("embedding"))
+    Similarity.pqReconstruct(enc, cents1)
 
   /** Oracle CTE mirroring [[pqRecon]]: code-reconstructed vectors from
     * the `a1` assignment and `cents1` codebooks of [[pqCtesSql]].
@@ -492,26 +517,18 @@ object SimilarityQueries {
   private val PqD = 8
   private val PqK = 16
 
-  /** Corpus split into the M=8 per-subspace 8-dim subvectors. */
-  private def subvecs(df: DataFrame): DataFrame = df.select(col("vec_id"),
-    posexplode(array((0 until PqM).map(m =>
-      slice(col("embedding"), m * PqD + 1, PqD)): _*)).as(Seq("m", "sv")))
+  /** Corpus split into the M=8 per-subspace 8-dim subvectors
+    * ([[Similarity.pqSubvecs]] at the demo geometry). */
+  private def subvecs(df: DataFrame): DataFrame =
+    Similarity.pqSubvecs(df, PqM, PqD, "vec_id", "embedding")
 
-  /** Argmin codebook assignment: (vec_id, m, cid, sv). The n·M·K
-    * distance pass runs the codegen float kernel: its round-6 value
-    * feeds only the ARGMIN (round-6 double and round-6 exact decimal
-    * agree on the winner — the ivfSearch assignment precedent).
+  /** Argmin codebook assignment: (vec_id, m, cid, sv) — delegates to
+    * the operator-level [[Similarity.pqAssignSubs]] (the single source
+    * of truth the persisted-index growth path also encodes with, so
+    * the query layer and the index can never drift).
     */
-  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
-    import graft.plans.FloatVecOps.floatSqDist
-    subs.join(broadcast(cents), "m")
-      .select(col("vec_id"), col("m"), col("sv"), col("cid"),
-        round(floatSqDist(col("sv"), col("cv")), 6).as("adist"))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("adist"), col("cid"))).as("mn"),
-        first(col("sv")).as("sv"))
-      .select(col("vec_id"), col("m"), col("mn.cid").as("cid"), col("sv"))
-  }
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame =
+    Similarity.pqAssignSubs(subs, cents, "vec_id")
 
   private def pqEncode(e: DataFrame): (DataFrame, DataFrame) = {
     // The exact-decimal distance is recomputed for the n·M winners only,
@@ -667,6 +684,45 @@ object SimilarityQueries {
       |    SELECT vid, cid, row_number() OVER (
       |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
       |      FROM ascoredF) WHERE rn = 1)""".stripMargin
+
+  /** Shared oracle for the inline and persisted IndexIVFPQ searches:
+    * the full FAISS chain — PQ training/encode/reconstruction, coarse
+    * cells over the reconstruction, probe, ADC-equivalent exact-decimal
+    * rerank — reproduced in DuckDB SQL.
+    */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $pqCtesSql,
+      |$pqRvecSql,
+      |cents AS (SELECT CAST(vec_id AS INT) AS cid, rv AS centvec
+      |  FROM rvec WHERE vec_id < 16),
+      |apairs AS (SELECT v.vec_id AS vid, v.rv AS evec, c.cid, c.centvec
+      |  FROM rvec v CROSS JOIN cents c),
+      |${cosBlock("apairs", "vid", "cid", "evec", "centvec", "ascored")},
+      |assigned AS (SELECT vid, cid AS cell FROM (
+      |    SELECT vid, cid, row_number() OVER (
+      |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+      |      FROM ascored) WHERE rn = 1),
+      |qpairs AS (SELECT q.vec_id AS qid, q.embedding AS qv,
+      |    c.cid, c.centvec
+      |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id IN (0, 1, 2)),
+      |${cosBlock("qpairs", "qid", "cid", "qv", "centvec", "qscored")},
+      |qprobes AS (SELECT qid, cid AS cell FROM (
+      |    SELECT qid, cid, row_number() OVER (
+      |        PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      |      FROM qscored) WHERE rn <= 4),
+      |cand AS (SELECT p.qid, a.vid,
+      |    qe.embedding AS qvec, ce.rv AS cvec
+      |  FROM qprobes p
+      |  JOIN assigned a ON a.cell = p.cell AND a.vid <> p.qid
+      |  JOIN embeddings qe ON qe.vec_id = p.qid
+      |  JOIN rvec ce ON ce.vec_id = a.vid),
+      |$cosCte,
+      |ranked AS (SELECT qid, vid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+      |      AS rank
+      |  FROM scored)
+      |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s_hybrid_rrf" ->
@@ -938,39 +994,10 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
-    "s_ann_ivf_pq" ->
-      s"""WITH $pqCtesSql,
-        |$pqRvecSql,
-        |cents AS (SELECT CAST(vec_id AS INT) AS cid, rv AS centvec
-        |  FROM rvec WHERE vec_id < 16),
-        |apairs AS (SELECT v.vec_id AS vid, v.rv AS evec, c.cid, c.centvec
-        |  FROM rvec v CROSS JOIN cents c),
-        |${cosBlock("apairs", "vid", "cid", "evec", "centvec", "ascored")},
-        |assigned AS (SELECT vid, cid AS cell FROM (
-        |    SELECT vid, cid, row_number() OVER (
-        |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
-        |      FROM ascored) WHERE rn = 1),
-        |qpairs AS (SELECT q.vec_id AS qid, q.embedding AS qv,
-        |    c.cid, c.centvec
-        |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id IN (0, 1, 2)),
-        |${cosBlock("qpairs", "qid", "cid", "qv", "centvec", "qscored")},
-        |qprobes AS (SELECT qid, cid AS cell FROM (
-        |    SELECT qid, cid, row_number() OVER (
-        |        PARTITION BY qid ORDER BY cos DESC, cid) AS rn
-        |      FROM qscored) WHERE rn <= 4),
-        |cand AS (SELECT p.qid, a.vid,
-        |    qe.embedding AS qvec, ce.rv AS cvec
-        |  FROM qprobes p
-        |  JOIN assigned a ON a.cell = p.cell AND a.vid <> p.qid
-        |  JOIN embeddings qe ON qe.vec_id = p.qid
-        |  JOIN rvec ce ON ce.vec_id = a.vid),
-        |$cosCte,
-        |ranked AS (SELECT qid, vid, cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
-        |      AS rank
-        |  FROM scored)
-        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin,
+    "s_ann_ivf_pq" -> ivfPqOracleSql,
+    // Persisting the index changes bytes read, never values — the
+    // indexed search hash-matches the inline one under the SAME oracle.
+    "s_ann_ivfpq_indexed" -> ivfPqOracleSql,
     "s_lang_centroid" ->
       """SELECT d.lang, i - 1 AS pos,
         |  round(CAST(sum(CAST(CAST(e.embedding[i] AS DOUBLE)

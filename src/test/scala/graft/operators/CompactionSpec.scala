@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkFunSuite
+
+/** OPTIMIZE for the standing indexes: compaction must cut file counts
+  * to one-per-bucket / one-per-cell while PRESERVING the layout that
+  * makes the index an index — the bucket spec (zero index-side
+  * exchange in the band join) and the cell partitioning (partition
+  * pruning in the probed search) — and must not change any result.
+  */
+class CompactionSpec extends SparkFunSuite {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val emb =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  private def dataFiles(dir: java.io.File): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet") ||
+        f.getName.startsWith("part-")) Seq(f)
+      else Nil
+    walk(dir)
+  }
+
+  test("compactBandIndex: one file per bucket, same pairs, still exchange-free") {
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val idxT = graft.model.TableRef("graft_test", "band_idx_compact")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val wave1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    val wave2 = docs.filter(col("doc_id") >= 350 && col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    try {
+      Dedup.writeBandIndex(corpus, "doc_id", "text", idxT)
+      Dedup.appendToBandIndex(wave1, "doc_id", "text", idxT)
+      Dedup.appendToBandIndex(wave2, "doc_id", "text", idxT)
+      val grown = corpus.unionByName(wave1).unionByName(wave2)
+      val before = Dedup.minhashNearDupsAgainstIndex(
+        batch, grown, "doc_id", "text", 0.5, idxT)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val loc = new java.io.File(new java.net.URI(
+        s.sql(s"DESC FORMATTED ${idxT.qualified}")
+          .filter(col("col_name") === "Location")
+          .head().getString(1)))
+      val filesBefore = dataFiles(loc).size
+      assert(filesBefore > 8,
+        s"appends should have accreted >8 files, found $filesBefore")
+
+      Dedup.compactBandIndex(s, idxT, buckets = 8)
+      val filesAfter = dataFiles(new java.io.File(new java.net.URI(
+        s.sql(s"DESC FORMATTED ${idxT.qualified}")
+          .filter(col("col_name") === "Location")
+          .head().getString(1)))).size
+      assert(filesAfter == 8, s"expected 8 bucket files, got $filesAfter")
+
+      val after = Dedup.minhashNearDupsAgainstIndex(
+        batch, grown, "doc_id", "text", 0.5, idxT)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after.nonEmpty && after == before)
+
+      // bucket spec preserved: with broadcast disabled the band join
+      // still reads the index side straight off its bucketed scan —
+      // exactly ONE (band, key) exchange in the plan (the batch's)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val cand = Dedup.bandsFromRelation(
+          Dedup.shingleRelation(batch, "doc_id", "text"), 6, 2).as("x")
+          .join(s.table(idxT.qualified).as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+        cand.collect()
+        val plan = cand.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(plan.contains("SelectedBucketsCount"), plan)
+        assert("hashpartitioning\\(band".r.findAllMatchIn(plan).length == 1,
+          s"compacted index must still join without its own exchange:\n$plan")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally graft.sources.CatalogOps.dropTable(s, idxT)
+  }
+
+  test("compactIvfIndex: one file per cell, same search, still pruned") {
+    val path = tmpDir("ivf_compact")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val wave = emb.filter(col("vec_id") >= 400)
+    val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+    Similarity.writeIvfIndex(corpus, path, nlist = 16)
+    Similarity.appendToIvfIndex(wave, path)
+
+    val cellsDir = new java.io.File(s"$path/cells")
+    val cellCount = cellsDir.listFiles()
+      .count(_.getName.startsWith("cell="))
+    val filesBefore = dataFiles(cellsDir).size
+    assert(filesBefore > cellCount,
+      s"append should leave >1 file in some cell ($filesBefore/$cellCount)")
+    val before = Similarity.ivfTopKIndexed(spark, path, queries, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    Similarity.compactIvfIndex(spark, path)
+    val filesAfter = dataFiles(new java.io.File(s"$path/cells")).size
+    assert(filesAfter == cellCount,
+      s"expected one file per cell ($cellCount), got $filesAfter")
+
+    val indexed = Similarity.ivfTopKIndexed(spark, path, queries, k = 5)
+    val after = indexed.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(after.nonEmpty && after == before)
+
+    // cell partitioning preserved: the probed scan still prunes
+    val plan = indexed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[cell#\\d+ INSET".r
+      .findFirstIn(plan).isDefined, s"pruning lost after compaction:\n$plan")
+  }
+
+  test("compactIvfPqIndex: one file per cell, ADC search unchanged") {
+    val cbooks = Similarity
+      .pqSubvecs(emb.filter(col("vec_id") < 16), 8, 8, "vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("cid"), col("m"),
+        col("sv").as("cv"))
+    val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+    val path = tmpDir("ivfpq_compact")
+    val base = emb.filter(col("vec_id") < 400)
+    val baseCodes = Similarity.pqEncode(base, cbooks)
+    Similarity.writeIvfPqIndex(baseCodes, cbooks,
+      Similarity.pqReconstruct(baseCodes, cbooks), path)
+    Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") >= 400), path)
+
+    val before = Similarity.adcIvfTopKIndexed(spark, path, queries, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    Similarity.compactIvfPqIndex(spark, path)
+    val codesDir = new java.io.File(s"$path/codes")
+    val cellCount = codesDir.listFiles().count(_.getName.startsWith("cell="))
+    assert(dataFiles(codesDir).size == cellCount,
+      s"expected one file per cell ($cellCount), got ${dataFiles(codesDir).size}")
+    val after = Similarity.adcIvfTopKIndexed(spark, path, queries, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(after.nonEmpty && after == before)
+  }
+}
