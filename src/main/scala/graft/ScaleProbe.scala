@@ -211,15 +211,100 @@ object ScaleProbe {
       timed("full t_bpe_pairs")(
         SparkEntry.queries("t_bpe_pairs")(spark, sfDir).count())
     }
+    if (what == "r13adds") {
+      // Factor-10 protocol for the round-12/13 additions the r12 run
+      // didn't cover: q_recursive's frontier is bounded by orders rows
+      // × depth cap; d_semantic_incremental's pair budget is
+      // batch×corpus WITHIN shared cells (batch fixed at 100, so the
+      // budget tracks the corpus); mm_video decodes Σ frames ∝ docs;
+      // e_retention/e_rfm shuffle one slim row per (user, day) /
+      // per user; the persisted IVFPQ search reads only probed-cell
+      // code rows (the partition-pruned fraction of mm× the corpus).
+      val docs = Sources.table(spark, sfDir, "documents")
+      val emb = Sources.table(spark, sfDir, "embeddings")
+      val ev = Sources.table(spark, sfDir, "events")
+
+      println("recursiveChainRows=" + timed("full q_recursive")(
+        SparkEntry.queries("q_recursive")(spark, sfDir).count()))
+
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("centvec"))
+      val assigned = Similarity.assignCells(emb, cents, "vec_id", "embedding")
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) - 99L
+      val perCell = assigned
+        .groupBy("cell")
+        .agg(sum(when(col("vid") >= cut, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("vid") < cut, 1L).otherwise(0L)).as("nc"))
+      val semIncBudget = perCell
+        .agg(sum(col("nb") * col("nc"))).head().getLong(0)
+      println(s"semIncPairBudget=$semIncBudget")
+      timed("full d_semantic_incremental")(
+        SparkEntry.queries("d_semantic_incremental")(spark, sfDir).count())
+
+      println("videoFramesDecoded=" + timed("full mm_video")(
+        SparkEntry.queries("mm_video")(spark, sfDir)
+          .agg(sum(col("n_frames"))).head().getLong(0)))
+
+      println("retentionActiveRows=" + ev.select(col("user_id"),
+        to_date(col("ts")).as("day")).distinct().count())
+      println("retentionMatrixRows=" + timed("full e_retention")(
+        SparkEntry.queries("e_retention")(spark, sfDir).count()))
+      println("rfmUserRows=" + timed("full e_rfm")(
+        SparkEntry.queries("e_rfm")(spark, sfDir).count()))
+
+      // persisted IVFPQ: probed code rows vs total — the pruned read
+      val cbooks = Similarity.pqSubvecs(
+        emb.filter(col("vec_id") < 16), 8, 8, "vec_id", "embedding")
+        .select(col("vec_id").cast("int").as("cid"), col("m"),
+          col("sv").as("cv"))
+      val codes = Similarity.pqEncode(emb, cbooks)
+      val idx = java.nio.file.Files
+        .createTempDirectory("ivfpq_probe").toString
+      timed("writeIvfPqIndex")(Similarity.writeIvfPqIndex(
+        codes, cbooks, Similarity.pqReconstruct(codes, cbooks), idx))
+      println("ivfpqTotalCodeRows=" + spark.read.parquet(s"$idx/codes").count())
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      timed("adcIvfTopKIndexed")(
+        Similarity.adcIvfTopKIndexed(spark, idx, queries, k = 5).count())
+      // probed fraction: parse the cell INSET the executed plan pruned
+      // to, then count the code rows inside those cell directories
+      val searched = Similarity.adcIvfTopKIndexed(spark, idx, queries, k = 5)
+      searched.count()
+      val planStr = searched.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(planStr).map(_.group(1)).getOrElse("")
+      val insetCells = "\\d+".r.findAllIn(
+        pf.replaceAll("cell#\\d+", "cell")).map(_.toInt).toSeq.distinct
+      println(s"ivfpqProbedCells=${insetCells.size}")
+      println("ivfpqProbedCodeRows=" + spark.read.parquet(s"$idx/codes")
+        .filter(col("cell").isin(insetCells: _*)).count())
+    }
     if (what == "curate") {
       // Factor-10 protocol for the curation pipeline: stage counts are
       // the evidence (each stage reuses a measured primitive — gopher
       // map-only, fingerprint window, minhash band join, components).
+      // The gate runs LANGUAGE-AWARE (gopherPassLang) with the scale
+      // generator's language family registered: each 10× copy is a
+      // Caesar rotation of the base corpus (ScaleData), i.e. a distinct
+      // synthetic language whose function words are the rotated English
+      // stopwords. Registering all 26 rotations keeps the probe
+      // generator-agnostic; with the r12 English-only gate every copy
+      // beyond rot0 was dropped at stage 1 and the downstream dedup
+      // stages never saw 10× data (the r12 SCALING.md caveat — now
+      // closed, the composed probe is load-bearing end to end).
+      val alphabet = ('a' to 'z').mkString
+      val rotRegistry: Map[String, Seq[String]] = (0 until 26).map { i =>
+        val p = alphabet.drop(i) + alphabet.take(i)
+        f"rot$i%02d" -> graft.operators.TextAnalysis.Stopwords
+          .map(_.map(c => p(c - 'a')))
+      }.toMap
       val docs = Sources.table(spark, sfDir, "documents")
       val out = java.nio.file.Files
         .createTempDirectory("curate_probe").toString
       val t0 = System.nanoTime()
-      val rep = graft.operators.Curation.curate(docs, out, jaccard = 0.5)
+      val rep = graft.operators.Curation.curate(docs, out, jaccard = 0.5,
+        stopwords = rotRegistry)
       println(f"curateWall=${(System.nanoTime() - t0) / 1e9}%.2f s")
       println(s"curateInput=${rep.input} afterQuality=${rep.afterQuality} " +
         s"afterExact=${rep.afterExactDedup} afterNearDup=${rep.afterNearDup} " +

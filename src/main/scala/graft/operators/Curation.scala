@@ -47,13 +47,24 @@ object Curation {
 
   /** Run the full pipeline over `docs`, write the curated corpus to
     * `outDir` (parquet, partitioned by `split`), return the audit
-    * counts. `jaccard` is the near-dup collapse threshold.
+    * counts. `jaccard` is the near-dup collapse threshold; `stopwords`
+    * is the per-language registry the quality gate's stopword rule
+    * runs against ([[TextAnalysis.gopherPassLang]] — a document needs
+    * ≥2 function words of SOME registered language). The default
+    * single-entry English registry reproduces the original
+    * [[TextAnalysis.gopherPass]] bit-for-bit; a multilingual corpus
+    * passes its language family (e.g. [[TextAnalysis.StopwordsByLang]])
+    * so the gate doesn't silently zero non-English input — the r12
+    * scale-probe failure mode.
     */
   def curate(docs: DataFrame, outDir: String, idCol: String = "doc_id",
-      textCol: String = "text", jaccard: Double = 0.5): CurationReport = {
+      textCol: String = "text", jaccard: Double = 0.5,
+      stopwords: Map[String, Seq[String]] = Map("en" -> TA.Stopwords))
+      : CurationReport = {
     val input = docs.count()
 
-    val quality = docs.filter(TA.gopherPass(col(textCol))).persist()
+    val quality = docs
+      .filter(TA.gopherPassLang(col(textCol), stopwords)).persist()
     val afterQuality = quality.count()
 
     val wFp = Window.partitionBy(col("__fp"))

@@ -105,6 +105,47 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isin(Stopwords: _*)))
 
+  /** Per-language stopword registry for the language-aware quality
+    * gate: tiny function-word lists from the public multilingual
+    * stopword collections (the heads of the standard NLTK/snowball
+    * lists). Deliberately small — the Gopher stopword rule needs only
+    * "contains ≥2 function words of SOME language", not lexicon
+    * coverage. Pluggable: pass a custom registry to
+    * [[gopherPassLang]]/[[langIdMulti]] (e.g. the synthetic scale
+    * probe registers its generated language family here).
+    */
+  val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Stopwords,
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "ist", "im"),
+    "it" -> Seq("di", "che", "la", "il", "un", "per", "in", "una", "con", "del"))
+
+  /** Stopword-token count against an explicit list (the per-language
+    * generalization of [[stopwordCount]]).
+    */
+  def stopwordCountIn(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words: _*)))
+
+  /** Multi-language language-ID: argmax stopword density across the
+    * registry, `unk` when no language clears `threshold`. Ties break
+    * toward the lexicographically larger language code (struct max) —
+    * deterministic, like every gate decision here. Pure codegen
+    * expression: |registry| filtered-size passes fused into the scan.
+    */
+  def langIdMulti(text: Column,
+      registry: Map[String, Seq[String]] = StopwordsByLang,
+      threshold: Double = 0.05): Column = {
+    val n = wordCount(text).cast("double")
+    val entries = registry.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct((stopwordCountIn(text, words).cast("double") / n).as("ratio"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(entries: _*))
+    when(best.getField("ratio") >= threshold, best.getField("lang"))
+      .otherwise(lit("unk"))
+  }
+
   /** The four Gopher-style quality rules (Rae et al. 2021 §A1.1,
     * adapted to the synthetic corpus's ranges) as named flags — shared
     * by the `t_gopher` audit query and [[Curation.curate]]'s quality
@@ -120,6 +161,57 @@ object TextAnalysis {
   /** Conjunction of [[gopherRules]] — the keep/drop quality gate. */
   def gopherPass(text: Column): Column =
     gopherRules(text).reduce(_ && _)
+
+  /** LANGUAGE-AWARE [[gopherRules]]: the three lexicon-free rules
+    * unchanged, with the stopword rule applied against the BEST
+    * matching language in the registry — a document passes if it
+    * contains ≥2 function words of SOME registered language, instead
+    * of ≥2 ENGLISH function words. This is the fix for the
+    * monolingual-gate failure mode the r12 scale probe documented:
+    * an English-only stopword rule silently drops every non-English
+    * document, zeroing the pipeline for multilingual corpora. With a
+    * single-language registry this degenerates to [[gopherRules]]
+    * exactly. Still one fused map-only pass — |registry| filtered
+    * sizes and a `greatest`.
+    */
+  def gopherRulesLang(text: Column,
+      registry: Map[String, Seq[String]] = StopwordsByLang): Seq[Column] = {
+    require(registry.nonEmpty && registry.size <= 64,
+      "gopherRulesLang: registry must hold 1..64 languages")
+    // "∃ language with ≥2 stopword tokens" as ONE pass over the token
+    // array instead of |registry| filtered scans (which blow past the
+    // codegen method-size budget at 26 languages and fall back to
+    // interpreted evaluation): a broadcast-literal map word→language
+    // bitmask, folded with two longs of state — `once` = languages
+    // seen ≥1 time, `twice` = languages seen ≥2 times (a token's mask
+    // AND the once-bits it joins). Pass ⇔ twice ≠ 0. Exactly
+    // greatest(per-language counts) ≥ 2, at O(tokens) map lookups.
+    val langs = registry.keys.toSeq.sorted
+    val maskOf: Map[String, Long] = registry.toSeq
+      .flatMap { case (lang, words) =>
+        val bit = 1L << langs.indexOf(lang)
+        words.map(_ -> bit)
+      }
+      .groupMapReduce(_._1)(_._2)(_ | _)
+    val m = typedlit(maskOf)
+    val folded = aggregate(tokens(text),
+      struct(lit(0L).as("once"), lit(0L).as("twice")),
+      (acc, t) => {
+        val mask = coalesce(element_at(m, t), lit(0L))
+        struct(
+          acc.getField("once").bitwiseOR(mask).as("once"),
+          acc.getField("twice")
+            .bitwiseOR(acc.getField("once").bitwiseAND(mask)).as("twice"))
+      })
+    gopherRules(text).dropRight(1) :+ (folded.getField("twice") =!= 0L)
+  }
+
+  /** Conjunction of [[gopherRulesLang]] — the multilingual quality
+    * gate [[Curation.curate]] runs.
+    */
+  def gopherPassLang(text: Column,
+      registry: Map[String, Seq[String]] = StopwordsByLang): Column =
+    gopherRulesLang(text, registry).reduce(_ && _)
 
   /** Uniform 256-band content-free id hash (band ∈ [0, 255]): the first
     * two hex chars of `md5(salt || id)` as an integer. The shared

@@ -44,4 +44,55 @@ class CurationSpec extends SparkFunSuite {
     val r2 = Curation.curate(docs, tmpDir("cur_b"), jaccard = 0.3)
     assert(r1 == r2)
   }
+
+  test("language-aware gate: single-language registry == gopherPass; multilingual registry keeps rotated docs") {
+    // degenerate registry reproduces the monolingual gate bit-for-bit
+    val mono = docs.filter(TA.gopherPass(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lang1 = docs.filter(
+      TA.gopherPassLang(col("text"), Map("en" -> TA.Stopwords)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mono == lang1 && mono.nonEmpty)
+
+    // a Caesar-rotated corpus (the scale generator's "language"): the
+    // English-only gate drops every doc, the registry-aware gate with
+    // the rotation's stopword list keeps exactly the rotated images of
+    // the docs the base gate keeps (rotation preserves word lengths,
+    // counts, and type-token structure).
+    val alphabet = ('a' to 'z').mkString
+    val p = alphabet.drop(3) + alphabet.take(3)
+    val rotated = docs.withColumn("text",
+      translate(col("text"), alphabet, p))
+    assert(rotated.filter(TA.gopherPass(col("text"))).count() == 0,
+      "rot3 text should fail the English-only stopword rule")
+    val rot3Words = TA.Stopwords.map(_.map(c => p(c - 'a')))
+    val multi = rotated.filter(TA.gopherPassLang(col("text"),
+      Map("en" -> TA.Stopwords, "rot3" -> rot3Words)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(multi == mono,
+      "registry-aware gate must keep the rotated images of the base keeps")
+  }
+
+  test("langIdMulti: classifies base and rotated text, unk below threshold") {
+    val alphabet = ('a' to 'z').mkString
+    val p = alphabet.drop(5) + alphabet.take(5)
+    val rot5Words = TA.Stopwords.map(_.map(c => p(c - 'a')))
+    val registry = Map("en" -> TA.Stopwords, "rot5" -> rot5Words)
+    val sample = docs.limit(50)
+      .withColumn("rot_text", translate(col("text"), alphabet, p))
+    val ided = sample.select(
+      TA.langIdMulti(col("text"), registry).as("base_lang"),
+      TA.langIdMulti(col("rot_text"), registry).as("rot_lang"),
+      TA.langId(col("text")).as("mono_lang")).collect()
+    // wherever the mono detector says "en", the multi detector must too
+    assert(ided.forall(r =>
+      r.getString(2) != "en" || r.getString(0) == "en"))
+    // and the rotated twin of an en doc must come back rot5, never en
+    assert(ided.forall(r =>
+      r.getString(0) != "en" || r.getString(1) == "rot5"))
+    val unk = spark.range(1).select(
+      TA.langIdMulti(lit("zz qq xx ww vv"), registry).as("l"))
+      .head().getString(0)
+    assert(unk == "unk")
+  }
 }
