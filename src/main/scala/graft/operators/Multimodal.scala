@@ -377,26 +377,45 @@ object Multimodal {
     * flip a bit and an external oracle can predict the hashes without
     * decoding anything.
     */
+  /** Deterministic two-tone JPEG synthesizer — the single-image fixture
+    * the near-dup query and the AVI frames share. Patterns (dark
+    * region): 0 = left half, 1 = top half, 2 = left 3/8 — each decoded
+    * [[averageHash]] is closed-form by cell geometry ('0' for cells in
+    * the dark region, '1' elsewhere; the ~250-greylevel margin means
+    * JPEG quantization noise cannot flip a bit, and the pattern-2
+    * boundary at 3w/8 lands on a cell edge for w a multiple of 8).
+    * Pattern Hammings at grid 8: d(0,2) = 8 (one bit per row), d(0,1)
+    * = d(1,2) = 32 — so pattern 2 is a NEAR-duplicate of pattern 0 and
+    * far from pattern 1, which is exactly the geometry `mm_neardup`'s
+    * banded search is oracle-checked against.
+    */
+  def syntheticJpeg(pattern: Int, w: Int, h: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val dark = pattern match {
+          case 0 => x < w / 2
+          case 1 => y < h / 2
+          case _ => x < 3 * w / 8
+        }
+        img.setRGB(x, y, if (dark) 0x000000 else 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
   def syntheticAvi(nFrames: Int, w: Int, h: Int,
       microPerFrame: Long): Array[Byte] = {
-    javax.imageio.ImageIO.setUseCache(false)
-    val frameBytes: Seq[Array[Byte]] = (0 until nFrames).map { i =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val dark = if (i % 2 == 0) x < w / 2 else y < h / 2
-          img.setRGB(x, y, if (dark) 0x000000 else 0xffffff)
-          x += 1
-        }
-        y += 1
-      }
-      val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", baos)
-      baos.toByteArray
-    }
+    val frameBytes: Seq[Array[Byte]] =
+      (0 until nFrames).map(i => syntheticJpeg(i % 2, w, h))
     def u32(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)

@@ -360,6 +360,40 @@ object TextQueries {
             .as("top_dark"))
         .orderBy("media_id")
     }),
+
+    // IMAGE near-duplicate detection end-to-end: per document a
+    // deterministic two-tone 32×32 JPEG (pattern = n_chars % 3 —
+    // dark-left / dark-top / dark-left-⅜), REALLY decoded through
+    // ImageIO into a 64-bit perceptual aHash, then paired by the text
+    // near-dup machinery unchanged — banded signature self-join
+    // (16 bands × 4 bits, lossless for the maxDist=8 cut by
+    // pigeonhole) + the codegen hamming_dist kernel. Pattern geometry
+    // makes every hash and distance closed-form (d(0,2)=8 near-dup,
+    // d(0,1)=d(1,2)=32 far; JPEG noise is ~2 greylevels against a
+    // ~250-level margin), so DuckDB verifies the decode→hash→band→
+    // verify chain without decoding anything. Pairing is restricted to
+    // the doc_id<60 audit slice (the s_pq_recon idiom): every
+    // same-pattern pair matches by construction, so unbounded pairing
+    // is quadratic BY DESIGN here — real corpora pair via the same
+    // banding with collision-bounded buckets (d_simhash_pairs). The
+    // hash pass itself runs over the full corpus.
+    "mm_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .map { r =>
+          (r.getLong(0),
+            Multimodal.syntheticJpeg((r.getLong(1) % 3).toInt, 32, 32))
+        }.toDF("media_id", "payload")
+      val hashes = Multimodal.averageHash(
+        Multimodal.packBinary(media, "media_id", "payload", "image/jpeg"))
+        .toDF()
+        .select(col("media_id").as("id"), col("ahash").as("simhash"))
+      graft.operators.Dedup.simhashBandedPairs(
+        hashes.filter(col("id") < 60), maxDist = 8, bands = 16, bits = 64)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -613,5 +647,25 @@ object TextQueries {
         |      32 * ((n_chunks + 1) // 2 - 1) + (len - 32 * (n_chunks - 1))
         |    ELSE 32 * ((n_chunks + 1) // 2) END AS sampled_bytes
         |FROM c ORDER BY media_id""".stripMargin,
+    // The oracle never decodes an image: each pattern's 64-bit aHash is
+    // closed-form from the two-tone geometry (dark cells '0', bright
+    // '1'), and the pair set is the banded-Hamming result over those
+    // literal signatures — dist via per-position compare, cut at 8
+    // (lossless vs the 16-band search by pigeonhole).
+    "mm_neardup" ->
+      """WITH img AS (SELECT doc_id AS id,
+        |    CASE CAST(n_chars % 3 AS INT)
+        |      WHEN 0 THEN repeat('00001111', 8)
+        |      WHEN 1 THEN repeat('0', 32) || repeat('1', 32)
+        |      ELSE repeat('00011111', 8) END AS h
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(sum(CASE WHEN substring(a.h, p.p, 1)
+        |      <> substring(b.h, p.p, 1) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dist
+        |FROM img a JOIN img b ON a.id < b.id,
+        |generate_series(1, 64) AS p(p)
+        |GROUP BY 1, 2 HAVING dist <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -470,6 +470,20 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(pairs == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("syntheticJpeg: all three patterns decode to their closed-form aHashes") {
+    // the mm_neardup oracle hard-codes these three signatures; this is
+    // the exact-math guard that the real JPEG encode→decode→aHash chain
+    // lands on them (noise margin ~250 greylevels per cell)
+    Seq(
+      0 -> ("00001111" * 8),
+      1 -> ("0" * 32 + "1" * 32),
+      2 -> ("00011111" * 8)
+    ).foreach { case (pattern, expect) =>
+      val h = Multimodal.ahashOf(Multimodal.syntheticJpeg(pattern, 32, 32), 8)
+      assert(h == expect, s"pattern $pattern hashed $h")
+    }
+  }
+
   test("decodeFeatures: real PNG via javax.imageio — exact dims and channel means") {
     implicit val s = graft.SparkTestBase.spark
     import s.implicits._
