@@ -313,4 +313,49 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(d.getTruncateQuery("`db`.`t`") == "TRUNCATE TABLE `db`.`t`")
     assert(d.isCascadingTruncateTable.contains(false))
   }
+
+  test("fallback matrix: unknown/malformed/future type names defer, never throw") {
+    // The documented failure contract: any name the parser can't FULLY
+    // resolve defers to Spark's generic code-driven mapping (None) —
+    // never a partial mis-map, never an exception. Rows grouped by why
+    // they defer; each is asserted under both a benign and a hostile
+    // JDBC code so the deferral is code-invariant like everything else.
+    val unknowable = Seq(
+      // future / server-side-only types (ClickHouse 23+/24+ additions)
+      "JSON", "Dynamic", "Variant(String, UInt64)", "Object('json')",
+      "SimpleAggregateFunction(any, String)", "Nothing",
+      "IntervalDay", "Point", "Ring", "Polygon", "MultiPolygon",
+      // malformed generics: unclosed, empty, wrong arity
+      "Array(", "Array()", "Array(String, UInt8)",
+      "Map(String)", "Map(String, UInt8, UInt8)",
+      "Tuple()", "Nested()", "Nested(a)",
+      "Nullable(String", "Nullable()", "LowCardinality()",
+      // unparseable parameters / mixed naming
+      "Array(Decimal(abc, def))", "Tuple(a UInt8, String)",
+      // unknown INNER type poisons the whole composite (no partial map)
+      "Array(JSON)", "Map(String, Dynamic)", "Tuple(a JSON)",
+      // degenerate names
+      "", "   ", "(", ")", "'quote")
+    for (name <- unknowable; code <- Seq(Types.OTHER, Types.VARCHAR)) {
+      val r = try catalyst(name, code) catch {
+        case e: Exception => fail(s"'$name' threw ${e.getClass.getSimpleName}")
+      }
+      assert(r.isEmpty, s"'$name' must defer, resolved to $r")
+    }
+    // positive controls: the matrix must not be vacuous — wrappers,
+    // deep nesting, and named tuples still resolve. Enum label lists
+    // are DELIBERATELY ignored (even a truncated one): the scalar head
+    // alone fixes the Catalyst type — enum VALUES are strings whatever
+    // the labels say.
+    assert(catalyst("Enum8('a' =").contains(StringType))
+    assert(catalyst("Nullable(Nullable(String))").contains(StringType))
+    assert(catalyst("Array(Array(Array(Nullable(UInt8))))").contains(
+      ArrayType(ArrayType(ArrayType(ShortType, containsNull = true),
+        containsNull = false), containsNull = false)))
+    assert(catalyst("Nested(a UInt8, b Array(String))").contains(
+      ArrayType(StructType(Seq(
+        StructField("a", ShortType, nullable = false),
+        StructField("b", ArrayType(StringType, containsNull = false),
+          nullable = false))), containsNull = false)))
+  }
 }
