@@ -377,6 +377,29 @@ object TextQueries {
     // is quadratic BY DESIGN here — real corpora pair via the same
     // banding with collision-bounded buckets (d_simhash_pairs). The
     // hash pass itself runs over the full corpus.
+    // MULTI-language language-ID: argmax stopword density over a
+    // per-language registry, 'unk' below threshold — the detector the
+    // language-aware Gopher gate keys off. To exercise real language
+    // variety on the single-language corpus, odd doc_ids are rot13'd
+    // (a deterministic "second language" whose function words are the
+    // rotated English stopwords — the scale generator's trick) and the
+    // registry carries both. The mono detector's verdict rides along
+    // to pin the containment relation (mono 'en' ⇒ multi 'en').
+    // Map-only over the scan; |registry| filtered sizes per row.
+    "t_langid_multi" -> ((s, dir) => {
+      val alphabet = ('a' to 'z').mkString
+      val p = alphabet.drop(13) + alphabet.take(13)
+      val rot13 = TA.Stopwords.map(_.map(c => p(c - 'a')))
+      val d = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(translate(col("text"), alphabet, p)))
+      d.select(col("doc_id"),
+        TA.langIdMulti(col("text2"),
+          Map("en" -> TA.Stopwords, "rot13" -> rot13)).as("lang"),
+        TA.langId(col("text2")).as("mono_lang"))
+        .orderBy("doc_id")
+    }),
+
     "mm_neardup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -647,6 +670,29 @@ object TextQueries {
         |      32 * ((n_chunks + 1) // 2 - 1) + (len - 32 * (n_chunks - 1))
         |    ELSE 32 * ((n_chunks + 1) // 2) END AS sampled_bytes
         |FROM c ORDER BY media_id""".stripMargin,
+    // Argmax stopword-density language ID over {en, rot13}; ties break
+    // toward the lexicographically larger code (same-denominator
+    // ratios, so count order == ratio order), threshold 0.05 → 'unk'.
+    "t_langid_multi" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text
+        |      ELSE translate(text, 'abcdefghijklmnopqrstuvwxyz',
+        |                     'nopqrstuvwxyzabcdefghijklm') END AS text2
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(string_split(text2, ' ')) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(string_split(text2, ' '), w -> w IN
+        |      ('the','a','of','and','to','in','is','on','for','with')))
+        |      AS DOUBLE) AS c_en,
+        |    CAST(len(list_filter(string_split(text2, ' '), w -> w IN
+        |      ('gur','n','bs','naq','gb','va','vf','ba','sbe','jvgu')))
+        |      AS DOUBLE) AS c_rot
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(c_en, c_rot) / n < 0.05 THEN 'unk'
+        |       WHEN c_rot >= c_en THEN 'rot13' ELSE 'en' END AS lang,
+        |  CASE WHEN c_en / n >= 0.05 THEN 'en' ELSE 'unk' END AS mono_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
     // The oracle never decodes an image: each pattern's 64-bit aHash is
     // closed-form from the two-tone geometry (dark cells '0', bright
     // '1'), and the pair set is the banded-Hamming result over those

@@ -125,6 +125,36 @@ object DocStreams {
     q
   }
 
+  /** CONTINUOUS IVFPQ index ingestion — the streaming face of
+    * [[graft.operators.Similarity.appendToIvfPqIndex]]: each arriving
+    * micro-batch of vectors is PQ-encoded against the index's STORED
+    * codebooks and cell-assigned against its STORED coarse centroids
+    * (both invariants of the standing index — codes and cells must not
+    * move on ingest), then appended into the partitionBy(cell) code
+    * layout. The append is wholly inside foreachBatch because the
+    * encode path aggregates (argmin over subspaces) — illegal as a
+    * pre-sink streaming transform in append mode, and unnecessary:
+    * per-batch encode state is the batch itself. Searches against the
+    * growing index ([[graft.operators.Similarity.adcIvfTopKIndexed]])
+    * see every ingested batch; spec-proven equal to the batch append
+    * (DocStreamsSpec). Compact periodically
+    * ([[graft.operators.Similarity.compactIvfPqIndex]]) — each batch
+    * lands its own files per touched cell.
+    */
+  def ingestIvfPq(stream: DataFrame, indexPath: String,
+      checkpoint: String, mm: Int = 8, dd: Int = 8): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToIvfPqIndex(batch, indexPath, mm, dd)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Stage 3: per-micro-batch candidate dedup + exact-Jaccard
     * verification against the static `docStore` (which must contain
     * both the corpus and the arriving documents' text — in production,

@@ -84,6 +84,51 @@ class DocStreamsSpec extends SparkFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming IVFPQ ingest: grown index answers searches like the batch append") {
+    val s = spark
+    val emb = s.read.parquet(s"$sf0001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 400)
+    val wave = emb.filter(col("vec_id") >= 400)
+    val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+    val cbooks = graft.operators.Similarity
+      .pqSubvecs(emb.filter(col("vec_id") < 16), 8, 8, "vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("cid"), col("m"),
+        col("sv").as("cv"))
+
+    def build(path: String): Unit = {
+      val baseCodes = graft.operators.Similarity.pqEncode(base, cbooks)
+      graft.operators.Similarity.writeIvfPqIndex(baseCodes, cbooks,
+        graft.operators.Similarity.pqReconstruct(baseCodes, cbooks), path)
+    }
+    // batch-appended twin
+    val batchIdx = tmpDir("ivfpq_batch")
+    build(batchIdx)
+    graft.operators.Similarity.appendToIvfPqIndex(wave, batchIdx)
+
+    // streaming-ingested index: wave arrives as a file stream
+    val streamIdx = tmpDir("ivfpq_stream")
+    build(streamIdx)
+    val streamDir = tmpDir("ivfpq_arrivals")
+    val staged = tmpDir("ivfpq_stage")
+    wave.coalesce(1).write.mode("overwrite").parquet(staged)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+      .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    java.nio.file.Files.move(java.nio.file.Paths.get(part),
+      java.nio.file.Paths.get(streamDir, "arrivals.parquet"))
+    DocStreams.ingestIvfPq(DocStreams.readEmbeddings(s, streamDir),
+      streamIdx, tmpDir("ivfpq_ckpt"))
+
+    def topk(path: String) = graft.operators.Similarity
+      .adcIvfTopKIndexed(s, path, queries, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaStream = topk(streamIdx)
+    assert(viaStream.nonEmpty && viaStream == topk(batchIdx))
+    // the stream actually grew the index
+    assert(s.read.parquet(s"$streamIdx/codes")
+      .select("vid").distinct().count() == emb.count())
+  }
+
   test("streaming near-dups against the band index == batch incremental dedup") {
     val s = spark
     s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
