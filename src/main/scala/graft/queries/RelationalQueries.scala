@@ -502,9 +502,114 @@ object RelationalQueries {
         .agg(sum(revenueExpr).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
+
+    // TPC-H Q13-shaped: customer order-count DISTRIBUTION — the
+    // left-join-with-ON-predicate + double aggregation shape (customers
+    // with zero qualifying orders must appear at c_count = 0, which an
+    // inner join would lose). The priority filter stands in for Q13's
+    // comment LIKE (the testdata carries no o_comment). Scale shape:
+    // one shuffle on custkey for the per-customer count (map-side
+    // combined), then the distribution aggregates over the tiny
+    // distinct-count domain.
+    "q13_order_distribution" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15-shaped: top supplier by quarterly revenue — the
+    // aggregate-then-compare-to-its-own-max shape (Q15's revenue view).
+    // The max is a broadcast 1-row aggregate; equality on the exact
+    // decimal sum (cast to double identically on both engines) keeps
+    // the tie semantics portable. One shuffle on suppkey; supplier is
+    // broadcast.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenueExpr).cast("double").as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q22-shaped: sales opportunity among LAPSED positive-balance
+    // customers — scalar subquery (avg positive balance, broadcast
+    // 1-row) + anti-join (no orders since the cutoff; the classic Q22
+    // "never ordered" is empty on this testdata, where every customer
+    // has ordered at least once — churn-by-recency is the live analog)
+    // + group by country code (nationkey mod 5 stands in for the phone
+    // prefix the schema doesn't carry). Anti-join shuffles on custkey;
+    // everything else is broadcast or domain-sized.
+    "q22_sales_opportunity" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("cntrycode", pmod(col("c_nationkey"), lit(5)).cast("int"))
+        .filter(col("cntrycode").isin(0, 1, 2))
+      val ab = cust.filter(col("c_acctbal") > 0.0)
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(ab))
+        .filter(col("c_acctbal").cast("double") > col("avg_bal"))
+        .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |      AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal,
+        |    CAST(c_nationkey % 5 AS INT) AS cntrycode
+        |  FROM customer WHERE CAST(c_nationkey % 5 AS INT) IN (0, 1, 2)),
+        |ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(c_acctbal) AS DOUBLE) AS avg_bal
+        |  FROM c WHERE c_acctbal > 0)
+        |SELECT cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM c, ab
+        |WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
