@@ -261,8 +261,7 @@ object ScaleProbe {
       val codes = Similarity.pqEncode(emb, cbooks)
       val idx = java.nio.file.Files
         .createTempDirectory("ivfpq_probe").toString
-      timed("writeIvfPqIndex")(Similarity.writeIvfPqIndex(
-        codes, cbooks, Similarity.pqReconstruct(codes, cbooks), idx))
+      timed("writeIvfPqIndex")(Similarity.writeIvfPqIndex(codes, cbooks, idx))
       println("ivfpqTotalCodeRows=" + spark.read.parquet(s"$idx/codes").count())
       val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
       timed("adcIvfTopKIndexed")(

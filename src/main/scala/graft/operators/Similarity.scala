@@ -617,24 +617,38 @@ object Similarity {
     * bytes, and a probed search reads only its probe cells' code files
     * via partition pruning.
     *
-    * `recon` is the PQ-reconstructed corpus ([[pqReconstruct]]) — cell
-    * assignment needs real arrays and must run on the SAME arithmetic
-    * as the inline [[adcIvfTopK]] (codegen-float cosine over
-    * reconstructions) for the persisted cells to be bit-identical to
-    * the inline ones. Build is once per corpus generation; growth is
+    * Cell assignment runs over the PQ RECONSTRUCTION (real arrays, the
+    * SAME codegen-float cosine as the inline [[adcIvfTopK]], so the
+    * persisted cells are bit-identical to the inline ones) — and the
+    * reconstruction is fully determined by codes + codebooks, so the
+    * build takes only those. The encode pass (the expensive stage —
+    * n·M·K distances over the raw corpus) is paid ONCE: the code rows
+    * are STAGED to parquet first, and the coarse seeds, the cell
+    * assignment, and the final partitioned write all derive from the
+    * staged (64×-compressed) rows instead of re-evaluating the lazy
+    * encode plan per consumer — at 100 TB one extra write+read of the
+    * compressed codes beats three map passes over the float corpus.
+    * Build is once per corpus generation; growth is
     * [[appendToIvfPqIndex]].
     */
-  def writeIvfPqIndex(codes: DataFrame, cents: DataFrame, recon: DataFrame,
+  def writeIvfPqIndex(codes: DataFrame, cents: DataFrame,
       path: String, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val coarse = seedCentroidsLiteral(recon, nlist, idCol, vecCol)
+    val spark = codes.sparkSession
+    codes.select(col(idCol).as("vid"), col("m"), col("cid"))
+      .write.mode("overwrite").parquet(s"$path/codes_staging")
+    val staged = spark.read.parquet(s"$path/codes_staging")
+    val recon = pqReconstruct(staged, cents, "vid", vecCol)
+    val coarse = seedCentroidsLiteral(recon, nlist, "vid", vecCol)
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
     cents.write.mode("overwrite").parquet(s"$path/codebooks")
-    val assigned = assignCells(recon, coarse, idCol, vecCol)
+    val assigned = assignCells(recon, coarse, "vid", vecCol)
       .select(col("vid"), col("cell"))
-    codes.select(col(idCol).as("vid"), col("m"), col("cid"))
-      .join(assigned, "vid")
+    staged.join(assigned, "vid")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes_staging"), true)
   }
 
   /** Grow a [[writeIvfPqIndex]] index by an ingested batch: encode the

@@ -401,8 +401,7 @@ object SimilarityQueries {
       // dirs (bench runs every query twice per pass).
       val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_ivfpq_" + Integer.toHexString(dir.hashCode)).toString
-      Similarity.writeIvfPqIndex(codes, centsL, reconOf(codes, centsL),
-        idxPath)
+      Similarity.writeIvfPqIndex(codes, centsL, idxPath)
       Similarity.adcIvfTopKIndexed(s, idxPath,
         e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
         .orderBy("qid", "rank")

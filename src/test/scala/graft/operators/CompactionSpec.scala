@@ -127,8 +127,7 @@ class CompactionSpec extends SparkFunSuite {
     val path = tmpDir("ivfpq_compact")
     val base = emb.filter(col("vec_id") < 400)
     val baseCodes = Similarity.pqEncode(base, cbooks)
-    Similarity.writeIvfPqIndex(baseCodes, cbooks,
-      Similarity.pqReconstruct(baseCodes, cbooks), path)
+    Similarity.writeIvfPqIndex(baseCodes, cbooks, path)
     Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") >= 400), path)
 
     val before = Similarity.adcIvfTopKIndexed(spark, path, queries, k = 5)

@@ -52,7 +52,7 @@ class IvfIndexSpec extends SparkFunSuite {
     val codes = Similarity.pqEncode(emb, cbooks)
     val recon = Similarity.pqReconstruct(codes, cbooks)
     val path = tmpDir("ivfpq_idx")
-    Similarity.writeIvfPqIndex(codes, cbooks, recon, path)
+    Similarity.writeIvfPqIndex(codes, cbooks, path)
 
     // the persisted layout is codes-only: no float arrays in the cells
     val stored = spark.read.parquet(s"$path/codes")
@@ -85,14 +85,12 @@ class IvfIndexSpec extends SparkFunSuite {
 
     val grown = tmpDir("ivfpq_grown")
     val baseCodes = Similarity.pqEncode(base, cbooks)
-    Similarity.writeIvfPqIndex(baseCodes, cbooks,
-      Similarity.pqReconstruct(baseCodes, cbooks), grown)
+    Similarity.writeIvfPqIndex(baseCodes, cbooks, grown)
     Similarity.appendToIvfPqIndex(wave, grown)
 
     val rebuilt = tmpDir("ivfpq_rebuilt")
     val allCodes = Similarity.pqEncode(emb, cbooks)
-    Similarity.writeIvfPqIndex(allCodes, cbooks,
-      Similarity.pqReconstruct(allCodes, cbooks), rebuilt)
+    Similarity.writeIvfPqIndex(allCodes, cbooks, rebuilt)
 
     val a = Similarity.adcIvfTopKIndexed(spark, grown, queries, k = 5)
     val b = Similarity.adcIvfTopKIndexed(spark, rebuilt, queries, k = 5)

@@ -97,8 +97,7 @@ class DocStreamsSpec extends SparkFunSuite {
 
     def build(path: String): Unit = {
       val baseCodes = graft.operators.Similarity.pqEncode(base, cbooks)
-      graft.operators.Similarity.writeIvfPqIndex(baseCodes, cbooks,
-        graft.operators.Similarity.pqReconstruct(baseCodes, cbooks), path)
+      graft.operators.Similarity.writeIvfPqIndex(baseCodes, cbooks, path)
     }
     // batch-appended twin
     val batchIdx = tmpDir("ivfpq_batch")
