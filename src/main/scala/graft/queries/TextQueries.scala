@@ -15,6 +15,16 @@ object TextQueries {
 
   private val StopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** rot13 of the English stopwords — the synthetic "second language"
+    * the multilingual queries register (quoted-list form for SQL).
+    */
+  private val Rot13Words: Seq[String] = {
+    val alphabet = ('a' to 'z').mkString
+    val p = alphabet.drop(13) + alphabet.take(13)
+    TA.Stopwords.map(_.map(c => p(c - 'a')))
+  }
+  private val Rot13List = Rot13Words.map(w => s"'$w'").mkString(", ")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quality scoring: length/diversity/stopword-band composite.
     "t_quality" -> ((s, dir) =>
@@ -377,6 +387,31 @@ object TextQueries {
     // is quadratic BY DESIGN here — real corpora pair via the same
     // banding with collision-bounded buckets (d_simhash_pairs). The
     // hash pass itself runs over the full corpus.
+    // The LANGUAGE-AWARE Gopher gate, rule by rule — the multilingual
+    // twin of t_gopher (and the oracle check for gopherRulesLang's
+    // single-pass bitmask fold): odd doc_ids are rot13'd, the registry
+    // carries {en, rot13}, and the stopword rule passes iff SOME
+    // registered language contributes ≥2 function words. The
+    // monolingual verdict rides along — every rot13'd doc shows the
+    // r12 failure mode (mono_pass=false where pass=true), which is
+    // exactly what the language-aware gate exists to fix.
+    "t_gopher_lang" -> ((s, dir) => {
+      val alphabet = ('a' to 'z').mkString
+      val p = alphabet.drop(13) + alphabet.take(13)
+      val registry = Map("en" -> TA.Stopwords, "rot13" -> Rot13Words)
+      val d = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(translate(col("text"), alphabet, p)))
+      val Seq(rWc, rMwl, rTtr, rStop) =
+        TA.gopherRulesLang(col("text2"), registry)
+      d.select(col("doc_id"),
+        rWc.as("r_wc"), rMwl.as("r_mwl"), rTtr.as("r_ttr"),
+        rStop.as("r_stop"),
+        TA.gopherPassLang(col("text2"), registry).as("pass"),
+        TA.gopherPass(col("text2")).as("mono_pass"))
+        .orderBy("doc_id")
+    }),
+
     // MULTI-language language-ID: argmax stopword density over a
     // per-language registry, 'unk' below threshold — the detector the
     // language-aware Gopher gate keys off. To exercise real language
@@ -670,6 +705,34 @@ object TextQueries {
         |      32 * ((n_chunks + 1) // 2 - 1) + (len - 32 * (n_chunks - 1))
         |    ELSE 32 * ((n_chunks + 1) // 2) END AS sampled_bytes
         |FROM c ORDER BY media_id""".stripMargin,
+    // The four Gopher rules over rot13-mixed text with the stopword
+    // rule as "max per-language count ≥ 2" — exactly the bitmask
+    // fold's semantics, restated as two list_filter counts.
+    "t_gopher_lang" ->
+      s"""WITH t0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text
+        |      ELSE translate(text, 'abcdefghijklmnopqrstuvwxyz',
+        |                     'nopqrstuvwxyzabcdefghijklm') END AS text2
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text2, ' ') AS w FROM t0),
+        |m AS (SELECT doc_id, len(w) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS mwl,
+        |    CAST(len(list_distinct(w)) AS DOUBLE)
+        |      / CAST(len(w) AS DOUBLE) AS ttr,
+        |    len(list_filter(w, x -> x IN ($StopList))) AS c_en,
+        |    len(list_filter(w, x -> x IN ($Rot13List))) AS c_rot
+        |  FROM t)
+        |SELECT doc_id,
+        |  n_words BETWEEN 20 AND 100000 AS r_wc,
+        |  mwl BETWEEN 3.0 AND 4.7 AS r_mwl,
+        |  ttr >= 0.3 AS r_ttr,
+        |  greatest(c_en, c_rot) >= 2 AS r_stop,
+        |  (n_words BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 4.7)
+        |    AND ttr >= 0.3 AND greatest(c_en, c_rot) >= 2 AS pass,
+        |  (n_words BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 4.7)
+        |    AND ttr >= 0.3 AND c_en >= 2 AS mono_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Argmax stopword-density language ID over {en, rot13}; ties break
     // toward the lexicographically larger code (same-denominator
     // ratios, so count order == ratio order), threshold 0.05 → 'unk'.
