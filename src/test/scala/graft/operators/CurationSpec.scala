@@ -73,6 +73,40 @@ class CurationSpec extends SparkFunSuite {
       "registry-aware gate must keep the rotated images of the base keeps")
   }
 
+  test("property: bitmask-fold stopword rule == naive per-language max count >= 2") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    // random registries (1-5 languages, 1-4 words each, overlapping
+    // vocab allowed) against random token streams over the same small
+    // vocabulary — the fold's once/twice bit bookkeeping must agree
+    // with the naive formulation on every draw, duplicates included
+    val vocab = Seq("aa", "ab", "ba", "bb", "cc", "cd")
+    val lang = Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val registry = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, lang).map(_.zipWithIndex.map {
+        case (ws, i) => s"l$i" -> ws.distinct
+      }.toMap))
+    val text = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val texts = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, text))
+    val prop = Prop.forAll(registry, texts) { (reg, docs) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = df.select(col("id"),
+        TA.gopherRulesLang(col("text"), reg).last.as("r"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val want = docs.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ").toSeq
+        i.toLong -> reg.values.exists(ws => toks.count(ws.contains) >= 2)
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("langIdMulti: classifies base and rotated text, unk below threshold") {
     val alphabet = ('a' to 'z').mkString
     val p = alphabet.drop(5) + alphabet.take(5)

@@ -62,6 +62,26 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q13_order_distribution: outer join survives, one custkey exchange feeds both aggs") {
+    val p = plan("q13_order_distribution")
+    // zero-order customers must reach the count — the left join must
+    // not degrade to inner under the ON-clause predicate
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q22_sales_opportunity: anti join + broadcast scalar, no cartesian") {
+    val p = plan("q22_sales_opportunity")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mm_neardup: banded pairing via equality joins only") {
+    val p = plan("mm_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("hive-layout partition dirs prune at the scan (PartitionFilters)") {
     val s = spark
     import org.apache.spark.sql.functions._
