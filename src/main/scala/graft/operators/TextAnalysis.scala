@@ -176,34 +176,41 @@ object TextAnalysis {
     */
   def gopherRulesLang(text: Column,
       registry: Map[String, Seq[String]] = StopwordsByLang): Seq[Column] = {
-    require(registry.nonEmpty && registry.size <= 64,
-      "gopherRulesLang: registry must hold 1..64 languages")
-    // "∃ language with ≥2 stopword tokens" as ONE pass over the token
-    // array instead of |registry| filtered scans (which blow past the
-    // codegen method-size budget at 26 languages and fall back to
-    // interpreted evaluation): a broadcast-literal map word→language
-    // bitmask, folded with two longs of state — `once` = languages
-    // seen ≥1 time, `twice` = languages seen ≥2 times (a token's mask
-    // AND the once-bits it joins). Pass ⇔ twice ≠ 0. Exactly
-    // greatest(per-language counts) ≥ 2, at O(tokens) map lookups.
-    val langs = registry.keys.toSeq.sorted
-    val maskOf: Map[String, Long] = registry.toSeq
-      .flatMap { case (lang, words) =>
-        val bit = 1L << langs.indexOf(lang)
-        words.map(_ -> bit)
+    require(registry.nonEmpty && registry.size <= 32,
+      "gopherRulesLang: registry must hold 1..32 languages")
+    // Single-language registries take [[gopherRules]]' own codegen
+    // filtered-size path (higher-order `aggregate` is CodegenFallback —
+    // interpreted — so the default en-only gate must not pay for the
+    // multilingual machinery it doesn't use).
+    val stopRule =
+      if (registry.size == 1) stopwordCountIn(text, registry.values.head) >= 2
+      else {
+        // "∃ language with ≥2 stopword tokens" as ONE pass over the
+        // token array instead of |registry| filtered scans (which blow
+        // past the codegen method-size budget at 26 languages): a
+        // broadcast-literal map word→language bitmask, folded with ONE
+        // long of state — low 32 bits = languages seen ≥1 time
+        // ("once"), high 32 = languages seen ≥2 times ("twice": a
+        // token's mask AND the once-bits it joins, shifted up). Pass ⇔
+        // any high bit set. Exactly greatest(per-language counts) ≥ 2,
+        // at O(tokens) map lookups (property-proven against the naive
+        // formulation in CurationSpec).
+        val langs = registry.keys.toSeq.sorted
+        val maskOf: Map[String, Long] = registry.toSeq
+          .flatMap { case (lang, words) =>
+            val bit = 1L << langs.indexOf(lang)
+            words.map(_ -> bit)
+          }
+          .groupMapReduce(_._1)(_._2)(_ | _)
+        val m = typedlit(maskOf)
+        val folded = aggregate(tokens(text), lit(0L), (acc, t) => {
+          val mask = coalesce(element_at(m, t), lit(0L))
+          acc.bitwiseOR(mask)
+            .bitwiseOR(shiftleft(acc.bitwiseAND(mask), 32))
+        })
+        folded.bitwiseAND(lit(0xffffffff00000000L)) =!= 0L
       }
-      .groupMapReduce(_._1)(_._2)(_ | _)
-    val m = typedlit(maskOf)
-    val folded = aggregate(tokens(text),
-      struct(lit(0L).as("once"), lit(0L).as("twice")),
-      (acc, t) => {
-        val mask = coalesce(element_at(m, t), lit(0L))
-        struct(
-          acc.getField("once").bitwiseOR(mask).as("once"),
-          acc.getField("twice")
-            .bitwiseOR(acc.getField("once").bitwiseAND(mask)).as("twice"))
-      })
-    gopherRules(text).dropRight(1) :+ (folded.getField("twice") =!= 0L)
+    gopherRules(text).dropRight(1) :+ stopRule
   }
 
   /** Conjunction of [[gopherRulesLang]] — the multilingual quality
