@@ -186,15 +186,15 @@ object TextAnalysis {
       if (registry.size == 1) stopwordCountIn(text, registry.values.head) >= 2
       else {
         // "∃ language with ≥2 stopword tokens" as ONE pass over the
-        // token array instead of |registry| filtered scans (which blow
-        // past the codegen method-size budget at 26 languages): a
-        // broadcast-literal map word→language bitmask, folded with ONE
-        // long of state — low 32 bits = languages seen ≥1 time
-        // ("once"), high 32 = languages seen ≥2 times ("twice": a
-        // token's mask AND the once-bits it joins, shifted up). Pass ⇔
-        // any high bit set. Exactly greatest(per-language counts) ≥ 2,
-        // at O(tokens) map lookups (property-proven against the naive
-        // formulation in CurationSpec).
+        // text instead of |registry| filtered scans (which blow past
+        // the codegen method-size budget at 26 languages): the native
+        // codegen [[graft.plans.StopwordLangMask]] walks the tokens
+        // once against a word→language-bitmask table and packs the
+        // state into ONE long — low 32 bits = languages seen ≥1 time
+        // ("once"), high 32 = ≥2 times ("twice"). Pass ⇔ any high bit
+        // set. Exactly greatest(per-language counts) ≥ 2, at O(tokens)
+        // map lookups inside whole-stage codegen (property-proven
+        // against the naive formulation in CurationSpec).
         val langs = registry.keys.toSeq.sorted
         val maskOf: Map[String, Long] = registry.toSeq
           .flatMap { case (lang, words) =>
@@ -202,13 +202,8 @@ object TextAnalysis {
             words.map(_ -> bit)
           }
           .groupMapReduce(_._1)(_._2)(_ | _)
-        val m = typedlit(maskOf)
-        val folded = aggregate(tokens(text), lit(0L), (acc, t) => {
-          val mask = coalesce(element_at(m, t), lit(0L))
-          acc.bitwiseOR(mask)
-            .bitwiseOR(shiftleft(acc.bitwiseAND(mask), 32))
-        })
-        folded.bitwiseAND(lit(0xffffffff00000000L)) =!= 0L
+        graft.plans.StringOps.stopwordLangMask(text, maskOf)
+          .bitwiseAND(lit(0xffffffff00000000L)) =!= 0L
       }
     gopherRules(text).dropRight(1) :+ stopRule
   }
