@@ -689,7 +689,10 @@ object Similarity {
     * untouched, spec-asserted in CompactionSpec. Write-stage-publish:
     * the compacted copy is fully written beside the live directory,
     * then swapped with two renames; a crash mid-compaction leaves
-    * either the original or both copies, never a torn index.
+    * either the original or both copies, never a torn index. (On
+    * object stores where rename is copy — raw S3A — the swap costs one
+    * extra copy of the compacted data, or point the index at a
+    * rename-capable layer; the staging write itself is the safety.)
     */
   def compactCellIndex(spark: SparkSession, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
