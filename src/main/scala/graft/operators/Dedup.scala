@@ -316,9 +316,11 @@ object Dedup {
     * therefore changes file counts, never join partitioning: the
     * compacted index still band-joins with zero index-side exchange
     * (spec-asserted in CompactionSpec). Write-stage-publish: the
-    * compacted copy is fully materialized in a staging table before
-    * the live one is swapped, so a crash mid-compaction leaves the
-    * original index intact.
+    * compacted copy is fully materialized in a staging table, then
+    * swapped in by rename-aside — the index data exists in at least
+    * one complete table at every instant (the live NAME may be
+    * unbound for the instant between the two renames; both copies
+    * survive any crash).
     */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       table: graft.model.TableRef, buckets: Int = 8): Unit = {
@@ -337,8 +339,15 @@ object Dedup {
           lit(buckets))),
       staging, bucketCols = Seq("band", "key"), numBuckets = buckets,
       sortCols = Seq("band", "key"))
-    graft.sources.CatalogOps.dropTable(spark, table)
+    // Publish by rename-aside, not drop-first: the data exists in ≥1
+    // complete table at every instant (a crash between the renames can
+    // leave the live NAME briefly unbound, but both copies survive —
+    // recover by renaming `_old` or the staging table back).
+    val old = graft.model.TableRef(table.db, table.table + "_old")
+    graft.sources.CatalogOps.dropTable(spark, old)
+    graft.sources.CatalogOps.renameTable(spark, table, old)
     graft.sources.CatalogOps.renameTable(spark, staging, table)
+    graft.sources.CatalogOps.dropTable(spark, old)
   }
 
   /** Incremental near-dups of `batch` against a PERSISTED band index
