@@ -140,6 +140,16 @@ object DocStreams {
     * (DocStreamsSpec). Compact periodically
     * ([[graft.operators.Similarity.compactIvfPqIndex]]) — each batch
     * lands its own files per touched cell.
+    *
+    * Delivery contract: at-least-once. A micro-batch REPLAYED after a
+    * crash between the parquet append and the checkpoint commit
+    * re-appends its code rows (raw parquet has no transactional sink);
+    * searches then see duplicate (vid, m) rows for the replayed batch.
+    * Production options, by increasing machinery: dedup at read
+    * (row_number per (vid, m) — cheap over the pruned probe scan),
+    * point the index at a transactional table format, or record the
+    * batchId in a side ledger and skip seen ids (the
+    * [[graft.streaming.EventStreams]] idempotent-JDBC-sink recipe).
     */
   def ingestIvfPq(stream: DataFrame, indexPath: String,
       checkpoint: String, mm: Int = 8, dd: Int = 8): StreamingQuery = {
