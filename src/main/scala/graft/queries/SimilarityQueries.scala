@@ -407,6 +407,37 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // PREFIX-dimension two-stage search — the matryoshka-representation
+    // idea (Kusupati et al. 2022): rank candidates on only the FIRST 16
+    // of 64 dimensions (a 4× cut in stage-1 scan bytes and dot-product
+    // work, the dimension-truncation leg of the compression family next
+    // to SQ8's scalar and PQ's subspace quantization), widen to top-50,
+    // then rerank the survivors at full 64-dim precision — the
+    // s_pq_rerank candidate-bounded stage-2 shape. On MRL-trained
+    // embeddings the prefix preserves most of the ordering; on these
+    // isotropic test vectors it deliberately does not, which is exactly
+    // what the wide (50 of 500) stage-1 margin is for. Every stage is
+    // exact-decimal and hash-checked.
+    "s_mrl_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(QueryIds: _*))
+      def prefix(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val widened = Similarity.bruteForceTopK(prefix(e), prefix(q), k = 50)
+        .select(col("qid"), col("vid"))
+      val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cv = e.select(col("vec_id").as("vid"), col("embedding").as("cvec"))
+      val scored = widened.join(broadcast(qv), "qid").join(cv, "vid")
+        .select(col("qid"), col("vid"),
+          Similarity.cosineExact(col("qvec"), col("cvec")).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vid", "cos")
+        .orderBy("qid", "rank")
+    }),
+
     // Per-language mean-pooled embedding centroid (documents ⋈
     // embeddings on id), in shuffle-friendly long form — the "class
     // centroid" primitive for pseudo-labeling / drift monitoring /
@@ -724,6 +755,40 @@ object SimilarityQueries {
       |ORDER BY qid, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s_mrl_rerank" ->
+      s"""WITH pcand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    q.embedding AS qv, c.embedding AS cv
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2)),
+        |pterms AS (SELECT qid, vid,
+        |    CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+        |      AS DECIMAL(28,12)) AS p,
+        |    CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+        |      AS DECIMAL(28,12)) AS qq,
+        |    CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+        |      AS DECIMAL(28,12)) AS cc
+        |  FROM pcand, generate_series(1, 16) AS t(i)),
+        |pscored AS (SELECT qid, vid,
+        |    round(CAST(sum(p) AS DOUBLE)
+        |      / (sqrt(CAST(sum(qq) AS DOUBLE))
+        |        * sqrt(CAST(sum(cc) AS DOUBLE))), 6) AS cos
+        |  FROM pterms GROUP BY qid, vid),
+        |widened AS (SELECT qid, vid FROM (
+        |    SELECT qid, vid, row_number() OVER (
+        |        PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        |      FROM pscored) WHERE rn <= 50),
+        |cand AS (SELECT w.qid, w.vid,
+        |    qe.embedding AS qvec, ce.embedding AS cvec
+        |  FROM widened w
+        |  JOIN embeddings qe ON qe.vec_id = w.qid
+        |  JOIN embeddings ce ON ce.vec_id = w.vid),
+        |$cosCte,
+        |ranked AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "s_hybrid_rrf" ->
       s"""WITH corpus AS (SELECT d.doc_id, d.text, e.embedding
         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
