@@ -248,8 +248,8 @@ object ScaleProbe {
 
       println("retentionActiveRows=" + ev.select(col("user_id"),
         to_date(col("ts")).as("day")).distinct().count())
-      println("retentionMatrixRows=" + timed("full e_retention")(
-        SparkEntry.queries("e_retention")(spark, sfDir).count()))
+      println("retentionMatrixRows=" + timed("full e_retention_matrix")(
+        SparkEntry.queries("e_retention_matrix")(spark, sfDir).count()))
       println("rfmUserRows=" + timed("full e_rfm")(
         SparkEntry.queries("e_rfm")(spark, sfDir).count()))
 
@@ -264,12 +264,11 @@ object ScaleProbe {
       timed("writeIvfPqIndex")(Similarity.writeIvfPqIndex(codes, cbooks, idx))
       println("ivfpqTotalCodeRows=" + spark.read.parquet(s"$idx/codes").count())
       val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
-      timed("adcIvfTopKIndexed")(
-        Similarity.adcIvfTopKIndexed(spark, idx, queries, k = 5).count())
       // probed fraction: parse the cell INSET the executed plan pruned
       // to, then count the code rows inside those cell directories
+      // (one Dataset: the timed count also finalizes the AQE plan)
       val searched = Similarity.adcIvfTopKIndexed(spark, idx, queries, k = 5)
-      searched.count()
+      timed("adcIvfTopKIndexed")(searched.count())
       val planStr = searched.queryExecution.executedPlan.toString
       val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
         .findFirstMatchIn(planStr).map(_.group(1)).getOrElse("")

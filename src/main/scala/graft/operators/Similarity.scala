@@ -234,6 +234,17 @@ object Similarity {
       s"seedCentroids: no $idCol in [0, $nlist) — the lowest-id seed " +
         "rule requires ids starting at 0; re-key the corpus or pass " +
         "explicit centroids")
+    if (rows.length < nlist) {
+      // Short seed set: fine iff the corpus is genuinely smaller than
+      // nlist; a GAP in [0, nlist) while larger ids exist means the id
+      // contract is broken and every downstream cell would silently be
+      // fat or missing. The existence probe is a pushed-filter scan
+      // that stops at the first matching row — never a full pass.
+      require(corpus.filter(col(idCol) >= nlist).isEmpty,
+        s"seedCentroids: only ${rows.length} of $nlist seed ids present " +
+          s"but ids ≥ $nlist exist — the id space has gaps below $nlist; " +
+          "re-key the corpus or pass explicit centroids")
+    }
     corpus.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), seeds.schema)
   }

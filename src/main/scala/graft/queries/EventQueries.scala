@@ -103,7 +103,10 @@ object EventQueries {
     // active-day reductions each shuffle once on user_id (map-side
     // combined); the matrix aggregation runs on the small
     // (cohorts × offsets) domain and cohort sizes broadcast back.
-    "e_retention" -> ((s, dir) => {
+    // (Named _matrix because the signup-cohort query below holds the
+    // plain e_retention key — a r12 duplicate-key bug silently
+    // shadowed this entry out of the registry until round 13.)
+    "e_retention_matrix" -> ((s, dir) => {
       val e = ev(s, dir)
       val firstDay = e.groupBy(col("user_id"))
         .agg(to_date(min(col("ts"))).as("cohort"))
@@ -466,7 +469,7 @@ object EventQueries {
         |  freq >= c.f_med AS frequent,
         |  monetary >= c.m_med AS valuable
         |FROM r2, cuts c ORDER BY user_id""".stripMargin,
-    "e_retention" ->
+    "e_retention_matrix" ->
       """WITH fd AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
         |  FROM events GROUP BY 1),
         |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

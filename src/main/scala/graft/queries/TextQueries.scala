@@ -18,12 +18,22 @@ object TextQueries {
   /** rot13 of the English stopwords — the synthetic "second language"
     * the multilingual queries register (quoted-list form for SQL).
     */
-  private val Rot13Words: Seq[String] = {
-    val alphabet = ('a' to 'z').mkString
-    val p = alphabet.drop(13) + alphabet.take(13)
-    TA.Stopwords.map(_.map(c => p(c - 'a')))
-  }
+  private val Alphabet = ('a' to 'z').mkString
+  private val Rot13Perm = Alphabet.drop(13) + Alphabet.take(13)
+
+  private val Rot13Words: Seq[String] =
+    TA.Stopwords.map(_.map(c => Rot13Perm(c - 'a')))
   private val Rot13List = Rot13Words.map(w => s"'$w'").mkString(", ")
+
+  /** The multilingual fixtures' shared corpus view: odd doc_ids rot13'd
+    * (a deterministic "second language" whose function words are
+    * [[Rot13Words]] — the scale generator's Caesar trick), even ids
+    * untouched.
+    */
+  private def rot13Mixed(df: DataFrame): DataFrame =
+    df.withColumn("text2",
+      when(col("doc_id") % 2 === 0, col("text"))
+        .otherwise(translate(col("text"), Alphabet, Rot13Perm)))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quality scoring: length/diversity/stopword-band composite.
@@ -371,22 +381,6 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
-    // IMAGE near-duplicate detection end-to-end: per document a
-    // deterministic two-tone 32×32 JPEG (pattern = n_chars % 3 —
-    // dark-left / dark-top / dark-left-⅜), REALLY decoded through
-    // ImageIO into a 64-bit perceptual aHash, then paired by the text
-    // near-dup machinery unchanged — banded signature self-join
-    // (16 bands × 4 bits, lossless for the maxDist=8 cut by
-    // pigeonhole) + the codegen hamming_dist kernel. Pattern geometry
-    // makes every hash and distance closed-form (d(0,2)=8 near-dup,
-    // d(0,1)=d(1,2)=32 far; JPEG noise is ~2 greylevels against a
-    // ~250-level margin), so DuckDB verifies the decode→hash→band→
-    // verify chain without decoding anything. Pairing is restricted to
-    // the doc_id<60 audit slice (the s_pq_recon idiom): every
-    // same-pattern pair matches by construction, so unbounded pairing
-    // is quadratic BY DESIGN here — real corpora pair via the same
-    // banding with collision-bounded buckets (d_simhash_pairs). The
-    // hash pass itself runs over the full corpus.
     // The LANGUAGE-AWARE Gopher gate, rule by rule — the multilingual
     // twin of t_gopher (and the oracle check for gopherRulesLang's
     // single-pass bitmask fold): odd doc_ids are rot13'd, the registry
@@ -396,12 +390,8 @@ object TextQueries {
     // r12 failure mode (mono_pass=false where pass=true), which is
     // exactly what the language-aware gate exists to fix.
     "t_gopher_lang" -> ((s, dir) => {
-      val alphabet = ('a' to 'z').mkString
-      val p = alphabet.drop(13) + alphabet.take(13)
       val registry = Map("en" -> TA.Stopwords, "rot13" -> Rot13Words)
-      val d = docs(s, dir).withColumn("text2",
-        when(col("doc_id") % 2 === 0, col("text"))
-          .otherwise(translate(col("text"), alphabet, p)))
+      val d = rot13Mixed(docs(s, dir))
       val Seq(rWc, rMwl, rTtr, rStop) =
         TA.gopherRulesLang(col("text2"), registry)
       d.select(col("doc_id"),
@@ -422,19 +412,30 @@ object TextQueries {
     // to pin the containment relation (mono 'en' ⇒ multi 'en').
     // Map-only over the scan; |registry| filtered sizes per row.
     "t_langid_multi" -> ((s, dir) => {
-      val alphabet = ('a' to 'z').mkString
-      val p = alphabet.drop(13) + alphabet.take(13)
-      val rot13 = TA.Stopwords.map(_.map(c => p(c - 'a')))
-      val d = docs(s, dir).withColumn("text2",
-        when(col("doc_id") % 2 === 0, col("text"))
-          .otherwise(translate(col("text"), alphabet, p)))
+      val d = rot13Mixed(docs(s, dir))
       d.select(col("doc_id"),
         TA.langIdMulti(col("text2"),
-          Map("en" -> TA.Stopwords, "rot13" -> rot13)).as("lang"),
+          Map("en" -> TA.Stopwords, "rot13" -> Rot13Words)).as("lang"),
         TA.langId(col("text2")).as("mono_lang"))
         .orderBy("doc_id")
     }),
 
+    // IMAGE near-duplicate detection end-to-end: per document a
+    // deterministic two-tone 32×32 JPEG (pattern = n_chars % 3 —
+    // dark-left / dark-top / dark-left-⅜), REALLY decoded through
+    // ImageIO into a 64-bit perceptual aHash, then paired by the text
+    // near-dup machinery unchanged — banded signature self-join
+    // (16 bands × 4 bits, lossless for the maxDist=8 cut by
+    // pigeonhole) + the codegen hamming_dist kernel. Pattern geometry
+    // makes every hash and distance closed-form (d(0,2)=8 near-dup,
+    // d(0,1)=d(1,2)=32 far; JPEG noise is ~2 greylevels against a
+    // ~250-level margin), so DuckDB verifies the decode→hash→band→
+    // verify chain without decoding anything. Pairing is restricted to
+    // the doc_id<60 audit slice (the s_pq_recon idiom): every
+    // same-pattern pair matches by construction, so unbounded pairing
+    // is quadratic BY DESIGN here — real corpora pair via the same
+    // banding with collision-bounded buckets (d_simhash_pairs). The
+    // hash pass itself runs over the full corpus.
     "mm_neardup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._

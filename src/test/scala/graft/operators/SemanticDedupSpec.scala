@@ -104,6 +104,31 @@ class SemanticDedupSpec extends SparkFunSuite {
     assert(joined.exists(!_.getAs[Boolean]("keep")), "rule must fire")
   }
 
+  test("incremental fails fast on id-shifted corpora (broken seed contract)") {
+    val s = spark
+    val emb = s.read.parquet(s"$sf0001/embeddings.parquet")
+    // an id-shifted slice has ids ≥ nlist but none in [0, nlist):
+    // previously a silently-empty centroid set and an empty result
+    val shifted = emb.withColumn("vec_id", col("vec_id") + 1000L)
+    val batch = shifted.filter(col("vec_id") >= 1400L)
+    val corpus = shifted.filter(col("vec_id") < 1400L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedupAgainst(corpus, batch, tau = 0.4)
+    }
+    assert(e.getMessage.contains("re-key"), e.getMessage)
+    // a gap below nlist with larger ids present is also rejected
+    val gappy = emb.filter(col("vec_id") >= 8L)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.semanticDedupAgainst(gappy, batch, tau = 0.4)
+    }
+    assert(e2.getMessage.contains("gaps below"), e2.getMessage)
+    // a corpus genuinely smaller than nlist still seeds (short is legal
+    // when no larger ids exist)
+    val tiny = emb.filter(col("vec_id") < 8L)
+    assert(Dedup.semanticDedupAgainst(tiny,
+      emb.filter(col("vec_id") < 8L), tau = 0.4).count() > 0)
+  }
+
   test("index-backed incremental == inline; corpus scan partition-prunes to batch cells") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val corpus = emb.filter(col("vec_id") < 400)
