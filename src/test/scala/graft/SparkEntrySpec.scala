@@ -19,6 +19,31 @@ class SparkEntrySpec extends SparkFunSuite {
     assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
 
+  test("no duplicate query keys in source (Map literals silently drop dupes)") {
+    // The r12→r13 e_retention bug: a duplicate key inside ONE Map
+    // literal compiles clean and silently shadows the earlier entry —
+    // invisible to the runtime keyset checks above. Guard at the
+    // source level: a query name may bind at most once among defs and
+    // once among oracles per file.
+    val dir = new java.io.File("src/main/scala/graft/queries")
+    val binding = """"([a-z0-9_]+)"\s*->""".r
+    val defBinding = """"([a-z0-9_]+)"\s*->\s*\(\(""".r
+    dir.listFiles().filter(_.getName.endsWith(".scala")).foreach { f =>
+      val src = {
+        val s = scala.io.Source.fromFile(f, "UTF-8")
+        try s.mkString finally s.close()
+      }
+      val defs = defBinding.findAllMatchIn(src).map(_.group(1)).toSeq
+      val dupDefs = defs.groupBy(identity).filter(_._2.size > 1).keys
+      assert(dupDefs.isEmpty, s"${f.getName}: duplicate query defs $dupDefs")
+      val all = binding.findAllMatchIn(src).map(_.group(1)).toSeq
+      val overBound = all.groupBy(identity)
+        .filter(_._2.size > 2).keys
+      assert(overBound.isEmpty,
+        s"${f.getName}: names bound more than twice (def+oracle): $overBound")
+    }
+  }
+
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
