@@ -277,6 +277,26 @@ object ScaleProbe {
       println(s"ivfpqProbedCells=${insetCells.size}")
       println("ivfpqProbedCodeRows=" + spark.read.parquet(s"$idx/codes")
         .filter(col("cell").isin(insetCells: _*)).count())
+
+      // The r13 additions' own measures: MRL stage-1 pairs are q·(n−1)
+      // (the brute baseline — by design; stage 2 is candidate-bounded
+      // at q·50 regardless of n); mm_neardup's hash pass is corpus-
+      // sized while pairing is slice-bounded; the Q13/Q15/Q22 shapes
+      // aggregate a 10× fact against constant dims.
+      println("mrlStage1Pairs=" + (3L * (emb.count() - 1)))
+      timed("full s_mrl_rerank")(
+        SparkEntry.queries("s_mrl_rerank")(spark, sfDir).count())
+      println("neardupHashRows=" + docs.count())
+      println("neardupPairs=" + timed("full mm_neardup")(
+        SparkEntry.queries("mm_neardup")(spark, sfDir).count()))
+      println("q13CustomerRows=" +
+        Sources.table(spark, sfDir, "customer").count())
+      println("q13OutputRows=" + timed("full q13_order_distribution")(
+        SparkEntry.queries("q13_order_distribution")(spark, sfDir).count()))
+      println("q15SupplierGroups=" + timed("full q15_top_supplier")(
+        SparkEntry.queries("q15_top_supplier")(spark, sfDir).count()))
+      println("q22OutputRows=" + timed("full q22_sales_opportunity")(
+        SparkEntry.queries("q22_sales_opportunity")(spark, sfDir).count()))
     }
     if (what == "curate") {
       // Factor-10 protocol for the curation pipeline: stage counts are
