@@ -243,6 +243,35 @@ object TextQueries {
     // and a document's fate never changes as the corpus grows or the
     // cluster resizes. en keeps 64/256 (25%), every other language
     // 128/256 (50%).
+    // Data-MIXTURE planning — the step BEFORE t_sample_stratified's
+    // fixed keep-rates: given target per-language token SHARES (a
+    // broadcast config) and the measured per-language token counts,
+    // compute the largest total budget the corpus can serve at those
+    // shares (N = min over languages of tokens/weight — the binding
+    // language keeps everything) and each language's keep rate. This
+    // is the rebalancing arithmetic behind mixture recipes
+    // (DoReMi-style weights, the Pile's per-source epochs): measured
+    // counts in, executable sampling plan out. One map-side-combined
+    // shuffle for the counts; everything after is |langs|-sized.
+    "t_mixture" -> ((s, dir) => {
+      val toks = docs(s, dir).groupBy("lang")
+        .agg(sum(TA.wordCount(col("text")).cast("long")).as("tokens"))
+      val weights = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
+        ("fr", 0.15), ("zh", 0.15))
+      import s.implicits._
+      val wdf = weights.toDF("lang", "weight")
+      val scored = toks.join(broadcast(wdf), "lang")
+        .withColumn("feasible",
+          col("tokens").cast("double") / col("weight"))
+      val n = scored.agg(min(col("feasible")).as("n_total"))
+      scored.crossJoin(broadcast(n))
+        .select(col("lang"), col("tokens"), col("weight"),
+          round(col("weight") * col("n_total"), 4).as("planned_tokens"),
+          round(col("weight") * col("n_total") /
+            col("tokens").cast("double"), 6).as("keep_rate"))
+        .orderBy("lang")
+    }),
+
     "t_sample_stratified" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -600,6 +629,23 @@ object TextQueries {
         |  (n_words BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 4.7)
         |    AND ttr >= 0.3 AND n_stop >= 2 AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    // Mixture plan: N = min(tokens/weight) over languages; weights cast
+    // to DOUBLE (DuckDB VALUES literals are DECIMAL) so both engines
+    // run the same IEEE arithmetic.
+    "t_mixture" ->
+      """WITH tok AS (SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+        |  ('fr', 0.15), ('zh', 0.15)),
+        |j AS (SELECT t.lang, t.tokens, CAST(w.wt AS DOUBLE) AS weight,
+        |    CAST(t.tokens AS DOUBLE) / CAST(w.wt AS DOUBLE) AS feasible
+        |  FROM tok t JOIN w ON t.lang = w.lang),
+        |n AS (SELECT min(feasible) AS n_total FROM j)
+        |SELECT lang, tokens, weight,
+        |  round(weight * n_total, 4) AS planned_tokens,
+        |  round(weight * n_total / CAST(tokens AS DOUBLE), 6) AS keep_rate
+        |FROM j, n ORDER BY lang""".stripMargin,
     "t_sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,
         |    CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)),
