@@ -180,21 +180,31 @@ object RelationalQueries {
     "q_recursive" -> ((s, dir) => {
       // The edge relation is loop-INVARIANT but referenced by every
       // UnionLoop iteration, which would re-run its window each round.
-      // Materialize it ONCE via an eager localCheckpoint (the GraphX
-      // treatment of iteration-invariant inputs; 2 slim columns per
-      // order, distributed blocks, never collected). Unlike persist(),
-      // a localCheckpoint leaves NO session CacheManager entry — its
-      // blocks are dropped by the context cleaner when the plan is
-      // garbage-collected, so a long-lived session accumulates nothing
-      // (SparkEntrySpec sweeps for persist leaks). The view is
-      // unique-named and dropped as soon as sql() has analyzed the
-      // plan (the q_lateral scoping pattern).
+      // Materialize it ONCE to a scratch parquet and recurse over the
+      // file-backed relation — the RELIABLE-checkpoint shape:
+      //  - the window shuffle is paid exactly once; each UnionLoop
+      //    iteration re-scans a slim 3-column columnar file instead of
+      //    re-executing the window;
+      //  - lineage for the recursion roots at a FILE, so an executor
+      //    loss (routine under dynamic allocation at 100 TB) re-reads
+      //    instead of failing — unlike localCheckpoint, whose
+      //    non-replicated blocks + truncated lineage kill the query
+      //    when their host dies (the r13 perf-weak flag), and unlike
+      //    persist(), which pins a session CacheManager entry this
+      //    builder has no post-action hook to release;
+      //  - [[graft.sources.Scratch]] keys the path per (query, dataset,
+      //    JVM): repeat runs overwrite in place, concurrent processes
+      //    never share a path. The view is unique-named and dropped as
+      //    soon as sql() has analyzed the plan (the q_lateral scoping
+      //    pattern).
       import org.apache.spark.sql.expressions.Window
-      val edges = t(s, dir, "orders")
+      val scratch = graft.sources.Scratch.dir("qrec_edges", dir)
+      t(s, dir, "orders")
         .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
           lag(col("o_orderkey"), 1).over(Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_orderdate"), col("o_orderkey"))).as("prev_ok"))
-        .localCheckpoint()
+        .write.mode("overwrite").parquet(scratch)
+      val edges = s.read.parquet(scratch)
       val view = "edges_qrec_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       edges.createOrReplaceTempView(view)

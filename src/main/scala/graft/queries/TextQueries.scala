@@ -253,6 +253,11 @@ object TextQueries {
     // (DoReMi-style weights, the Pile's per-source epochs): measured
     // counts in, executable sampling plan out. One map-side-combined
     // shuffle for the counts; everything after is |langs|-sized.
+    // The join runs FROM the weight table (left outer, missing counts
+    // coalesced to 0): a target language with zero corpus presence is
+    // the BINDING constraint (N = 0, every keep rate 0) — an inner
+    // join would silently drop it and emit a plan whose shares sum to
+    // less than 1 (the r13 advisory).
     "t_mixture" -> ((s, dir) => {
       val toks = docs(s, dir).groupBy("lang")
         .agg(sum(TA.wordCount(col("text")).cast("long")).as("tokens"))
@@ -260,15 +265,17 @@ object TextQueries {
         ("fr", 0.15), ("zh", 0.15))
       import s.implicits._
       val wdf = weights.toDF("lang", "weight")
-      val scored = toks.join(broadcast(wdf), "lang")
+      val scored = wdf.join(broadcast(toks), Seq("lang"), "left")
+        .withColumn("tokens", coalesce(col("tokens"), lit(0L)))
         .withColumn("feasible",
           col("tokens").cast("double") / col("weight"))
       val n = scored.agg(min(col("feasible")).as("n_total"))
       scored.crossJoin(broadcast(n))
         .select(col("lang"), col("tokens"), col("weight"),
           round(col("weight") * col("n_total"), 4).as("planned_tokens"),
-          round(col("weight") * col("n_total") /
-            col("tokens").cast("double"), 6).as("keep_rate"))
+          when(col("tokens") === 0L, lit(0.0))
+            .otherwise(round(col("weight") * col("n_total") /
+              col("tokens").cast("double"), 6)).as("keep_rate"))
         .orderBy("lang")
     }),
 
@@ -631,20 +638,26 @@ object TextQueries {
         |FROM m ORDER BY doc_id""".stripMargin,
     // Mixture plan: N = min(tokens/weight) over languages; weights cast
     // to DOUBLE (DuckDB VALUES literals are DECIMAL) so both engines
-    // run the same IEEE arithmetic.
+    // run the same IEEE arithmetic. LEFT join from the weight table
+    // (missing counts → 0) so an absent target language binds N to 0
+    // instead of vanishing from the plan.
     "t_mixture" ->
       """WITH tok AS (SELECT lang,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
         |  FROM documents GROUP BY 1),
         |w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
         |  ('fr', 0.15), ('zh', 0.15)),
-        |j AS (SELECT t.lang, t.tokens, CAST(w.wt AS DOUBLE) AS weight,
-        |    CAST(t.tokens AS DOUBLE) / CAST(w.wt AS DOUBLE) AS feasible
-        |  FROM tok t JOIN w ON t.lang = w.lang),
+        |j AS (SELECT w.lang, COALESCE(t.tokens, 0) AS tokens,
+        |    CAST(w.wt AS DOUBLE) AS weight,
+        |    CAST(COALESCE(t.tokens, 0) AS DOUBLE)
+        |      / CAST(w.wt AS DOUBLE) AS feasible
+        |  FROM w LEFT JOIN tok t ON t.lang = w.lang),
         |n AS (SELECT min(feasible) AS n_total FROM j)
         |SELECT lang, tokens, weight,
         |  round(weight * n_total, 4) AS planned_tokens,
-        |  round(weight * n_total / CAST(tokens AS DOUBLE), 6) AS keep_rate
+        |  CASE WHEN tokens = 0 THEN 0.0
+        |    ELSE round(weight * n_total / CAST(tokens AS DOUBLE), 6)
+        |  END AS keep_rate
         |FROM j, n ORDER BY lang""".stripMargin,
     "t_sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,

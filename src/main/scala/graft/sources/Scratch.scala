@@ -1,0 +1,40 @@
+package graft.sources
+
+/** Session-scoped scratch directories for query-local materialized
+  * state (loop-invariant relations, on-disk index builds).
+  *
+  * Naming contract: `graft_<tag>_<sha256(key)₆₄ᵇ>_<jvm-nonce>` under
+  * `java.io.tmpdir`.
+  *  - The KEY is digested with a 64-bit slice of SHA-256, not
+  *    `String.hashCode` — two distinct dataset dirs colliding on a
+  *    32-bit hash would silently share (and clobber) one scratch
+  *    location.
+  *  - The NONCE is per-JVM: concurrent processes over the same dataset
+  *    never interleave one process's overwrite with another's read,
+  *    while repeat runs inside one JVM (bench runs every query twice)
+  *    land on the same path and overwrite in place instead of
+  *    accreting tmp dirs.
+  *
+  * Local-mode note: `java.io.tmpdir` is correct for `local[*]` where
+  * driver and executors share a filesystem. On a real cluster the
+  * root must be cluster-visible — point [[root]] (the
+  * `graft.scratch.dir` system property) at the job's shared scratch
+  * (HDFS/S3 staging), exactly where `spark.sql.warehouse.dir` or the
+  * checkpoint dir would live.
+  */
+object Scratch {
+
+  private val nonce: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  private def root: String =
+    sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir"))
+
+  /** Deterministic-within-JVM scratch path for (tag, key). */
+  def dir(tag: String, key: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+    new java.io.File(root, s"graft_${tag}_${d}_$nonce").toString
+  }
+}
