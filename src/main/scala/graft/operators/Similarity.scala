@@ -435,6 +435,7 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    recoverCellDir(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val qprobes = probeCells(queries, cents, nProbe, idCol, vecCol)
     val cells = qprobes.select("cell").distinct()
@@ -655,11 +656,30 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$path/codebooks")
     val assigned = assignCells(recon, coarse, "vid", vecCol)
       .select(col("vid"), col("cell"))
+    // `_batch = -1` marks base-build rows; streaming ingest writes its
+    // own `_batch=<id>` leaf per micro-batch so replays are idempotent
+    // (see [[appendToIvfPqIndex]]). The second partition level changes
+    // directory depth only — cell pruning is untouched (cell stays the
+    // first level) and search reads ignore the column.
     staged.join(assigned, "vid")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .withColumn("_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("cell", "_batch")
+      .parquet(s"$path/codes")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes_staging"), true)
+  }
+
+  /** PQ geometry (mm subspaces × dd dims) read off stored codebooks —
+    * the codebooks are the single source of truth, so callers can
+    * never hand the append/search paths a geometry that disagrees
+    * with the codes already in the index (wrong values would silently
+    * mix codes over a different subspace split into the same layout).
+    */
+  private def pqGeometryOf(cbooks: DataFrame): (Int, Int) = {
+    val r = cbooks.agg(max(col("m")).as("mx"),
+      max(size(col("cv"))).as("dd")).head()
+    (r.getInt(0) + 1, r.getInt(1))
   }
 
   /** Grow a [[writeIvfPqIndex]] index by an ingested batch: encode the
@@ -672,20 +692,54 @@ object Similarity {
     * directory; the batch pays one encode pass + one assignment pass,
     * and the standing index never rewrites. Spec-proven equal to a
     * full rebuild over the combined corpus (IvfIndexSpec).
+    *
+    * Geometry comes from the STORED codebooks ([[pqGeometryOf]]), never
+    * the caller, and the batch's lowest id must clear the stored nlist:
+    * [[seedCentroidsLiteral]] seeds the coarse quantizer from the
+    * LOWEST ids, so an appended id below nlist would make a later full
+    * rebuild pick different seeds than the grown index — voiding the
+    * spec-proven rebuild equivalence. The guard costs one min() over
+    * the batch (O(batch), map-side).
+    *
+    * Delivery: pass `batchId` (e.g. the Structured Streaming batch id)
+    * to make the write IDEMPOTENT — rows land under
+    * `cell=<c>/_batch=<id>/` via dynamic partition overwrite, so a
+    * replayed micro-batch OVERWRITES its own leaf directories instead
+    * of appending duplicates (deterministic encode ⇒ identical rows).
+    * Without a batchId, rows land under `_batch=-1` with plain append
+    * semantics (one-off batch growth; caller owns retry hygiene).
     */
   def appendToIvfPqIndex(batch: DataFrame, path: String,
-      mm: Int = 8, dd: Int = 8,
+      batchId: Option[Long] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     val coarse = spark.read.parquet(s"$path/coarse")
     val cbooks = spark.read.parquet(s"$path/codebooks")
+    val (mm, dd) = pqGeometryOf(cbooks)
+    val minIdRow = batch.agg(min(col(idCol).cast("long"))).head()
+    if (minIdRow.isNullAt(0)) return // empty batch (idle micro-batch)
+    val nlist = coarse.count()
+    require(minIdRow.getLong(0) >= nlist,
+      s"appendToIvfPqIndex: batch min $idCol ${minIdRow.getLong(0)} is " +
+        s"below the stored nlist ($nlist) — appended ids must not enter " +
+        "the lowest-id coarse-seed set, or a full rebuild would choose " +
+        "different seeds than the grown index")
     val codes = pqEncode(batch, cbooks, mm, dd, idCol, vecCol)
     val recon = pqReconstruct(codes, cbooks, idCol, vecCol)
     val assigned = assignCells(recon, coarse, idCol, vecCol)
       .select(col("vid"), col("cell"))
-    codes.select(col(idCol).as("vid"), col("m"), col("cid"))
+    val rows = codes.select(col(idCol).as("vid"), col("m"), col("cid"))
       .join(assigned, "vid")
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .withColumn("_batch", lit(batchId.getOrElse(-1L)))
+    batchId match {
+      case Some(_) =>
+        rows.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell", "_batch").parquet(s"$path/codes")
+      case None =>
+        rows.write.mode("append")
+          .partitionBy("cell", "_batch").parquet(s"$path/codes")
+    }
   }
 
   /** OPTIMIZE for the cell-partitioned vector indexes: each
@@ -693,24 +747,52 @@ object Similarity {
     * small files inside every cell directory it touches, so after B
     * batches a probed search opens O(B) files per probed cell — the
     * small-files spiral that eventually dominates open/seek time at
-    * 100 TB ingest cadence. Rewrites the cell data to ONE file per
-    * cell, PRESERVING the partitionBy(cell) layout (each writer task
-    * holds whole cells after the repartition, so the dynamic-partition
-    * write emits exactly one file per cell) — partition pruning is
-    * untouched, spec-asserted in CompactionSpec. Write-stage-publish:
-    * the compacted copy is fully written beside the live directory,
-    * then swapped with two renames; a crash mid-compaction leaves
-    * either the original or both copies, never a torn index. (On
+    * 100 TB ingest cadence. Rewrites the cell data to FEW, SIZE-BOUNDED
+    * files per cell, PRESERVING the partitionBy(cell) layout:
+    *  - the repartitionByRange on (cell, vid) keeps each cell's rows on
+    *    as few tasks as the size budget allows (cold cells share a
+    *    task → one file each) while a HOT cell spans several vid
+    *    ranges — so compaction output scales with data, never "one
+    *    arbitrarily large task and file per hot cell";
+    *  - `maxRecordsPerFile` caps every emitted file, hot or cold —
+    *    spec-asserted over a deliberately skewed cell in
+    *    CompactionSpec, together with the preserved pruning.
+    * A `_batch` ingest level (IVFPQ codes) is collapsed to `-1`:
+    * compaction is the batch-history horizon, so it requires quiesced
+    * WRITERS as well as readers.
+    *
+    * Publish is write-stage-rename: the compacted copy is fully
+    * written beside the live directory, then swapped with two renames.
+    * A crash between the renames leaves the live path unbound with the
+    * data intact in `._old` (and complete in `._compacting`);
+    * [[recoverCellDir]] — called by every open (search, compact) —
+    * rolls such a crash FORWARD to the staged copy automatically, so
+    * the index never needs a manual rename to come back. Concurrent
+    * readers during the swap window can still observe the unbound
+    * path: compaction is an OPTIMIZE maintenance action — run it
+    * against a quiesced reader set, like the band-index twin. (On
     * object stores where rename is copy — raw S3A — the swap costs one
     * extra copy of the compacted data, or point the index at a
     * rename-capable layer; the staging write itself is the safety.)
     */
-  def compactCellIndex(spark: SparkSession, dir: String): Unit = {
+  def compactCellIndex(spark: SparkSession, dir: String,
+      maxRecordsPerFile: Long = 4L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
+    recoverCellDir(spark, dir)
     val staging = s"${dir}._compacting"
-    spark.read.parquet(dir)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val live = spark.read.parquet(dir)
+    val total = live.count()
+    val nParts = math.max(1L,
+      math.ceil(total.toDouble / maxRecordsPerFile).toLong).toInt
+    val hasBatch = live.columns.contains("_batch")
+    val ranged = live.repartitionByRange(nParts, col("cell"), col("vid"))
+    val (out, partCols) =
+      if (hasBatch) (ranged.withColumn("_batch", lit(-1L)),
+        Seq("cell", "_batch"))
+      else (ranged, Seq("cell"))
+    out.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*).parquet(staging)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(s"${dir}._old")
@@ -721,6 +803,31 @@ object Similarity {
       s"compactCellIndex: could not publish compacted dir into $dir " +
         s"(original preserved at $old)")
     fs.delete(old, true)
+  }
+
+  /** Crash recovery for the [[compactCellIndex]] swap: if the live dir
+    * is missing, a crash landed between the two publish renames — the
+    * staged compacted copy (complete by construction: staging finishes
+    * before the first rename starts) is rolled FORWARD into the live
+    * path, or failing that the `._old` copy is rolled back. Idempotent
+    * and O(metadata); every index open calls it, so a crashed
+    * compaction heals on the next search instead of requiring a manual
+    * rename.
+    */
+  private[graft] def recoverCellDir(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val livePath = new Path(dir)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(livePath)) {
+      val staging = new Path(s"${dir}._compacting")
+      val old = new Path(s"${dir}._old")
+      if (fs.exists(staging) && fs.rename(staging, livePath)) {
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, livePath),
+          s"recoverCellDir: live $dir missing and ._old unrenamable")
+      }
+    }
   }
 
   /** [[compactCellIndex]] over a [[writeIvfIndex]] index. */
@@ -746,10 +853,11 @@ object Similarity {
     */
   def adcIvfTopKIndexed(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nProbe: Int = 4,
-      mm: Int = 8, dd: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    recoverCellDir(spark, s"$path/codes")
     val coarse = spark.read.parquet(s"$path/coarse")
     val cbooks = spark.read.parquet(s"$path/codebooks")
+    val (mm, dd) = pqGeometryOf(cbooks)
     val qprobes = probeCells(queries, coarse, nProbe, idCol, vecCol)
       .select(col("qid"), col("cell"))
     val cells = qprobes.select("cell").distinct()

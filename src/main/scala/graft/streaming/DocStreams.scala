@@ -141,22 +141,25 @@ object DocStreams {
     * ([[graft.operators.Similarity.compactIvfPqIndex]]) — each batch
     * lands its own files per touched cell.
     *
-    * Delivery contract: at-least-once. A micro-batch REPLAYED after a
-    * crash between the parquet append and the checkpoint commit
-    * re-appends its code rows (raw parquet has no transactional sink);
-    * searches then see duplicate (vid, m) rows for the replayed batch.
-    * Production options, by increasing machinery: dedup at read
-    * (row_number per (vid, m) — cheap over the pruned probe scan),
-    * point the index at a transactional table format, or record the
-    * batchId in a side ledger and skip seen ids (the
-    * [[graft.streaming.EventStreams]] idempotent-JDBC-sink recipe).
+    * Delivery contract: EXACTLY-ONCE by idempotence. Each micro-batch
+    * writes its code rows under its own `cell=<c>/_batch=<id>/` leaf
+    * via dynamic partition overwrite
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]] with the
+    * streaming batch id), so a batch REPLAYED after a crash between
+    * the parquet write and the checkpoint commit OVERWRITES exactly
+    * its own leaves with identical rows (the encode is deterministic
+    * against the stored codebooks) instead of appending duplicates —
+    * spec-proven by a forced replay-from-checkpoint in DocStreamsSpec.
+    * PQ geometry is read off the index's stored codebooks, never
+    * caller-supplied.
     */
   def ingestIvfPq(stream: DataFrame, indexPath: String,
-      checkpoint: String, mm: Int = 8, dd: Int = 8): StreamingQuery = {
+      checkpoint: String): StreamingQuery = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.appendToIvfPqIndex(batch, indexPath, mm, dd)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.appendToIvfPqIndex(
+          batch, indexPath, batchId = Some(batchId))
         ()
       }
       .trigger(Trigger.AvailableNow())

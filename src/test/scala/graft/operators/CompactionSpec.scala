@@ -143,4 +143,73 @@ class CompactionSpec extends SparkFunSuite {
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(after.nonEmpty && after == before)
   }
+
+  test("compactCellIndex: hot cell splits into size-bounded files, pruning kept") {
+    // A deliberately skewed layout: cell 0 holds 50× the rows of every
+    // other cell — the "one arbitrarily large task and file per hot
+    // cell" hazard the size bound exists for. Accrete it over several
+    // appends (the small-files state compaction starts from), then
+    // compact with a small per-file cap and assert the cap holds for
+    // EVERY emitted file while partition pruning survives.
+    import org.apache.spark.sql.functions.{input_file_name, lit}
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("cell_skew") + "/cells"
+    val hot = (0L until 5000L).map(v => (v, 0))
+    val cold = (5000L until 5400L).map(v => (v, 1 + (v % 4).toInt))
+    def rows(chunk: Seq[(Long, Int)]) =
+      chunk.toDF("vid", "cell").withColumn("_batch", lit(-1L))
+    Seq(hot.take(2000), hot.slice(2000, 4000), hot.drop(4000) ++ cold)
+      .foreach(c => rows(c).write.mode("append")
+        .partitionBy("cell", "_batch").parquet(dir))
+    assert(dataFiles(new java.io.File(dir)).size > 5)
+
+    Similarity.compactCellIndex(s, dir, maxRecordsPerFile = 500L)
+
+    val perFile = s.read.parquet(dir)
+      .groupBy(input_file_name().as("f")).count().collect()
+    assert(perFile.forall(_.getLong(1) <= 500L),
+      s"files over the 500-row cap: ${perFile.filter(_.getLong(1) > 500L).mkString(", ")}")
+    // the hot cell must have split into >1 file, not one giant one
+    val hotFiles = perFile.count(_.getString(0).contains("cell=0/"))
+    assert(hotFiles >= 10, s"hot cell should span >=10 capped files, got $hotFiles")
+    // pruning survives the rewrite
+    val pruned = s.read.parquet(dir).filter(col("cell") === 1)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[.*cell".r.findFirstIn(plan).isDefined, plan)
+    assert(s.read.parquet(dir).count() == 5400L)
+  }
+
+  test("recoverCellDir: a crash between the publish renames heals on next open") {
+    // Simulate the torn-swap window: live dir renamed aside (first
+    // rename done), staged copy present, second rename never ran. The
+    // next search must roll FORWARD to the staged copy transparently.
+    val s = spark
+    val path = tmpDir("ivf_recover")
+    val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+    Similarity.writeIvfIndex(emb, path, nlist = 16)
+    val before = Similarity.ivfTopKIndexed(s, path, queries, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
+    // stage a complete compacted copy, then crash mid-swap
+    s.read.parquet(s"$path/cells").repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells._compacting")
+    assert(fs.rename(cells, new org.apache.hadoop.fs.Path(s"$path/cells._old")))
+    assert(!fs.exists(cells))
+
+    val healed = Similarity.ivfTopKIndexed(s, path, queries, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(healed == before)
+    assert(fs.exists(cells) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells._old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells._compacting")))
+  }
 }

@@ -55,8 +55,10 @@ class IvfIndexSpec extends SparkFunSuite {
     Similarity.writeIvfPqIndex(codes, cbooks, path)
 
     // the persisted layout is codes-only: no float arrays in the cells
+    // (`_batch` is the ingest-idempotence partition level, not data)
     val stored = spark.read.parquet(s"$path/codes")
-    assert(stored.schema.fieldNames.toSet == Set("vid", "m", "cid", "cell"),
+    assert(stored.schema.fieldNames.toSet ==
+      Set("vid", "m", "cid", "cell", "_batch"),
       s"code files must hold only code rows: ${stored.schema}")
 
     val indexed = Similarity.adcIvfTopKIndexed(spark, path, queries,
@@ -99,5 +101,22 @@ class IvfIndexSpec extends SparkFunSuite {
     val grownVids = spark.read.parquet(s"$grown/codes")
       .select("vid").distinct().count()
     assert(grownVids == emb.count(), s"grown index holds $grownVids vids")
+  }
+
+  test("appendToIvfPqIndex: rejects ids that would invade the coarse-seed set") {
+    // The coarse quantizer seeds from the LOWEST ids; appending an id
+    // below the stored nlist would make a later full rebuild choose
+    // different seeds than the grown index, silently voiding rebuild
+    // equivalence — the append must fail fast instead.
+    val path = tmpDir("ivfpq_guard")
+    val base = emb.filter(col("vec_id") < 400)
+    Similarity.writeIvfPqIndex(Similarity.pqEncode(base, cbooks), cbooks, path)
+    val invader = emb.filter(col("vec_id") < 16)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(invader, path)
+    }
+    assert(ex.getMessage.contains("coarse-seed"), ex.getMessage)
+    // an empty batch is a quiet no-op (idle streaming micro-batch)
+    Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") < 0), path)
   }
 }

@@ -114,8 +114,9 @@ class DocStreamsSpec extends SparkFunSuite {
       .toArray.map(_.toString).find(_.endsWith(".parquet")).get
     java.nio.file.Files.move(java.nio.file.Paths.get(part),
       java.nio.file.Paths.get(streamDir, "arrivals.parquet"))
+    val ckpt = tmpDir("ivfpq_ckpt")
     DocStreams.ingestIvfPq(DocStreams.readEmbeddings(s, streamDir),
-      streamIdx, tmpDir("ivfpq_ckpt"))
+      streamIdx, ckpt)
 
     def topk(path: String) = graft.operators.Similarity
       .adcIvfTopKIndexed(s, path, queries, k = 5)
@@ -126,6 +127,29 @@ class DocStreamsSpec extends SparkFunSuite {
     // the stream actually grew the index
     assert(s.read.parquet(s"$streamIdx/codes")
       .select("vid").distinct().count() == emb.count())
+
+    // EXACTLY-ONCE under replay: crash between the parquet write and
+    // the checkpoint commit = the commit file is missing but the batch
+    // data landed. Simulate it by deleting the batch's commit marker
+    // and restarting from the same checkpoint — Spark re-runs batch 0
+    // against an index that already contains its rows. The idempotent
+    // `_batch=<id>` dynamic overwrite must leave zero duplicate
+    // (vid, m) code rows and an unchanged search result.
+    val ckptPath = ckpt
+    // delete through Hadoop's FS so the .crc sibling goes too — a
+    // stale checksum would fail the replay's rename-commit
+    val ckptFs = new org.apache.hadoop.fs.Path(ckptPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val commit0 = new org.apache.hadoop.fs.Path(s"$ckptPath/commits/0")
+    assert(ckptFs.exists(commit0), s"no commit marker at $commit0")
+    assert(ckptFs.delete(commit0, false))
+    DocStreams.ingestIvfPq(DocStreams.readEmbeddings(s, streamDir),
+      streamIdx, ckptPath)
+    val codeRows = s.read.parquet(s"$streamIdx/codes")
+    val dups = codeRows.groupBy("vid", "m")
+      .count().filter(col("count") > 1).count()
+    assert(dups == 0L, s"replayed batch left $dups duplicate (vid, m) rows")
+    assert(topk(streamIdx) == viaStream)
   }
 
   test("streaming near-dups against the band index == batch incremental dedup") {
