@@ -45,6 +45,63 @@ object SimilarityQueries {
     * construction cost stays attributable next to the per-query
     * search numbers (SCALING.md records the split).
     */
+  /** First-16-dims truncation shared by the matryoshka queries: the
+    * dimension-truncation leg of the compression family (prefix dot =
+    * the 64-dim dot's first 16 terms, so oracles sum i ≤ 16 over the
+    * FULL arrays — no slicing needed on the SQL side).
+    */
+  private def prefix16(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+
+  /** Probe budget for `s_mrl_ivf`'s stage 1: 8 of 16 prefix cells.
+    * On these isotropic test vectors prefix cosines are near-noise, so
+    * half the cells is the budget that keeps the funnel's stage-1
+    * candidate set rich enough for its top-5 to equal the brute
+    * prefix-scan baseline (spec-asserted); on MRL-trained embeddings
+    * the same funnel holds at far smaller fractions.
+    */
+  private val MrlProbes = 8
+
+  /** Stage 2 of both matryoshka queries: full-dim exact-decimal rerank
+    * of the (qid, vid) stage-1 survivors to top-5 — one shared body so
+    * the funnel and the baseline can never drift in their rerank.
+    */
+  private def mrlFullRerank(e: DataFrame, widened: DataFrame): DataFrame = {
+    val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cv = e.select(col("vec_id").as("vid"), col("embedding").as("cvec"))
+    val scored = widened.join(broadcast(qv), "qid").join(cv, "vid")
+      .select(col("qid"), col("vid"),
+        Similarity.cosineExact(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vid", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  /** Standing prefix-16 IVF index for `s_mrl_ivf`'s stage 1, built
+    * once per JVM per dataset (the [[builtIvfPqIndex]] pattern: atomic
+    * computeIfAbsent, Scratch-keyed path, build seconds logged so the
+    * one-time cost stays attributable).
+    */
+  private val mrlIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Test-visible accessor for the standing prefix index (the spec
+    * asserts per-query pruning against the same artifact the query
+    * searches). */
+  private[queries] def mrlIndexFor(s: SparkSession, dir: String): String =
+    builtMrlIndex(s, dir)
+  private def builtMrlIndex(s: SparkSession, dir: String): String =
+    mrlIndexes.computeIfAbsent(dir, { _ =>
+      val path = graft.sources.Scratch.dir("mrlivf", dir)
+      val t0 = System.nanoTime()
+      Similarity.writeIvfIndex(prefix16(emb(s, dir)), path, nlist = 16)
+      println(f"[graft] s_mrl_ivf: one-time prefix-IVF index build for " +
+        f"$dir took ${(System.nanoTime() - t0) / 1e9}%.2f s -> $path")
+      path
+    })
+
   private val ivfPqIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def builtIvfPqIndex(s: SparkSession, dir: String): String =
@@ -441,21 +498,33 @@ object SimilarityQueries {
     "s_mrl_rerank" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id").isin(QueryIds: _*))
-      def prefix(df: DataFrame) = df.select(col("vec_id"),
-        slice(col("embedding"), 1, 16).as("embedding"))
-      val widened = Similarity.bruteForceTopK(prefix(e), prefix(q), k = 50)
+      val widened = Similarity.bruteForceTopK(prefix16(e), prefix16(q), k = 50)
         .select(col("qid"), col("vid"))
-      val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val cv = e.select(col("vec_id").as("vid"), col("embedding").as("cvec"))
-      val scored = widened.join(broadcast(qv), "qid").join(cv, "vid")
-        .select(col("qid"), col("vid"),
-          Similarity.cosineExact(col("qvec"), col("cvec")).as("cos"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vid"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("qid", "rank", "vid", "cos")
-        .orderBy("qid", "rank")
+      mrlFullRerank(e, widened)
+    }),
+
+    // INDEX-BACKED matryoshka stage 1 — the Kusupati et al. adaptive-
+    // retrieval funnel with the linear scan swapped out: the coarse
+    // quantizer lives on the 16-dim PREFIX (a standing persisted IVF
+    // index — 4× smaller cells than full-dim, built once per corpus
+    // generation like the IVFPQ artifact), stage 1 probes
+    // MrlProbes/16 cells and ranks ONLY their members by prefix
+    // cosine (partition-pruned scan, plan-asserted in
+    // SimilarityQueriesSpec), stage 2 is the same candidate-bounded
+    // full-dim exact rerank as s_mrl_rerank. At 100 TB stage 1 reads
+    // probed-cells × 16-dim rows — a 4×·(nProbe/nlist) byte cut off
+    // the brute prefix scan — and the spec asserts the funnel's top-5
+    // equals the brute-stage-1 baseline on this corpus (wide 50-of-500
+    // stage-1 margin). The oracle replicates the full pipeline (seed →
+    // prefix-assign → probe → prefix top-50 → full-dim top-5) so
+    // correctness never depends on recall luck.
+    "s_mrl_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(QueryIds: _*))
+      val widened = Similarity.ivfTopKIndexed(s, builtMrlIndex(s, dir),
+        prefix16(q), k = 50, nProbe = MrlProbes)
+        .select(col("qid"), col("vid"))
+      mrlFullRerank(e, widened)
     }),
 
     // Per-language mean-pooled embedding centroid (documents ⋈
@@ -674,7 +743,7 @@ object SimilarityQueries {
     * arbitrary pair relation (used for IVF centroid assignment).
     */
   private def cosBlock(src: String, aId: String, bId: String,
-      aVec: String, bVec: String, out: String): String =
+      aVec: String, bVec: String, out: String, dims: Int = 64): String =
     s"""${out}_terms AS (SELECT $aId, $bId,
        |    CAST(CAST($aVec[i] AS DOUBLE) * CAST($bVec[i] AS DOUBLE)
        |      AS DECIMAL(28,12)) AS p,
@@ -682,7 +751,7 @@ object SimilarityQueries {
        |      AS DECIMAL(28,12)) AS qq,
        |    CAST(CAST($bVec[i] AS DOUBLE) * CAST($bVec[i] AS DOUBLE)
        |      AS DECIMAL(28,12)) AS cc
-       |  FROM $src, generate_series(1, 64) AS t(i)),
+       |  FROM $src, generate_series(1, $dims) AS t(i)),
        |$out AS (SELECT $aId, $bId,
        |    round(CAST(sum(p) AS DOUBLE)
        |      / (sqrt(CAST(sum(qq) AS DOUBLE)) * sqrt(CAST(sum(cc) AS DOUBLE))),
@@ -775,6 +844,48 @@ object SimilarityQueries {
       |ORDER BY qid, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Full pipeline replication (seed → prefix-assign → probe →
+    // prefix top-50 within probed cells → full-dim top-5): prefix
+    // cosine is the 64-dim sum truncated at i ≤ 16, so the oracle
+    // runs cosBlock over the FULL arrays with dims = 16.
+    "s_mrl_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS centvec
+        |    FROM embeddings WHERE vec_id < 16),
+        |apairs AS (SELECT e.vec_id AS vid, e.embedding AS evec,
+        |    c.cid, c.centvec
+        |  FROM embeddings e CROSS JOIN cents c),
+        |${cosBlock("apairs", "vid", "cid", "evec", "centvec", "ascored", 16)},
+        |assigned AS (SELECT vid, cid AS cell FROM (
+        |    SELECT vid, cid, row_number() OVER (
+        |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+        |      FROM ascored) WHERE rn = 1),
+        |qprobes AS (SELECT vid AS qid, cid AS cell FROM (
+        |    SELECT vid, cid, row_number() OVER (
+        |        PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+        |      FROM ascored WHERE vid IN (0, 1, 2)) WHERE rn <= $MrlProbes),
+        |s1pairs AS (SELECT q.qid, a.vid,
+        |    qe.embedding AS qv, ce.embedding AS cv
+        |  FROM qprobes q
+        |  JOIN assigned a ON a.cell = q.cell AND a.vid <> q.qid
+        |  JOIN embeddings qe ON qe.vec_id = q.qid
+        |  JOIN embeddings ce ON ce.vec_id = a.vid),
+        |${cosBlock("s1pairs", "qid", "vid", "qv", "cv", "s1scored", 16)},
+        |widened AS (SELECT qid, vid FROM (
+        |    SELECT qid, vid, row_number() OVER (
+        |        PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        |      FROM s1scored) WHERE rn <= 50),
+        |cand AS (SELECT w.qid, w.vid,
+        |    qe.embedding AS qvec, ce.embedding AS cvec
+        |  FROM widened w
+        |  JOIN embeddings qe ON qe.vec_id = w.qid
+        |  JOIN embeddings ce ON ce.vec_id = w.vid),
+        |$cosCte,
+        |ranked AS (SELECT qid, vid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "s_mrl_rerank" ->
       s"""WITH pcand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
         |    q.embedding AS qv, c.embedding AS cv

@@ -125,4 +125,47 @@ class SimilarityQueriesSpec extends SparkFunSuite {
     assert(scaled == base,
       s"scaled plan-build ran $scaled job(s) vs $base for the plain twin")
   }
+
+  test("s_mrl_ivf: funnel top-5 == brute-stage-1 baseline; stage-1 scan prunes") {
+    // The index-backed funnel must return the SAME final top-5 as
+    // s_mrl_rerank's brute prefix scan while reading only its probed
+    // cells. Asserted at sf0.01 (5,000 vectors): at 500 the global
+    // prefix top-50 is 10% of an isotropic corpus and necessarily
+    // spans nearly every cell, so there is no room for a funnel to
+    // prune at all — the concentration premise ANN rests on only has
+    // headroom once corpus >> k·nlist. 8-of-16 probes with the wide
+    // 50-candidate margin recovers the baseline exactly there.
+    val sf001 = "/root/testdata/sf0.01"
+    val funnel = SimilarityQueries.defs("s_mrl_ivf")(spark, sf001)
+    val baseline = SimilarityQueries.defs("s_mrl_rerank")(spark, sf001)
+    val f = funnel.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val b = baseline.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(f.nonEmpty && f == b,
+      s"funnel diverged from baseline:\n$f\nvs\n$b")
+    // stage 1 is a partition-pruned read of the probed cells: the
+    // full query unions 3 queries × 8 probes (which can cover every
+    // cell), so assert the per-query funnel shape — one query's scan
+    // must read exactly its 8 probe cells and no more
+    val plan = funnel.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[cell#\\d+ INSET".r
+      .findFirstIn(plan).isDefined, s"no partition filter on cell:\n$plan")
+    val e01 = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val oneQ = graft.operators.Similarity.ivfTopKIndexed(spark,
+      SimilarityQueries.mrlIndexFor(spark, sf001),
+      e01.filter(col("vec_id") === 0L)
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+      k = 50, nProbe = 8)
+    oneQ.collect()
+    val onePlan = oneQ.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // ≥10 probe values print as INSET, fewer as IN (...) — accept both
+    val inList = "PartitionFilters: \\[cell#\\d+ (?:INSET |IN \\()([0-9, ]+)".r
+      .findFirstMatchIn(onePlan)
+    assert(inList.isDefined, s"no partition filter on cell:\n$onePlan")
+    val probed = inList.get.group(1).split(",").count(_.trim.nonEmpty)
+    assert(probed == 8, s"one query must probe exactly 8 cells, got $probed")
+  }
 }
