@@ -35,14 +35,62 @@ import graft.operators.{TextAnalysis => TA}
   */
 object Curation {
 
-  /** Per-stage audit counts of one [[curate]] run. */
+  /** Per-stage audit counts of one [[curate]] run. `afterMixture` is
+    * present only when a mixture plan ran (None ≡ stage skipped, so
+    * pre-mixture reports keep their exact shape).
+    */
   case class CurationReport(
       input: Long,
       afterQuality: Long,
       afterExactDedup: Long,
       afterNearDup: Long,
-      bySplit: Map[String, Long]) {
-    def dropped: Long = input - afterNearDup
+      bySplit: Map[String, Long],
+      afterMixture: Option[Long] = None) {
+    def dropped: Long = input - afterMixture.getOrElse(afterNearDup)
+  }
+
+  /** Apply a data-mixture plan: downsample each language to the
+    * largest total budget the corpus can serve at the target token
+    * SHARES (the `t_mixture` arithmetic — N = min over languages of
+    * tokens/weight, the binding language keeps everything), with the
+    * keep decision the salted-md5 256-band hash against the language's
+    * quantized keep-rate threshold. Deterministic end to end: no RNG,
+    * a document's fate never changes as the corpus grows or the
+    * cluster resizes, and the whole decision is one map-side filter
+    * against a broadcast |langs|-row threshold table — the only
+    * corpus-sized work is the token-count aggregate (one
+    * map-side-combined shuffle). Languages absent from `weights` are
+    * dropped (the mixture DEFINES the target corpus); a weighted
+    * language absent from the corpus binds N to 0, emptying the
+    * output rather than silently re-normalizing (`t_mixture`'s
+    * infeasibility contract). Realized per-language token shares land
+    * within band-quantization error of the targets — spec-asserted in
+    * CurationSpec, oracle-checked as `t_mixture_apply`.
+    */
+  def applyMixture(docs: DataFrame, weights: Seq[(String, Double)],
+      idCol: String = "doc_id", langCol: String = "lang",
+      textCol: String = "text", salt: String = "mix:"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wdf = weights.toDF(langCol, "weight")
+    val toks = docs.groupBy(langCol)
+      .agg(sum(TA.wordCount(col(textCol)).cast("long")).as("tokens"))
+    val planned = wdf.join(broadcast(toks), Seq(langCol), "left")
+      .withColumn("tokens", coalesce(col("tokens"), lit(0L)))
+      .withColumn("feasible", col("tokens").cast("double") / col("weight"))
+    val n = planned.agg(min(col("feasible")).as("n_total"))
+    // thr = keep_rate quantized to 256 bands; keep_rate is rounded to
+    // 6 dp FIRST (the exact value t_mixture reports) so the plan and
+    // its application can never disagree on the boundary band.
+    val thr = planned.crossJoin(broadcast(n))
+      .select(col(langCol),
+        when(col("tokens") === 0L, lit(0))
+          .otherwise(floor(round(col("weight") * col("n_total") /
+            col("tokens").cast("double"), 6) * 256 + 0.5).cast("int"))
+          .as("__thr"))
+    docs.join(broadcast(thr), Seq(langCol))
+      .filter(TA.hashBand256(col(idCol), salt) < col("__thr"))
+      .drop("__thr")
   }
 
   /** Run the full pipeline over `docs`, write the curated corpus to
@@ -56,10 +104,17 @@ object Curation {
     * passes its language family (e.g. [[TextAnalysis.StopwordsByLang]])
     * so the gate doesn't silently zero non-English input — the r12
     * scale-probe failure mode.
+    *
+    * `mixture`: optional target per-language token shares. When
+    * non-empty, [[applyMixture]] runs AFTER near-dup collapse (rates
+    * computed on the deduplicated survivors — duplicates must not
+    * inflate a language's measured budget) and before the split;
+    * the report carries the post-mixture count in `afterMixture`.
     */
   def curate(docs: DataFrame, outDir: String, idCol: String = "doc_id",
       textCol: String = "text", jaccard: Double = 0.5,
-      stopwords: Map[String, Seq[String]] = Map("en" -> TA.Stopwords))
+      stopwords: Map[String, Seq[String]] = Map("en" -> TA.Stopwords),
+      mixture: Seq[(String, Double)] = Nil, langCol: String = "lang")
       : CurationReport = {
     val input = docs.count()
 
@@ -80,16 +135,30 @@ object Curation {
     val drop = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    val curated = exact.join(drop, Seq(idCol), "left_anti")
+    // With a mixture stage the deduped set gets two consumers (its
+    // count + the mixture's token aggregate and filter), so it is
+    // persisted across them like every other stage intermediate.
+    val deduped = exact.join(drop, Seq(idCol), "left_anti")
+    val mixed =
+      if (mixture.isEmpty) deduped
+      else {
+        deduped.persist()
+        applyMixture(deduped, mixture, idCol, langCol, textCol)
+      }
+    val curated = mixed
       .withColumn("split", TA.hashSplit(col(idCol)))
       .persist()
-    val afterNearDup = curated.count()
+    val afterNearDup =
+      if (mixture.isEmpty) curated.count() else deduped.count()
+    val afterMixture = if (mixture.isEmpty) None else Some(curated.count())
 
     curated.write.mode("overwrite").partitionBy("split").parquet(outDir)
     val bySplit = curated.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     quality.unpersist(); exact.unpersist(); curated.unpersist()
-    CurationReport(input, afterQuality, afterExact, afterNearDup, bySplit)
+    if (mixture.nonEmpty) deduped.unpersist()
+    CurationReport(input, afterQuality, afterExact, afterNearDup, bySplit,
+      afterMixture)
   }
 }

@@ -279,6 +279,36 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Mixture plan APPLIED — the loop t_mixture opens, closed:
+    // Curation.applyMixture turns the computed keep rates into 256-band
+    // thresholds and filters with the deterministic salted-hash band
+    // (one broadcast |langs|-row join + a map-side filter; the only
+    // corpus-sized work is the token-count shuffle), and this query
+    // audits the realized outcome per language: kept docs/tokens and
+    // the realized token share next to the target weight. Realized
+    // shares land within band-quantization error of the targets
+    // (spec-asserted in CurationSpec; visible here as data).
+    "t_mixture_apply" -> ((s, dir) => {
+      val weights = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
+        ("fr", 0.15), ("zh", 0.15))
+      val kept = graft.operators.Curation.applyMixture(docs(s, dir), weights)
+      val counts = kept.groupBy("lang")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(TA.wordCount(col("text")).cast("long")).as("kept_tokens"))
+      val tot = counts.agg(sum(col("kept_tokens")).as("tot"))
+      import s.implicits._
+      val wdf = weights.toDF("lang", "weight")
+      wdf.join(broadcast(counts), Seq("lang"), "left")
+        .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+        .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("weight"), col("kept_docs"),
+          col("kept_tokens"),
+          round(col("kept_tokens").cast("double") /
+            col("tot").cast("double"), 6).as("realized_share"))
+        .orderBy("lang")
+    }),
+
     "t_sample_stratified" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -659,6 +689,41 @@ object TextQueries {
         |    ELSE round(weight * n_total / CAST(tokens AS DOUBLE), 6)
         |  END AS keep_rate
         |FROM j, n ORDER BY lang""".stripMargin,
+    // Applied mixture: keep_rate (6 dp, the exact t_mixture value)
+    // quantized to a 256-band threshold, salted-hash keep decision,
+    // realized per-language audit.
+    "t_mixture_apply" ->
+      """WITH tok AS (SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+        |  ('fr', 0.15), ('zh', 0.15)),
+        |j AS (SELECT w.lang, COALESCE(t.tokens, 0) AS tokens,
+        |    CAST(w.wt AS DOUBLE) AS weight
+        |  FROM w LEFT JOIN tok t ON t.lang = w.lang),
+        |n AS (SELECT min(CAST(tokens AS DOUBLE) / weight) AS n_total FROM j),
+        |thr AS (SELECT lang,
+        |    CASE WHEN tokens = 0 THEN 0
+        |      ELSE CAST(floor(round(weight * n_total
+        |        / CAST(tokens AS DOUBLE), 6) * 256 + 0.5) AS INT)
+        |    END AS thr
+        |  FROM j, n),
+        |kept AS (SELECT d.lang, d.doc_id,
+        |    len(string_split(d.text, ' ')) AS nw
+        |  FROM documents d JOIN thr t ON d.lang = t.lang
+        |  WHERE CAST(('0x' || substring(md5('mix:'
+        |      || CAST(d.doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < t.thr),
+        |counts AS (SELECT lang, count(*) AS kept_docs,
+        |    CAST(sum(nw) AS BIGINT) AS kept_tokens
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT sum(kept_tokens) AS tot FROM counts)
+        |SELECT w.lang, CAST(w.wt AS DOUBLE) AS weight,
+        |  COALESCE(c.kept_docs, 0) AS kept_docs,
+        |  COALESCE(c.kept_tokens, 0) AS kept_tokens,
+        |  round(CAST(COALESCE(c.kept_tokens, 0) AS DOUBLE)
+        |    / CAST(tot.tot AS DOUBLE), 6) AS realized_share
+        |FROM w LEFT JOIN counts c ON w.lang = c.lang, tot
+        |ORDER BY w.lang""".stripMargin,
     "t_sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,
         |    CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)),

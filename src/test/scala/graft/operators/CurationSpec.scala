@@ -129,4 +129,54 @@ class CurationSpec extends SparkFunSuite {
       .head().getString(0)
     assert(unk == "unk")
   }
+
+  private val MixWeights = Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
+    ("fr", 0.15), ("zh", 0.15))
+
+  test("applyMixture: realized token shares within quantization error of targets") {
+    // Error sources: the 256-band threshold quantizes each keep rate
+    // to 1/256, and the salted-hash keep decision samples docs (not
+    // tokens), so the share error behaves like a Bernoulli share over
+    // the kept docs — sqrt(p(1-p)/n) ≈ 0.024 at this corpus size.
+    // 0.03 covers both with the observed max at 0.019.
+    val kept = Curation.applyMixture(docs, MixWeights)
+    val counts = kept.groupBy("lang")
+      .agg(sum(TA.wordCount(col("text")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(total > 0)
+    MixWeights.foreach { case (lang, w) =>
+      val share = counts.getOrElse(lang, 0L) / total
+      assert(math.abs(share - w) < 0.03,
+        s"$lang realized share $share vs target $w")
+    }
+    // determinism: a second application keeps exactly the same docs
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.applyMixture(docs, MixWeights)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("applyMixture: a weighted language missing from the corpus empties the output") {
+    // Infeasible mixture (no 'xx' tokens anywhere): N = 0, every
+    // threshold 0 — the plan is visibly infeasible instead of silently
+    // re-normalized over the remaining languages.
+    val kept = Curation.applyMixture(docs, MixWeights :+ ("xx" -> 0.1))
+    assert(kept.isEmpty)
+  }
+
+  test("curate with mixture: stage count recorded, split sums to post-mixture corpus") {
+    val out = tmpDir("cur_mix")
+    val rep = Curation.curate(docs, out, jaccard = 0.3,
+      stopwords = TA.StopwordsByLang, mixture = MixWeights)
+    assert(rep.afterMixture.isDefined)
+    assert(rep.afterMixture.get <= rep.afterNearDup)
+    assert(rep.afterMixture.get > 0)
+    assert(rep.bySplit.values.sum == rep.afterMixture.get)
+    assert(rep.dropped == rep.input - rep.afterMixture.get)
+    assert(spark.read.parquet(out).count() == rep.afterMixture.get)
+    // without a mixture the report keeps its original shape
+    assert(Curation.curate(docs, tmpDir("cur_nomix"), jaccard = 0.3)
+      .afterMixture.isEmpty)
+  }
 }
