@@ -298,6 +298,69 @@ object ScaleProbe {
       println("q22OutputRows=" + timed("full q22_sales_opportunity")(
         SparkEntry.queries("q22_sales_opportunity")(spark, sfDir).count()))
     }
+    if (what == "r14adds") {
+      val emb = Sources.table(spark, sfDir, "embeddings")
+      val docsT = Sources.table(spark, sfDir, "documents")
+
+      // s_mrl_ivf: the standing prefix-16 IVF index and its pruned
+      // stage-1 read. Evidence of scale shape: probed cell rows track
+      // ~nProbe/nlist of the corpus; stage 2 stays candidate-bounded
+      // at q·50 whatever n is.
+      def prefix(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), slice(col("embedding"), 1, 16)
+          .as("embedding"))
+      val mrlIdx = java.nio.file.Files
+        .createTempDirectory("mrlivf_probe").toString
+      timed("writeIvfIndex(prefix16)")(
+        Similarity.writeIvfIndex(prefix(emb), mrlIdx, nlist = 16))
+      println("mrlCellRowsTotal=" +
+        spark.read.parquet(s"$mrlIdx/cells").count())
+      val mrlQ = prefix(emb.filter(col("vec_id").isin(0L, 1L, 2L)))
+      val s1 = Similarity.ivfTopKIndexed(spark, mrlIdx, mrlQ,
+        k = 50, nProbe = 8)
+      timed("mrlStage1Indexed")(s1.count())
+      val s1pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(s1.queryExecution.executedPlan.toString)
+        .map(_.group(1)).getOrElse("")
+      val s1cells = "\\d+".r.findAllIn(
+        s1pf.replaceAll("cell#\\d+", "cell")).map(_.toInt).toSeq.distinct
+      println(s"mrlProbedCells=${s1cells.size}")
+      println("mrlProbedCellRows=" + spark.read.parquet(s"$mrlIdx/cells")
+        .filter(col("cell").isin(s1cells: _*)).count())
+      println("mrlFunnelRows=" + timed("full s_mrl_ivf")(
+        SparkEntry.queries("s_mrl_ivf")(spark, sfDir).count()))
+
+      // size-bounded compaction over the same cells dir: accrete a
+      // second wave of files, compact with a row cap, report file
+      // count and the largest file — the cap must hold at every SF.
+      Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") >= 16).limit(1000)
+          .select(col("vec_id"), slice(col("embedding"), 1, 16)
+            .as("embedding")), mrlIdx)
+      timed("compactCellIndex(cap=2048)")(
+        Similarity.compactCellIndex(spark, s"$mrlIdx/cells",
+          maxRecordsPerFile = 2048L))
+      val perFile = spark.read.parquet(s"$mrlIdx/cells")
+        .groupBy(input_file_name().as("f")).count()
+        .agg(count(lit(1)).as("files"), max(col("count")).as("maxRows"))
+        .head()
+      println(s"compactFiles=${perFile.getLong(0)} " +
+        s"compactMaxRowsPerFile=${perFile.getLong(1)}")
+
+      // t_mixture_apply: the only corpus-sized work is the token-count
+      // shuffle; output is |langs|-sized at every SF.
+      println("mixtureApplyRows=" + timed("full t_mixture_apply")(
+        SparkEntry.queries("t_mixture_apply")(spark, sfDir).count()))
+      println("mixtureKeptDocs=" + graft.operators.Curation.applyMixture(
+        docsT, Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
+          ("fr", 0.15), ("zh", 0.15))).count())
+
+      // q_recursive isolated recheck (BASELINE.md protocol for the r13
+      // perf-weak flag): scratch-parquet edges instead of
+      // localCheckpoint.
+      println("qRecursiveRows=" + timed("full q_recursive")(
+        SparkEntry.queries("q_recursive")(spark, sfDir).count()))
+    }
     if (what == "curate") {
       // Factor-10 protocol for the curation pipeline: stage counts are
       // the evidence (each stage reuses a measured primitive — gopher

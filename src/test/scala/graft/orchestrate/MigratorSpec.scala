@@ -175,7 +175,11 @@ class MigratorSpec extends SparkFunSuite {
     // no checkpoint entry (the reference would duplicate rows here —
     // SURVEY.md §3.4; our overwrite semantics must not).
     val withKey = lineitem.withColumn("l_month", keyExprs.head.cast("string"))
+    // drop the key column like a real partial copy would (Hive layout
+    // keeps it in the dir name only) — keeping it in the data files
+    // makes the later basePath read WARN COLUMN_ALREADY_EXISTS
     withKey.filter(col("l_month") === "1995-03" && col("l_linenumber") === 1)
+      .drop("l_month")
       .write.mode("overwrite").parquet(s"$dest.staging/l_month=1995-03")
     val res = mig.migrateTable(ref, lineitem, keys, keyExprs, dest)
     assert(res.status == TableStatus.Completed, res.error)
@@ -239,6 +243,7 @@ class MigratorSpec extends SparkFunSuite {
     // corrupt one staged partition (drop its rows) after checkpointing
     val victim = allParts.head
     withKey.filter(col("l_month") === victim.values.head).limit(1)
+      .drop("l_month") // Hive layout: key lives in the dir name only
       .write.mode("overwrite")
       .parquet(s"$dest.staging/l_month=${victim.values.head}")
     val res = mig.migrateTable(ref, lineitem, keys, keyExprs, dest)
