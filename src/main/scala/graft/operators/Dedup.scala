@@ -323,31 +323,69 @@ object Dedup {
     * survive any crash).
     */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
-      table: graft.model.TableRef, buckets: Int = 8): Unit = {
+      table: graft.model.TableRef, buckets: Int = 8): Unit =
+    compactBucketedIndex(spark, table, Seq("band", "key"), buckets)
+
+  /** The [[compactBandIndex]] mechanics for ANY bucketed standing index
+    * (band index, shingle index): one file per bucket, bucket spec —
+    * and therefore the exchange-free join property — preserved,
+    * write-stage-rename publish with [[recoverBandIndex]] healing.
+    */
+  def compactBucketedIndex(spark: org.apache.spark.sql.SparkSession,
+      table: graft.model.TableRef, bucketCols: Seq[String],
+      buckets: Int): Unit = {
+    recoverBandIndex(spark, table)
     val staging = graft.model.TableRef(table.db, table.table + "_compacting")
     graft.sources.CatalogOps.dropTable(spark, staging)
     // Repartition on the COMPUTED bucket id (pmod(murmur3, n) — the
-    // bucket formula itself), not on (band, key): an exchange on the
-    // raw columns is ELIMINATED because the bucketed scan already
+    // bucket formula itself), not on the raw columns: an exchange on
+    // the raw columns is ELIMINATED because the bucketed scan already
     // satisfies that distribution, leaving the accreted file grouping
     // in charge of output file count. The bucket-id key can't be
     // elided, keeps every bucket whole within one writer task, and so
     // yields exactly one file per bucket.
     graft.sources.CatalogOps.writeBucketed(
       spark.table(table.qualified)
-        .repartition(buckets, pmod(hash(col("band"), col("key")),
+        .repartition(buckets, pmod(hash(bucketCols.map(col): _*),
           lit(buckets))),
-      staging, bucketCols = Seq("band", "key"), numBuckets = buckets,
-      sortCols = Seq("band", "key"))
+      staging, bucketCols = bucketCols, numBuckets = buckets,
+      sortCols = bucketCols)
     // Publish by rename-aside, not drop-first: the data exists in ≥1
     // complete table at every instant (a crash between the renames can
-    // leave the live NAME briefly unbound, but both copies survive —
-    // recover by renaming `_old` or the staging table back).
+    // leave the live NAME briefly unbound, but both copies survive and
+    // [[recoverBandIndex]] heals the binding on the next open).
     val old = graft.model.TableRef(table.db, table.table + "_old")
     graft.sources.CatalogOps.dropTable(spark, old)
     graft.sources.CatalogOps.renameTable(spark, table, old)
     graft.sources.CatalogOps.renameTable(spark, staging, table)
     graft.sources.CatalogOps.dropTable(spark, old)
+  }
+
+  /** Crash recovery for the [[compactBandIndex]] swap — the catalog
+    * twin of [[Similarity.recoverCellDir]]: if the live table NAME is
+    * unbound, a crash landed between the two publish renames; the
+    * staged compacted table (complete by construction — its write
+    * finishes before the first rename starts) is rolled FORWARD into
+    * the live name, or failing that `_old` is rolled back. Idempotent
+    * and O(catalog); both the compactor and the read path call it, so
+    * a crashed compaction heals on the next band join instead of
+    * requiring a manual rename.
+    */
+  private[graft] def recoverBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: graft.model.TableRef): Unit = {
+    import graft.sources.CatalogOps
+    if (!CatalogOps.tableExists(spark, table)) {
+      val staging =
+        graft.model.TableRef(table.db, table.table + "_compacting")
+      val old = graft.model.TableRef(table.db, table.table + "_old")
+      if (CatalogOps.tableExists(spark, staging)) {
+        CatalogOps.renameTable(spark, staging, table)
+        CatalogOps.dropTable(spark, old)
+      } else if (CatalogOps.tableExists(spark, old)) {
+        CatalogOps.renameTable(spark, old, table)
+      }
+    }
   }
 
   /** Incremental near-dups of `batch` against a PERSISTED band index
@@ -363,6 +401,7 @@ object Dedup {
       indexTable: graft.model.TableRef,
       bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     val spark = batch.sparkSession
+    recoverBandIndex(spark, indexTable)
     val relB = shingleRelation(batch, idCol, textCol)
     val cand = bandsFromRelation(relB, bands, rowsPerBand).as("x")
       .join(spark.table(indexTable.qualified).as("y"),
@@ -371,6 +410,65 @@ object Dedup {
       .distinct()
     jaccardForCandidates(
       relB.union(shingleRelation(corpus, idCol, textCol)), cand, threshold)
+  }
+
+  /** Persist the DECONTAMINATION index: the train split's DISTINCT
+    * 3-gram shingles as a standing bucketed table keyed on `shingle` —
+    * the artifact a pipeline checks every new benchmark release
+    * against (the `t_contamination` semantics with the train-side
+    * shingle pass already paid). Bucketing makes the contamination
+    * join exchange-free on the index side: only the (small) arriving
+    * eval batch shuffles. Built once per train-corpus generation;
+    * growth is [[appendToShingleIndex]], OPTIMIZE is
+    * [[compactBucketedIndex]] with `Seq("shingle")`.
+    */
+  def writeShingleIndex(train: DataFrame, idCol: String, textCol: String,
+      table: graft.model.TableRef, buckets: Int = 8): Unit =
+    graft.sources.CatalogOps.writeBucketed(
+      shingleRelation(train, idCol, textCol).select("shingle").distinct(),
+      table, bucketCols = Seq("shingle"), numBuckets = buckets,
+      sortCols = Seq("shingle"))
+
+  /** Grow a [[writeShingleIndex]] index by newly-admitted train
+    * documents: append the batch's own distinct shingles with the same
+    * bucket spec. Cross-batch duplicate shingles are tolerated — the
+    * read path re-distincts over the bucketed scan, which the bucket
+    * layout makes exchange-free — so appends never need to probe the
+    * standing index.
+    */
+  def appendToShingleIndex(batch: DataFrame, idCol: String,
+      textCol: String, table: graft.model.TableRef,
+      buckets: Int = 8): Unit =
+    graft.sources.CatalogOps.appendBucketed(
+      shingleRelation(batch, idCol, textCol).select("shingle").distinct(),
+      table, bucketCols = Seq("shingle"), numBuckets = buckets,
+      sortCols = Seq("shingle"))
+
+  /** Benchmark-contamination of an arriving batch against the PERSISTED
+    * train-shingle index: per batch document, the fraction of its
+    * distinct shingles present anywhere in the standing train split —
+    * `t_contamination`'s output contract with the train side read off
+    * the index. Exchange shape (plan-asserted in ShingleIndexSpec):
+    * the index-side distinct AND the join both ride the bucketed
+    * scan's (shingle) distribution — the only shingle exchange is the
+    * batch's own, and the per-document rollup shuffles batch-sized id
+    * keys. At 100 TB the standing index is the big side and never
+    * moves.
+    */
+  def contaminationAgainstIndex(batch: DataFrame, idCol: String,
+      textCol: String, table: graft.model.TableRef): DataFrame = {
+    val spark = batch.sparkSession
+    recoverBandIndex(spark, table)
+    val rel = shingleRelation(batch, idCol, textCol)
+    val train = spark.table(table.qualified).select("shingle").distinct()
+    val shared = rel.join(train, "shingle")
+      .groupBy("id").agg(count(lit(1)).as("shared"))
+    val totals = rel.groupBy("id").agg(count(lit(1)).as("total"))
+    totals.join(shared, Seq("id"), "left")
+      .select(col("id").as(idCol), col("total"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        round(coalesce(col("shared"), lit(0L)).cast("double") /
+          col("total").cast("double"), 6).as("contam_ratio"))
   }
 
   /** Duplicated-SPAN detection (the substring-level dedup of Lee et

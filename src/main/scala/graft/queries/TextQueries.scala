@@ -13,6 +13,30 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Sources.table(s, dir, "documents")
 
+  /** Standing train-split shingle index for
+    * `t_contamination_incremental`, built once per JVM per dataset
+    * (the builtIvfPqIndex pattern: atomic computeIfAbsent; the table
+    * name carries the dataset digest + JVM nonce because catalog
+    * tables share the warehouse dir across processes).
+    */
+  private val shingleIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.model.TableRef]()
+  private[queries] def builtShingleIndex(s: SparkSession,
+      dir: String): graft.model.TableRef =
+    shingleIndexes.computeIfAbsent(dir, { _ =>
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_scratch")
+      val t = graft.model.TableRef("graft_scratch",
+        graft.sources.Scratch.name("shidx", dir))
+      val d = docs(s, dir)
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.writeShingleIndex(
+        d.filter(TA.hashSplit(col("doc_id")) === "train"),
+        "doc_id", "text", t)
+      println(f"[graft] t_contamination_incremental: one-time shingle " +
+        f"index build for $dir took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t
+    })
+
   private val StopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
   /** rot13 of the English stopwords — the synthetic "second language"
@@ -384,6 +408,24 @@ object TextQueries {
           coalesce(col("shared"), lit(0L)).as("shared"),
           round(coalesce(col("shared"), lit(0L)).cast("double") /
             col("total").cast("double"), 6).as("contam_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // INCREMENTAL contamination — the production decontamination path:
+    // the train split's distinct shingles live in a STANDING bucketed
+    // index (built once per corpus generation, here once per JVM —
+    // Dedup.writeShingleIndex), and each arriving benchmark release
+    // checks only itself against it: the index-side distinct and the
+    // join both ride the bucketed (shingle) scan with ZERO index-side
+    // exchange (plan-asserted in ShingleIndexSpec); only the batch
+    // shuffles. Same output contract (and oracle) as t_contamination —
+    // persistence changes bytes read, never values.
+    "t_contamination_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idxT = builtShingleIndex(s, dir)
+      val test = d.filter(TA.hashSplit(col("doc_id")) === "test")
+      graft.operators.Dedup
+        .contaminationAgainstIndex(test, "doc_id", "text", idxT)
         .orderBy("doc_id")
     }),
 
@@ -773,6 +815,34 @@ object TextQueries {
         |  CAST(length(text) - length(clean) AS BIGINT) AS chars_removed
         |FROM scrub ORDER BY doc_id""".stripMargin,
     "t_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM toks, generate_series(1, 97) AS t(i)
+        |  WHERE i + 2 <= len(w)),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |        < 'cd' THEN 'train'
+        |      WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |        < 'e7' THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents),
+        |te AS (SELECT s.doc_id, s.shingle FROM sh s
+        |  JOIN sp ON s.doc_id = sp.doc_id WHERE sp.split = 'test'),
+        |tr AS (SELECT DISTINCT shingle FROM sh s
+        |  JOIN sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'),
+        |shared AS (SELECT te.doc_id, count(*) AS shared FROM te
+        |  JOIN tr ON te.shingle = tr.shingle GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS total FROM te GROUP BY 1)
+        |SELECT tot.doc_id, total, COALESCE(shared, 0) AS shared,
+        |  round(CAST(COALESCE(shared, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS contam_ratio
+        |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+    // Identical semantics to t_contamination — the index changes bytes
+    // read, never values — so the oracle is the same inline pipeline.
+    "t_contamination_incremental" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |    FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -30,11 +30,19 @@ object Scratch {
   private def root: String =
     sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir"))
 
-  /** Deterministic-within-JVM scratch path for (tag, key). */
-  def dir(tag: String, key: String): String = {
+  /** Deterministic-within-JVM scratch NAME for (tag, key) — a valid
+    * identifier, usable as a catalog table name as well as a path
+    * segment (catalog tables land in the shared warehouse dir, so they
+    * need the same digest + nonce protection as tmp paths).
+    */
+  def name(tag: String, key: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString
-    new java.io.File(root, s"graft_${tag}_${d}_$nonce").toString
+    s"graft_${tag}_${d}_$nonce"
   }
+
+  /** Deterministic-within-JVM scratch path for (tag, key). */
+  def dir(tag: String, key: String): String =
+    new java.io.File(root, name(tag, key)).toString
 }

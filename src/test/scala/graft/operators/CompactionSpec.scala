@@ -182,6 +182,45 @@ class CompactionSpec extends SparkFunSuite {
     assert(s.read.parquet(dir).count() == 5400L)
   }
 
+  test("recoverBandIndex: an unbound live table heals on the next band join") {
+    // Catalog twin of the cell-dir recovery: crash mid-swap leaves the
+    // live NAME unbound with the compacted staging table complete; the
+    // next read must roll forward transparently.
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val idxT = graft.model.TableRef("graft_test", "band_idx_recover")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 400)
+    try {
+      Dedup.writeBandIndex(corpus, "doc_id", "text", idxT)
+      val before = Dedup.minhashNearDupsAgainstIndex(
+        batch, corpus, "doc_id", "text", 0.5, idxT)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // stage a compacted copy, then crash between the renames
+      val staging = graft.model.TableRef(idxT.db, idxT.table + "_compacting")
+      graft.sources.CatalogOps.writeBucketed(
+        s.table(idxT.qualified), staging,
+        bucketCols = Seq("band", "key"), numBuckets = 8,
+        sortCols = Seq("band", "key"))
+      graft.sources.CatalogOps.renameTable(s,
+        idxT, graft.model.TableRef(idxT.db, idxT.table + "_old"))
+      assert(!graft.sources.CatalogOps.tableExists(s, idxT))
+      val healed = Dedup.minhashNearDupsAgainstIndex(
+        batch, corpus, "doc_id", "text", 0.5, idxT)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(healed == before && healed.nonEmpty)
+      assert(graft.sources.CatalogOps.tableExists(s, idxT))
+      assert(!graft.sources.CatalogOps.tableExists(s,
+        graft.model.TableRef(idxT.db, idxT.table + "_old")))
+      assert(!graft.sources.CatalogOps.tableExists(s,
+        graft.model.TableRef(idxT.db, idxT.table + "_compacting")))
+    } finally {
+      Seq("", "_old", "_compacting").foreach(sfx =>
+        graft.sources.CatalogOps.dropTable(s,
+          graft.model.TableRef(idxT.db, idxT.table + sfx)))
+    }
+  }
+
   test("recoverCellDir: a crash between the publish renames heals on next open") {
     // Simulate the torn-swap window: live dir renamed aside (first
     // rename done), staged copy present, second rename never ran. The
