@@ -355,6 +355,27 @@ object ScaleProbe {
         docsT, Seq(("en", 0.4), ("de", 0.15), ("es", 0.15),
           ("fr", 0.15), ("zh", 0.15))).count())
 
+      // standing decontamination index: the train side is paid once
+      // (index build, logged separately); each arriving release pays
+      // its own shingles + an exchange-free probe of the bucketed
+      // index. Counts: index size vs batch size are the evidence.
+      import graft.operators.TextAnalysis
+      val sp = docsT.select(col("doc_id").as("id"),
+        TextAnalysis.hashSplit(col("doc_id")).as("sp"))
+      val shRel = Dedup.shingleRelation(docsT, "doc_id", "text")
+        .join(sp, "id")
+      println("trainDistinctShingles=" + shRel.filter(col("sp") === "train")
+        .select("shingle").distinct().count())
+      println("testShingleRows=" + shRel.filter(col("sp") === "test").count())
+      println("contamIncRows=" + timed("full t_contamination_incremental")(
+        SparkEntry.queries("t_contamination_incremental")(spark, sfDir)
+          .count()))
+
+      // epoch ordering: output is shards×epochs×5 at every SF; the
+      // corpus-side work is the 2n hash rows + the sharded rank.
+      println("epochOrderRows=" + timed("full t_epoch_order")(
+        SparkEntry.queries("t_epoch_order")(spark, sfDir).count()))
+
       // q_recursive isolated recheck (BASELINE.md protocol for the r13
       // perf-weak flag): scratch-parquet edges instead of
       // localCheckpoint.

@@ -411,6 +411,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic EPOCH ordering — the reproducible global-shuffle
+    // primitive of a training-data pipeline: each epoch orders the
+    // corpus by a salted content-free hash (different salt per epoch →
+    // a different but REPRODUCIBLE permutation; no RNG state to
+    // checkpoint, any worker can recompute any shard's order) and
+    // shards it by a hash band (growth-stable: a document's shard
+    // never changes as the corpus grows). At 100 TB the materialized
+    // form is repartitionByRange over (shard, h) — one range shuffle
+    // writing sorted shard files; this query emits each shard's HEAD
+    // as the hash-checkable evidence of the ordering contract.
+    "t_epoch_order" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val byEpoch = Seq(0, 1).map { e =>
+        val h = md5(concat(lit(s"epoch$e:"), col("doc_id").cast("string")))
+        d.select(lit(e).as("epoch"), col("doc_id"), h.as("h"),
+          pmod(conv(substring(h, 1, 2), 16, 10).cast("int"), lit(4))
+            .as("shard"))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      byEpoch.withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= 5)
+        .select("epoch", "shard", "pos", "doc_id")
+        .orderBy("epoch", "shard", "pos")
+    }),
+
     // INCREMENTAL contamination — the production decontamination path:
     // the train split's distinct shingles live in a STANDING bucketed
     // index (built once per corpus generation, here once per JVM —
@@ -840,6 +866,21 @@ object TextQueries {
         |    AS contam_ratio
         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+    "t_epoch_order" ->
+      """WITH e(epoch) AS (VALUES (0), (1)),
+        |h AS (SELECT e.epoch, d.doc_id,
+        |    md5('epoch' || CAST(e.epoch AS VARCHAR) || ':'
+        |      || CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM documents d CROSS JOIN e),
+        |s AS (SELECT epoch, doc_id, h,
+        |    CAST(('0x' || substring(h, 1, 2)) AS INTEGER) % 4 AS shard
+        |  FROM h),
+        |r AS (SELECT epoch, shard, doc_id,
+        |    row_number() OVER (PARTITION BY epoch, shard
+        |      ORDER BY h, doc_id) AS pos
+        |  FROM s)
+        |SELECT epoch, shard, pos, doc_id FROM r WHERE pos <= 5
+        |ORDER BY epoch, shard, pos""".stripMargin,
     // Identical semantics to t_contamination — the index changes bytes
     // read, never values — so the oracle is the same inline pipeline.
     "t_contamination_incremental" ->

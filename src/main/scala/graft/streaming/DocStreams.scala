@@ -168,6 +168,57 @@ object DocStreams {
     q
   }
 
+  /** CONTINUOUS contamination gate — the streaming face of
+    * `t_contamination_incremental`, shaped like [[nearDupCandidates]]:
+    * arriving documents shingle themselves MAP-ONLY
+    * ([[graft.operators.Dedup.shingleRelation]] is pure projections +
+    * explode — stateless, append-legal), then LEFT stream-static join
+    * the persisted train-shingle index (the bucketed side never
+    * shuffles; the read-side distinct rides the bucket layout) with a
+    * hit marker carried for the misses. Output: one row per (arriving
+    * doc, distinct shingle) with `hit` ∈ {1, null} — the per-document
+    * rollup needs aggregation, so it happens per micro-batch in
+    * [[confirmContamination]] (an arriving doc's shingles all live in
+    * its own micro-batch, so per-batch counts ARE the global counts).
+    */
+  def contaminationCandidates(stream: DataFrame,
+      indexTable: graft.model.TableRef): DataFrame = {
+    val spark = stream.sparkSession
+    val train = spark.table(indexTable.qualified)
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    Dedup.shingleRelation(stream, "doc_id", "text")
+      .join(train, Seq("shingle"), "left")
+      .select(col("id"), col("hit"))
+  }
+
+  /** Terminal rollup of [[contaminationCandidates]]: per arriving
+    * document, total distinct shingles, train-shared count, and the
+    * contamination ratio — `t_contamination`'s output contract.
+    * Appends to `outDir`; spec-proven equal to the batch
+    * [[graft.operators.Dedup.contaminationAgainstIndex]]
+    * (DocStreamsSpec).
+    */
+  def confirmContamination(candidates: DataFrame, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    val q = candidates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("id")
+          .agg(count(lit(1)).as("total"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("shared"))
+          .select(col("id").as("doc_id"), col("total"), col("shared"),
+            round(col("shared").cast("double") /
+              col("total").cast("double"), 6).as("contam_ratio"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Stage 3: per-micro-batch candidate dedup + exact-Jaccard
     * verification against the static `docStore` (which must contain
     * both the corpus and the arriving documents' text — in production,

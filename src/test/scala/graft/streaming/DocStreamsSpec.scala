@@ -183,4 +183,37 @@ class DocStreamsSpec extends SparkFunSuite {
       assert(got.nonEmpty && got == want)
     } finally CatalogOps.dropTable(s, idxT)
   }
+
+  test("streaming contamination gate against the shingle index == batch operator") {
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val idxT = graft.model.TableRef("graft_test", "stream_shingle_idx")
+    val train = docs.filter(col("doc_id") < 400)
+    val arriving = docs.filter(col("doc_id") >= 400)
+    val streamDir = tmpDir("contam_stream")
+    val outDir = tmpDir("contam_out")
+    try {
+      Dedup.writeShingleIndex(train, "doc_id", "text", idxT)
+      val staged = tmpDir("contam_stage")
+      arriving.coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(streamDir, "arrivals.parquet"))
+
+      val cand = DocStreams.contaminationCandidates(
+        DocStreams.readDocs(s, streamDir), idxT)
+      DocStreams.confirmContamination(cand, outDir, tmpDir("contam_ckpt"))
+
+      def asSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val got = asSet(s.read.parquet(outDir))
+      val want = asSet(Dedup.contaminationAgainstIndex(
+        arriving, "doc_id", "text", idxT))
+      assert(got.nonEmpty && got == want)
+      // the gate actually discriminates: some docs share train shingles
+      assert(got.exists(_._3 > 0L))
+    } finally CatalogOps.dropTable(s, idxT)
+  }
 }
