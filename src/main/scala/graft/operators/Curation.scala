@@ -72,13 +72,24 @@ object Curation {
       textCol: String = "text", salt: String = "mix:"): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val wdf = weights.toDF(langCol, "weight")
-    val toks = docs.groupBy(langCol)
+    // The measured token counts are MODEL STATE (≤ |weights| rows):
+    // collect them once at plan-build (the codebook/sq8-stats pattern)
+    // so the threshold arithmetic runs over a literal relation — the
+    // returned plan then pays exactly ONE corpus pass (the filter);
+    // leaving the aggregate lazy re-scanned the corpus per reference
+    // (three scans in the audit query's plan).
+    val measured = docs
+      .filter(col(langCol).isin(weights.map(_._1): _*))
+      .groupBy(langCol)
       .agg(sum(TA.wordCount(col(textCol)).cast("long")).as("tokens"))
-    val planned = wdf.join(broadcast(toks), Seq(langCol), "left")
-      .withColumn("tokens", coalesce(col("tokens"), lit(0L)))
-      .withColumn("feasible", col("tokens").cast("double") / col("weight"))
-    val n = planned.agg(min(col("feasible")).as("n_total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val planned = weights
+      .map { case (l, w) => (l, measured.getOrElse(l, 0L), w) }
+      .toDF(langCol, "tokens", "weight")
+    // Arithmetic stays IN Spark over the literal rows — bit-identical
+    // to the lazy formulation (and to the oracle), zero corpus work.
+    val n = planned
+      .agg(min(col("tokens").cast("double") / col("weight")).as("n_total"))
     // thr = keep_rate quantized to 256 bands; keep_rate is rounded to
     // 6 dp FIRST (the exact value t_mixture reports) so the plan and
     // its application can never disagree on the boundary band.

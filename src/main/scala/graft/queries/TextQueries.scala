@@ -422,16 +422,18 @@ object TextQueries {
     // writing sorted shard files; this query emits each shard's HEAD
     // as the hash-checkable evidence of the ordering contract.
     "t_epoch_order" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"))
-      val byEpoch = Seq(0, 1).map { e =>
-        val h = md5(concat(lit(s"epoch$e:"), col("doc_id").cast("string")))
-        d.select(lit(e).as("epoch"), col("doc_id"), h.as("h"),
+      // epochs explode off the one scan (a per-epoch union would
+      // re-read the corpus once per epoch)
+      val h = md5(concat(lit("epoch"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string")))
+      val hashed = docs(s, dir).select(col("doc_id"),
+          explode(array(lit(0), lit(1))).as("epoch"))
+        .select(col("epoch"), col("doc_id"), h.as("h"),
           pmod(conv(substring(h, 1, 2), 16, 10).cast("int"), lit(4))
             .as("shard"))
-      }.reduce(_ unionByName _)
       val w = Window.partitionBy(col("epoch"), col("shard"))
         .orderBy(col("h"), col("doc_id"))
-      byEpoch.withColumn("pos", row_number().over(w))
+      hashed.withColumn("pos", row_number().over(w))
         .filter(col("pos") <= 5)
         .select("epoch", "shard", "pos", "doc_id")
         .orderBy("epoch", "shard", "pos")
