@@ -32,6 +32,10 @@ object TextQueries {
       graft.operators.Dedup.writeShingleIndex(
         d.filter(TA.hashSplit(col("doc_id")) === "train"),
         "doc_id", "text", t)
+      // nonce-scoped warehouse files die with the JVM like tmp scratch
+      val loc = s.sql(s"DESC FORMATTED ${t.qualified}")
+        .filter(col("col_name") === "Location").head().getString(1)
+      graft.sources.Scratch.track(new java.net.URI(loc).getPath)
       println(f"[graft] t_contamination_incremental: one-time shingle " +
         f"index build for $dir took ${(System.nanoTime() - t0) / 1e9}%.2f s")
       t

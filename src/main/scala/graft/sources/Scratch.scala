@@ -30,6 +30,34 @@ object Scratch {
   private def root: String =
     sys.props.getOrElse("graft.scratch.dir", sys.props("java.io.tmpdir"))
 
+  // Everything issued is nonce-exclusive to this JVM, so it can (and
+  // should) die with it: repeated bench/verify processes must not
+  // accrete scratch dirs in tmp or index files in the shared warehouse.
+  private val issued =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      issued.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        try rm(new java.io.File(p)) catch { case _: Exception => () }
+      }))
+    true
+  }
+
+  /** Register a path for recursive deletion at JVM exit. Only ever
+    * call with nonce-scoped paths — nothing another process could be
+    * reading.
+    */
+  def track(path: String): String = {
+    require(hookInstalled)
+    issued.add(path)
+    path
+  }
+
   /** Deterministic-within-JVM scratch NAME for (tag, key) — a valid
     * identifier, usable as a catalog table name as well as a path
     * segment (catalog tables land in the shared warehouse dir, so they
@@ -42,7 +70,9 @@ object Scratch {
     s"graft_${tag}_${d}_$nonce"
   }
 
-  /** Deterministic-within-JVM scratch path for (tag, key). */
+  /** Deterministic-within-JVM scratch path for (tag, key), deleted
+    * recursively at JVM exit.
+    */
   def dir(tag: String, key: String): String =
-    new java.io.File(root, name(tag, key)).toString
+    track(new java.io.File(root, name(tag, key)).toString)
 }
