@@ -35,7 +35,12 @@ import graft.resume.Checkpoint
   * table: Gopher quality gate → exact dedup → MinHash near-dup
   * collapse → deterministic split, written to --dest partitioned by
   * split, with per-stage counts as the JSON report; `--jaccard 0.5`
-  * tunes the near-dup threshold).
+  * tunes the near-dup threshold, and `--mixture en:0.4,de:0.15,...`
+  * adds the data-mixture downsampling stage after near-dup collapse —
+  * target per-language token shares applied via the deterministic
+  * 256-band sampler, with the post-mixture count in the report;
+  * `--stopwords multilang` switches the quality gate to the shipped
+  * per-language function-word registry).
   */
 object MigrateCli {
 
@@ -133,16 +138,41 @@ object MigrateCli {
         val f = new java.io.File(cfg.sourcePath)
         val src = readTable(f.getParent, f.getName.stripSuffix(".parquet"))
         val jac = args.get("jaccard").map(_.toDouble).getOrElse(0.5)
+        // --mixture en:0.4,de:0.15,... → target per-language token
+        // shares; the mixture stage runs after near-dup collapse
+        // (Curation.applyMixture). Weights are relative shares and
+        // must be positive.
+        val mixture: Seq[(String, Double)] =
+          args.get("mixture").map(_.split(",").toSeq.map { pair =>
+            pair.split(":") match {
+              case Array(l, w) if w.toDouble > 0 => (l, w.toDouble)
+              case _ => throw new IllegalArgumentException(
+                s"--mixture entry '$pair' is not lang:positive-weight")
+            }
+          }).getOrElse(Nil)
+        // --stopwords multilang registers the shipped per-language
+        // function-word lists so the quality gate doesn't zero
+        // non-English input before a multilingual mixture stage.
+        val stopwords = args.get("stopwords") match {
+          case Some("multilang") =>
+            graft.operators.TextAnalysis.StopwordsByLang
+          case Some("en") | None =>
+            Map("en" -> graft.operators.TextAnalysis.Stopwords)
+          case Some(other) => throw new IllegalArgumentException(
+            s"--stopwords must be 'en' or 'multilang', got '$other'")
+        }
         val rep = graft.operators.Curation.curate(src, cfg.destPath,
-          jaccard = jac)
+          jaccard = jac, stopwords = stopwords, mixture = mixture)
         val splits = rep.bySplit.toSeq.sorted
           .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+        val mixtureField = rep.afterMixture
+          .fold("")(m => s""" "after_mixture": $m,""")
         val body =
           s"""{"mode": "curate", "source": ${js(cfg.sourcePath)},
              | "dest": ${js(cfg.destPath)}, "jaccard": $jac,
              | "input": ${rep.input}, "after_quality": ${rep.afterQuality},
              | "after_exact_dedup": ${rep.afterExactDedup},
-             | "after_near_dup": ${rep.afterNearDup},
+             | "after_near_dup": ${rep.afterNearDup},$mixtureField
              | "dropped": ${rep.dropped}, "by_split": $splits}"""
             .stripMargin.replace("\n", "")
         val dir = new java.io.File(args.getOrElse("report-dir", "reports"))
