@@ -145,7 +145,8 @@ object MigrateCli {
         val mixture: Seq[(String, Double)] =
           args.get("mixture").map(_.split(",").toSeq.map { pair =>
             pair.split(":") match {
-              case Array(l, w) if w.toDouble > 0 => (l, w.toDouble)
+              case Array(l, w) if w.toDoubleOption.exists(_ > 0) =>
+                (l, w.toDouble)
               case _ => throw new IllegalArgumentException(
                 s"--mixture entry '$pair' is not lang:positive-weight")
             }

@@ -70,6 +70,13 @@ object Curation {
   def applyMixture(docs: DataFrame, weights: Seq[(String, Double)],
       idCol: String = "doc_id", langCol: String = "lang",
       textCol: String = "text", salt: String = "mix:"): DataFrame = {
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"applyMixture: duplicate language in weights " +
+        s"(${weights.map(_._1).diff(weights.map(_._1).distinct).distinct
+          .mkString(", ")}) — a duplicate threshold row would emit " +
+        "duplicate documents through the join")
+    require(weights.forall(_._2 > 0),
+      "applyMixture: weights must be positive relative shares")
     val s = docs.sparkSession
     import s.implicits._
     // The measured token counts are MODEL STATE (≤ |weights| rows):

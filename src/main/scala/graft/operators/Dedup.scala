@@ -299,11 +299,16 @@ object Dedup {
     */
   def appendToBandIndex(batch: DataFrame, idCol: String, textCol: String,
       table: graft.model.TableRef, bands: Int = 6, rowsPerBand: Int = 2,
-      buckets: Int = 8): Unit =
+      buckets: Int = 8): Unit = {
+    // heal a torn compaction swap BEFORE appending: appendBucketed
+    // CREATES a missing table, which would rebind the live name to a
+    // batch-sized index and strand the staged full copy forever
+    recoverBandIndex(batch.sparkSession, table)
     graft.sources.CatalogOps.appendBucketed(
       minhashBands(batch, idCol, textCol, bands, rowsPerBand),
       table, bucketCols = Seq("band", "key"), numBuckets = buckets,
       sortCols = Seq("band", "key"))
+  }
 
   /** OPTIMIZE for the standing band index: [[appendToBandIndex]] lands
     * one file per bucket per ingested batch, so after B batches every
@@ -438,11 +443,15 @@ object Dedup {
     */
   def appendToShingleIndex(batch: DataFrame, idCol: String,
       textCol: String, table: graft.model.TableRef,
-      buckets: Int = 8): Unit =
+      buckets: Int = 8): Unit = {
+    // same torn-swap healing as the band index: appendBucketed would
+    // CREATE the missing live name batch-sized otherwise
+    recoverBandIndex(batch.sparkSession, table)
     graft.sources.CatalogOps.appendBucketed(
       shingleRelation(batch, idCol, textCol).select("shingle").distinct(),
       table, bucketCols = Seq("shingle"), numBuckets = buckets,
       sortCols = Seq("shingle"))
+  }
 
   /** Benchmark-contamination of an arriving batch against the PERSISTED
     * train-shingle index: per batch document, the fraction of its
@@ -459,15 +468,19 @@ object Dedup {
       textCol: String, table: graft.model.TableRef): DataFrame = {
     val spark = batch.sparkSession
     recoverBandIndex(spark, table)
+    // ONE pass over the batch shingles: the left join carries a hit
+    // marker for the misses, so total and shared come out of the same
+    // rollup (the shape the streaming twin uses) instead of scanning
+    // and re-shingling the batch once per aggregate.
     val rel = shingleRelation(batch, idCol, textCol)
     val train = spark.table(table.qualified).select("shingle").distinct()
-    val shared = rel.join(train, "shingle")
-      .groupBy("id").agg(count(lit(1)).as("shared"))
-    val totals = rel.groupBy("id").agg(count(lit(1)).as("total"))
-    totals.join(shared, Seq("id"), "left")
-      .select(col("id").as(idCol), col("total"),
-        coalesce(col("shared"), lit(0L)).as("shared"),
-        round(coalesce(col("shared"), lit(0L)).cast("double") /
+      .withColumn("hit", lit(1))
+    rel.join(train, Seq("shingle"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("total"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("shared"))
+      .select(col("id").as(idCol), col("total"), col("shared"),
+        round(col("shared").cast("double") /
           col("total").cast("double"), 6).as("contam_ratio"))
   }
 

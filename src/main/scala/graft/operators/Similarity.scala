@@ -420,6 +420,11 @@ object Similarity {
     */
   def appendToIvfIndex(batch: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // heal a torn compaction swap BEFORE appending: an append into the
+    // missing live dir would recreate it batch-sized and strand the
+    // staged full copy forever (recoverCellDir would then see the live
+    // dir present and never roll forward)
+    recoverCellDir(batch.sparkSession, s"$path/cells")
     val cents = batch.sparkSession.read.parquet(s"$path/centroids")
     assignCells(batch, cents, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
@@ -713,6 +718,10 @@ object Similarity {
       batchId: Option[Long] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
+    // same torn-swap healing as the search path: appending into a
+    // missing live dir would recreate it batch-sized and permanently
+    // strand the staged full copy
+    recoverCellDir(spark, s"$path/codes")
     val coarse = spark.read.parquet(s"$path/coarse")
     val cbooks = spark.read.parquet(s"$path/codebooks")
     val (mm, dd) = pqGeometryOf(cbooks)

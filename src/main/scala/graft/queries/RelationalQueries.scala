@@ -192,13 +192,17 @@ object RelationalQueries {
       //    when their host dies (the r13 perf-weak flag), and unlike
       //    persist(), which pins a session CacheManager entry this
       //    builder has no post-action hook to release;
-      //  - [[graft.sources.Scratch]] keys the path per (query, dataset,
-      //    JVM): repeat runs overwrite in place, concurrent processes
-      //    never share a path. The view is unique-named and dropped as
-      //    soon as sql() has analyzed the plan (the q_lateral scoping
-      //    pattern).
+      //  - [[graft.sources.Scratch]] keys the path per INVOCATION (the
+      //    dataset key carries a fresh UUID): two same-JVM builds of
+      //    this query can never overwrite the files a previously
+      //    analyzed plan still reads — localCheckpoint's isolation,
+      //    kept. Every invocation's dir is tracked for deletion at JVM
+      //    exit, so accretion is bounded by the process lifetime. The
+      //    view is unique-named and dropped as soon as sql() has
+      //    analyzed the plan (the q_lateral scoping pattern).
       import org.apache.spark.sql.expressions.Window
-      val scratch = graft.sources.Scratch.dir("qrec_edges", dir)
+      val scratch = graft.sources.Scratch.dir("qrec_edges",
+        dir + ":" + java.util.UUID.randomUUID())
       t(s, dir, "orders")
         .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
           lag(col("o_orderkey"), 1).over(Window.partitionBy(col("o_custkey"))

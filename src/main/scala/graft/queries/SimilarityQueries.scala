@@ -35,16 +35,6 @@ object SimilarityQueries {
     corpusCounts.computeIfAbsent(dir,
       _ => Sources.parquetRowCount(s, s"$dir/embeddings.parquet"))
 
-  /** Standing IVFPQ index for `s_ann_ivfpq_indexed`, built ONCE per
-    * JVM per dataset dir (computeIfAbsent is atomic — concurrent
-    * callers never interleave a build with a pruned read). The path
-    * comes from [[graft.sources.Scratch]]: full-digest key (no 32-bit
-    * `hashCode` collisions across dataset dirs) + per-JVM nonce (two
-    * concurrent processes on the same dir never share an index path —
-    * the r13 advisory). Build wall-clock is logged so the one-time
-    * construction cost stays attributable next to the per-query
-    * search numbers (SCALING.md records the split).
-    */
   /** First-16-dims truncation shared by the matryoshka queries: the
     * dimension-truncation leg of the compression family (prefix dot =
     * the 64-dim dot's first 16 terms, so oracles sum i ≤ 16 over the
@@ -102,6 +92,16 @@ object SimilarityQueries {
       path
     })
 
+  /** Standing IVFPQ index for `s_ann_ivfpq_indexed`, built ONCE per
+    * JVM per dataset dir (computeIfAbsent is atomic — concurrent
+    * callers never interleave a build with a pruned read). The path
+    * comes from [[graft.sources.Scratch]]: full-digest key (no 32-bit
+    * `hashCode` collisions across dataset dirs) + per-JVM nonce (two
+    * concurrent processes on the same dir never share an index path —
+    * the r13 advisory). Build wall-clock is logged so the one-time
+    * construction cost stays attributable next to the per-query
+    * search numbers (SCALING.md records the split).
+    */
   private val ivfPqIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def builtIvfPqIndex(s: SparkSession, dir: String): String =

@@ -184,6 +184,9 @@ object DocStreams {
   def contaminationCandidates(stream: DataFrame,
       indexTable: graft.model.TableRef): DataFrame = {
     val spark = stream.sparkSession
+    // the batch read paths heal a torn compaction swap; the streaming
+    // gate must too, or its first micro-batch dies on table-not-found
+    Dedup.recoverBandIndex(spark, indexTable)
     val train = spark.table(indexTable.qualified)
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1))
