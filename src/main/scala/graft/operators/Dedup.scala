@@ -384,11 +384,19 @@ object Dedup {
       val staging =
         graft.model.TableRef(table.db, table.table + "_compacting")
       val old = graft.model.TableRef(table.db, table.table + "_old")
+      // Concurrent healers race benignly: a loser's rename throws
+      // because the winner already rebound the live name — swallow the
+      // failure iff the live table exists afterwards.
+      def tryRename(from: graft.model.TableRef): Boolean =
+        try { CatalogOps.renameTable(spark, from, table); true }
+        catch {
+          case e: Exception =>
+            if (CatalogOps.tableExists(spark, table)) false else throw e
+        }
       if (CatalogOps.tableExists(spark, staging)) {
-        CatalogOps.renameTable(spark, staging, table)
-        CatalogOps.dropTable(spark, old)
+        if (tryRename(staging)) CatalogOps.dropTable(spark, old)
       } else if (CatalogOps.tableExists(spark, old)) {
-        CatalogOps.renameTable(spark, old, table)
+        tryRename(old); ()
       }
     }
   }

@@ -830,10 +830,15 @@ object Similarity {
     if (!fs.exists(livePath)) {
       val staging = new Path(s"${dir}._compacting")
       val old = new Path(s"${dir}._old")
+      // Concurrent healers race benignly: each rename is attempted
+      // only while the live path is absent, and a loser's failed
+      // rename just means the winner already rebound it — re-check
+      // liveness instead of asserting the rename.
       if (fs.exists(staging) && fs.rename(staging, livePath)) {
         fs.delete(old, true)
-      } else if (fs.exists(old)) {
-        require(fs.rename(old, livePath),
+      } else if (!fs.exists(livePath) && fs.exists(old)) {
+        val renamed = fs.rename(old, livePath)
+        require(renamed || fs.exists(livePath),
           s"recoverCellDir: live $dir missing and ._old unrenamable")
       }
     }

@@ -221,6 +221,35 @@ class CompactionSpec extends SparkFunSuite {
     }
   }
 
+  test("append after a torn swap heals first instead of stranding the full index") {
+    // The review-flagged failure class: an append landing while the
+    // live dir is unbound (crash between the publish renames) must NOT
+    // recreate the dir batch-sized — it must roll the staged full copy
+    // forward first, then append into it.
+    val s = spark
+    val path = tmpDir("ivf_append_heal")
+    val base = emb.filter(col("vec_id") < 400)
+    val wave = emb.filter(col("vec_id") >= 400)
+    Similarity.writeIvfIndex(base, path, nlist = 16)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // stage a complete compacted copy, crash mid-swap
+    s.read.parquet(s"$path/cells").repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells._compacting")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells"),
+      new org.apache.hadoop.fs.Path(s"$path/cells._old")))
+
+    Similarity.appendToIvfIndex(wave, path)
+
+    // the healed-and-grown index holds base AND wave, not wave alone
+    val vids = s.read.parquet(s"$path/cells").select("vid").distinct().count()
+    assert(vids == emb.count(), s"index holds $vids of ${emb.count()} vids")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells._old")))
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/cells._compacting")))
+  }
+
   test("recoverCellDir: a crash between the publish renames heals on next open") {
     // Simulate the torn-swap window: live dir renamed aside (first
     // rename done), staged copy present, second rename never ran. The
