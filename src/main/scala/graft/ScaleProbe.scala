@@ -376,6 +376,11 @@ object ScaleProbe {
       println("epochOrderRows=" + timed("full t_epoch_order")(
         SparkEntry.queries("t_epoch_order")(spark, sfDir).count()))
 
+      // quality-bucket sampling: map-only (score → fixed-threshold
+      // bucket → band keep) — kept rows track the corpus linearly.
+      println("qualitySampleKept=" + timed("full t_quality_sample")(
+        SparkEntry.queries("t_quality_sample")(spark, sfDir).count()))
+
       // q_recursive isolated recheck (BASELINE.md protocol for the r13
       // perf-weak flag): scratch-parquet edges instead of
       // localCheckpoint.

@@ -415,6 +415,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style QUALITY-BUCKET sampling: bucket every document
+    // against FIXED reference thresholds (head/middle/tail — the CCNet
+    // recipe scores against a reference model and cuts at fixed
+    // perplexity bounds, so bucketing is a pure map-side comparison;
+    // corpus-quantile bucketing would need a global sort) and keep
+    // each bucket at its own deterministic 256-band rate — keep all of
+    // head, half of middle, an eighth of tail. Map-only end to end:
+    // score, bucket, band, and the keep decision all fuse into the
+    // scan; a document's bucket and fate never change as the corpus
+    // grows.
+    "t_quality_sample" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val rates = Seq(("head", 256), ("middle", 128), ("tail", 32))
+        .toDF("bucket", "thr")
+      val scored = docs(s, dir).select(col("doc_id"),
+        TA.qualityScore(col("text")).as("score"))
+        .withColumn("bucket",
+          when(col("score") >= 0.7, "head")
+            .when(col("score") >= 0.45, "middle")
+            .otherwise("tail"))
+      scored.join(broadcast(rates), Seq("bucket"))
+        .withColumn("band", TA.hashBand256(col("doc_id"), "qb:"))
+        .filter(col("band") < col("thr"))
+        .select("doc_id", "bucket", "score", "band")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic EPOCH ordering — the reproducible global-shuffle
     // primitive of a training-data pipeline: each epoch orders the
     // corpus by a salted content-free hash (different salt per epoch →
@@ -872,6 +900,31 @@ object TextQueries {
         |    AS contam_ratio
         |FROM tot LEFT JOIN shared ON tot.doc_id = shared.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+    "t_quality_sample" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents),
+        |scored AS (SELECT doc_id,
+        |    round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (CAST(len(list_distinct(w)) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) * 0.4
+        |      + CASE WHEN (CAST(len(list_filter(w, x -> x IN ($StopList)))
+        |            AS DOUBLE) / CAST(len(w) AS DOUBLE))
+        |          BETWEEN 0.02 AND 0.3
+        |        THEN 0.2 ELSE 0.0 END, 6) AS score
+        |  FROM t),
+        |b AS (SELECT doc_id, score,
+        |    CASE WHEN score >= 0.7 THEN 'head'
+        |      WHEN score >= 0.45 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |  FROM scored),
+        |k AS (SELECT doc_id, bucket, score,
+        |    CAST(('0x' || substring(md5('qb:' || CAST(doc_id AS VARCHAR)),
+        |      1, 2)) AS INTEGER) AS band,
+        |    CASE bucket WHEN 'head' THEN 256 WHEN 'middle' THEN 128
+        |      ELSE 32 END AS thr
+        |  FROM b)
+        |SELECT doc_id, bucket, score, band FROM k
+        |WHERE band < thr ORDER BY doc_id""".stripMargin,
     "t_epoch_order" ->
       """WITH e(epoch) AS (VALUES (0), (1)),
         |h AS (SELECT e.epoch, d.doc_id,
