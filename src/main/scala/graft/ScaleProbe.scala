@@ -381,6 +381,29 @@ object ScaleProbe {
       println("qualitySampleKept=" + timed("full t_quality_sample")(
         SparkEntry.queries("t_quality_sample")(spark, sfDir).count()))
 
+      // BPE: training touches the corpus once (the vocab count); the
+      // 8-merge loop is vocab-sized and its model is 8 rows at every
+      // SF. Encoding rides the distinct vocab too — corpus cost is the
+      // one explode+join pass (n_tokens tracks the corpus linearly).
+      println("bpeVocabWords=" + graft.operators.Bpe
+        .vocab(docsT, "text").count())
+      println("bpeTrainRows=" + timed("full t_bpe_train")(
+        SparkEntry.queries("t_bpe_train")(spark, sfDir).count()))
+      val bpeEnc = SparkEntry.queries("t_bpe_encode")(spark, sfDir)
+        .agg(count(lit(1)).as("docs"), sum("n_tokens").as("toks")).head()
+      println(s"bpeEncodeDocs=${bpeEnc.getLong(0)} " +
+        s"bpeTotalTokens=${bpeEnc.getLong(1)}")
+
+      // LM familiarity scoring: model = one map-combined count shuffle
+      // over train bigrams; scoring = key-partitioned left join —
+      // both sides linear in the corpus, no broadcast assumption.
+      println("lmModelBigrams=" + docsT
+        .filter(TextAnalysis.hashSplit(col("doc_id")) === "train")
+        .select(explode(TextAnalysis.wordBigrams(col("text"))).as("bg"))
+        .distinct().count())
+      println("lmScoreRows=" + timed("full t_lm_score")(
+        SparkEntry.queries("t_lm_score")(spark, sfDir).count()))
+
       // q_recursive isolated recheck (BASELINE.md protocol for the r13
       // perf-weak flag): scratch-parquet edges instead of
       // localCheckpoint.

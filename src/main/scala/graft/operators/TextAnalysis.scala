@@ -55,6 +55,28 @@ object TextAnalysis {
         when(stopwordRatio(text).between(0.02, 0.3), 0.2).otherwise(0.0),
       6)
 
+  /** CCNet-style fixed-threshold quality bucket over [[qualityScore]]:
+    * head / middle / tail. Fixed reference thresholds keep bucketing a
+    * pure map-side comparison (corpus-quantile buckets would need a
+    * global sort), and a document's bucket never changes as the corpus
+    * grows.
+    */
+  def qualityBucket(text: Column): Column =
+    when(qualityScore(text) >= 0.7, "head")
+      .when(qualityScore(text) >= 0.45, "middle")
+      .otherwise("tail")
+
+  /** Per-bucket deterministic 256-band keep decision (all of head, half
+    * of middle, an eighth of tail) — no RNG, growth-stable fate, shared
+    * by the batch query and the streaming gate so both provably keep
+    * the same documents.
+    */
+  def qualityKeep(id: Column, bucket: Column): Column =
+    hashBand256(id, "qb:") <
+      when(bucket === "head", 256)
+        .when(bucket === "middle", 128)
+        .otherwise(32)
+
   /** Whitespace token count plus a BPE-style estimate (chars/4, the usual
     * planning rule of thumb) and a regex word-token count.
     */

@@ -517,21 +517,43 @@ object TextQueries {
     // score, bucket, band, and the keep decision all fuse into the
     // scan; a document's bucket and fate never change as the corpus
     // grows.
-    "t_quality_sample" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val rates = Seq(("head", 256), ("middle", 128), ("tail", 32))
-        .toDF("bucket", "thr")
-      val scored = docs(s, dir).select(col("doc_id"),
-        TA.qualityScore(col("text")).as("score"))
-        .withColumn("bucket",
-          when(col("score") >= 0.7, "head")
-            .when(col("score") >= 0.45, "middle")
-            .otherwise("tail"))
-      scored.join(broadcast(rates), Seq("bucket"))
-        .withColumn("band", TA.hashBand256(col("doc_id"), "qb:"))
-        .filter(col("band") < col("thr"))
+    "t_quality_sample" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TA.qualityBucket(col("text")).as("bucket"),
+          TA.qualityScore(col("text")).as("score"),
+          TA.hashBand256(col("doc_id"), "qb:").as("band"))
+        .filter(TA.qualityKeep(col("doc_id"), col("bucket")))
         .select("doc_id", "bucket", "score", "band")
+        .orderBy("doc_id")),
+
+    // Reference-MODEL scoring (the CCNet recipe's shape: train a cheap
+    // LM on trusted data, score everything against it): bigram counts
+    // learned on the train split become the model table; every document
+    // is then scored by bigram familiarity — how many of its bigrams
+    // the model knows (n_known) and the average model count over its
+    // bigrams (familiarity). A count-mass score instead of perplexity
+    // keeps every aggregate integer-exact; the only float op is one
+    // final IEEE division, so both engines agree bit-for-bit where
+    // log-prob sums would flake. Scale shape: training is one
+    // map-side-combined count shuffle over train bigrams; scoring is a
+    // key-partitioned left join on the bigram — corpus-linear, no
+    // broadcast assumption on the model side, and low-familiarity docs
+    // feed the same head/middle/tail machinery as t_quality_sample.
+    "t_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = d.filter(TA.hashSplit(col("doc_id")) === "train")
+        .select(explode(TA.wordBigrams(col("text"))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      d.select(col("doc_id"), explode(TA.wordBigrams(col("text"))).as("bg"))
+        .join(model, Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_known"),
+          sum(coalesce(col("cnt"), lit(0L))).as("model_mass"))
+        .withColumn("familiarity",
+          round(col("model_mass").cast("double") /
+            col("n_bigrams").cast("double"), 6))
         .orderBy("doc_id")
     }),
 
@@ -1034,6 +1056,25 @@ object TextQueries {
         |  FROM b)
         |SELECT doc_id, bucket, score, band FROM k
         |WHERE band < thr ORDER BY doc_id""".stripMargin,
+    "t_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+        |    FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i + 1])) AS bg
+        |  FROM t),
+        |model AS (SELECT bg, count(*) AS cnt FROM bg
+        |  WHERE substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |    < 'cd'
+        |  GROUP BY bg),
+        |sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CASE WHEN m.cnt IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_known,
+        |    CAST(sum(coalesce(m.cnt, 0)) AS BIGINT) AS model_mass
+        |  FROM bg b LEFT JOIN model m USING (bg) GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams, n_known, model_mass,
+        |  round(CAST(model_mass AS DOUBLE) / n_bigrams, 6) AS familiarity
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "t_epoch_order" ->
       """WITH e(epoch) AS (VALUES (0), (1)),
         |h AS (SELECT e.epoch, d.doc_id,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
 /** CONTINUOUS incremental dedup: documents arriving as a file stream
   * are checked against the standing corpus band index
@@ -221,6 +221,27 @@ object DocStreams {
     q.awaitTermination()
     q
   }
+
+  /** CONTINUOUS quality-bucket sampling — the streaming face of
+    * `t_quality_sample`: arriving documents score, bucket, and decide
+    * their own fate with the same fixed thresholds and deterministic
+    * 256-band keep as the batch query
+    * ([[graft.operators.TextAnalysis.qualityBucket]] /
+    * [[graft.operators.TextAnalysis.qualityKeep]]). Entirely stateless
+    * map-only projections, so the stream needs no watermark, no state
+    * store, and no foreachBatch — a plain append sink is exactly-once
+    * at the row level because a replayed document reproduces the
+    * identical keep decision (its fate depends only on its own id and
+    * text, never on what else has arrived). Spec-proven to keep the
+    * same rows as the batch query (DocStreamsSpec).
+    */
+  def qualitySampled(stream: DataFrame): DataFrame =
+    stream
+      .select(col("doc_id"),
+        TextAnalysis.qualityBucket(col("text")).as("bucket"),
+        TextAnalysis.qualityScore(col("text")).as("score"),
+        TextAnalysis.hashBand256(col("doc_id"), "qb:").as("band"))
+      .filter(TextAnalysis.qualityKeep(col("doc_id"), col("bucket")))
 
   /** Stage 3: per-micro-batch candidate dedup + exact-Jaccard
     * verification against the static `docStore` (which must contain

@@ -216,4 +216,39 @@ class DocStreamsSpec extends SparkFunSuite {
       assert(got.exists(_._3 > 0L))
     } finally CatalogOps.dropTable(s, idxT)
   }
+
+  test("streaming quality gate keeps exactly the batch query's rows") {
+    val s = spark
+    val streamDir = tmpDir("qs_stream")
+    val outDir = tmpDir("qs_out")
+    // two arrival waves so the keep decision is proven per-batch stable
+    for ((lo, hi, name) <- Seq((0L, 250L, "wave1"), (250L, 500L, "wave2"))) {
+      val staged = tmpDir(s"qs_stage_$name")
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(streamDir, s"$name.parquet"))
+    }
+    val q = DocStreams.qualitySampled(DocStreams.readDocs(s, streamDir))
+      .writeStream
+      .option("checkpointLocation", tmpDir("qs_ckpt"))
+      .format("parquet").option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "bucket", "score", "band").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val got = asSet(s.read.parquet(outDir))
+    val want = asSet(graft.SparkEntry.queries("t_quality_sample")(s, sf0001))
+    assert(got.nonEmpty && got == want)
+    // the gate discriminates: not everything survives, >1 bucket appears
+    assert(got.size < docs.count())
+    assert(got.map(_._2).size >= 1 && Set("head", "middle", "tail")
+      .exists(b => got.exists(_._2 == b)))
+  }
 }
