@@ -394,6 +394,11 @@ object ScaleProbe {
       println(s"bpeEncodeDocs=${bpeEnc.getLong(0)} " +
         s"bpeTotalTokens=${bpeEnc.getLong(1)}")
 
+      // context-window chunking: map-only explode — chunk count tracks
+      // corpus tokens; no shuffle before the presentation sort.
+      println("chunkRows=" + timed("full t_chunk")(
+        SparkEntry.queries("t_chunk")(spark, sfDir).count()))
+
       // LM familiarity scoring: model = one map-combined count shuffle
       // over train bigrams; scoring = key-partitioned left join —
       // both sides linear in the corpus, no broadcast assumption.

@@ -527,6 +527,41 @@ object TextQueries {
         .select("doc_id", "bucket", "score", "band")
         .orderBy("doc_id")),
 
+    // Context-window CHUNKING with overlap — the long-document splitter
+    // feeding fixed-window training / embedding / RAG indexing: 64-token
+    // windows at stride 48 (16-token overlap), the trailing partial
+    // window kept iff it holds ≥ 32 tokens (with this stride the tail
+    // always holds ≥ 17, so the rule genuinely prunes; the first
+    // window always survives, so no document vanishes). Entirely
+    // map-only: each document's chunk boundaries derive from its own
+    // token count — the window count is 1 + ceil((n-64)/48), computed
+    // as exact arithmetic both engines truncate identically — and the
+    // per-chunk
+    // fingerprint keeps the output slim while still hash-proving the
+    // exact token spans. Chunks scale with corpus tokens; no shuffle
+    // before the presentation sort.
+    "t_chunk" -> ((s, dir) => {
+      val win = 64
+      val stride = 48
+      val minTail = 32
+      val t = split(col("text"), " ")
+      val n = size(t)
+      val extra = greatest((n - win + stride - 1).cast("double")
+        .divide(stride).cast("int"), lit(0))
+      docs(s, dir)
+        .select(col("doc_id"), t.as("t"), n.as("n"), extra.as("extra"))
+        .select(col("doc_id"), col("t"), col("n"),
+          explode(transform(sequence(lit(0), col("extra")),
+            k => struct(k.as("chunk_id"), (k * stride + 1).as("start"),
+              least(lit(win), col("n") - k * stride).as("len")))).as("c"))
+        .filter(col("c.chunk_id") === 0 || col("c.len") >= minTail)
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.start").as("start"), col("c.len").as("len"),
+          md5(concat_ws(" ",
+            slice(col("t"), col("c.start"), col("c.len")))).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Reference-MODEL scoring (the CCNet recipe's shape: train a cheap
     // LM on trusted data, score everything against it): bigram counts
     // learned on the train split become the model table; every document
@@ -1056,6 +1091,23 @@ object TextQueries {
         |  FROM b)
         |SELECT doc_id, bucket, score, band FROM k
         |WHERE band < thr ORDER BY doc_id""".stripMargin,
+    "t_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |w AS (SELECT doc_id, l, n,
+        |    unnest(generate_series(0, greatest(
+        |      CAST(floor((n - 64 + 47) / 48.0) AS INTEGER), 0))) AS k
+        |  FROM t),
+        |c AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+        |    CAST(k * 48 + 1 AS INTEGER) AS start,
+        |    CAST(least(64, n - k * 48) AS INTEGER) AS len, l
+        |  FROM w)
+        |SELECT doc_id, chunk_id, start, len,
+        |  md5(array_to_string(list_transform(
+        |    generate_series(start, start + len - 1), j -> l[j]), ' '))
+        |    AS chunk_fp
+        |FROM c WHERE chunk_id = 0 OR len >= 32
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "t_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
         |    FROM documents),
