@@ -583,9 +583,171 @@ object RelationalQueries {
           dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy("cntrycode")
     }),
+
+    // TPC-H Q10-shaped returned-item reporting: customers who returned
+    // goods ordered in one quarter, ranked by lost revenue. lineitem is
+    // pre-filtered to returns and orders to the quarter BEFORE the
+    // orderkey shuffle (the only shuffle); customer and nation broadcast.
+    // Top-20 via TakeOrderedAndProject — no global sort materializes.
+    "q10_returned_items" -> ((s, dir) => {
+      val line = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      line.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(revenueExpr).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q11-shaped important-inventory scan: per-part revenue from
+    // one nation's suppliers, kept only where it exceeds a threshold
+    // derived from a global aggregate (the classic group-by +
+    // global-aggregate-threshold shape; partsupp doesn't exist in this
+    // dataset, so lineitem revenue stands in for supplycost*availqty —
+    // identical topology). TPC-H's own fraction scales by 1/SF; the
+    // scale-free equivalent is a multiple of the AVERAGE per-part
+    // share — 2× average stays non-degenerate at every SF where a
+    // fixed fraction empties out as the part domain grows. The
+    // threshold is a 1-row broadcast; the only shuffle is the per-part
+    // aggregation.
+    "q11_important_parts" -> ((s, dir) => {
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val base = t(s, dir, "lineitem")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), revenueExpr.as("v"))
+      val thr = base.agg((sum(col("v")).cast("double") * 2.0 /
+        countDistinct(col("l_partkey")).cast("double")).as("thr"))
+      base.groupBy("l_partkey")
+        .agg(sum(col("v")).cast("double").as("value"))
+        .crossJoin(broadcast(thr))
+        .filter(col("value") > col("thr"))
+        .select("l_partkey", "value")
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q16-shaped supplier-count per part attribute: distinct
+    // suppliers able to supply each (brand, type, size) bucket,
+    // excluding blacklisted suppliers via NOT IN → left-anti (suppkeys
+    // are non-null, so anti-join is semantics-exact; negative account
+    // balance stands in for the complaint predicate the schema lacks).
+    // part broadcasts pre-filtered; the distinct-count shuffles once on
+    // the group key.
+    "q16_supplier_counts" -> ((s, dir) => {
+      val prt = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20-shaped nested semi-join promotion scan: suppliers in one
+    // nation who pushed more than half their all-time shipped quantity
+    // of a part family inside one year (the correlated-threshold pair
+    // aggregate stands in for availqty > 0.5*shipped, which needs the
+    // absent partsupp). Pair aggregate shuffles once on (part, supp);
+    // conditional + total sums come from the SAME pass (no second scan);
+    // the supplier probe is a left-semi against the tiny surviving pair
+    // set.
+    "q20_promotable_suppliers" -> ((s, dir) => {
+      val prt = t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select("p_partkey")
+      val qdec = col("l_quantity").cast(DecimalType(18, 2))
+      val pairs = t(s, dir, "lineitem")
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+          sum(when(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"), qdec))
+            .cast("double").as("q_win"),
+          sum(qdec).cast("double").as("q_tot"))
+        .filter(col("q_win") > lit(0.5) * col("q_tot"))
+        .select("l_suppkey")
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_4")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(pairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q11_important_parts" ->
+      """WITH base AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'),
+        |tot AS (SELECT CAST(sum(v) AS DOUBLE) * 2.0
+        |    / CAST(count(DISTINCT l_partkey) AS DOUBLE) AS thr FROM base)
+        |SELECT l_partkey, CAST(sum(v) AS DOUBLE) AS value
+        |FROM base, tot GROUP BY l_partkey, thr
+        |HAVING CAST(sum(v) AS DOUBLE) > thr
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_promotable_suppliers" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01'
+        |        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+        |      AS q_win,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q_tot
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_4'
+        |  AND s_suppkey IN
+        |    (SELECT l_suppkey FROM pairs WHERE q_win > 0.5 * q_tot)
+        |ORDER BY s_suppkey""".stripMargin,
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
