@@ -414,6 +414,42 @@ object ScaleProbe {
       // localCheckpoint.
       println("qRecursiveRows=" + timed("full q_recursive")(
         SparkEntry.queries("q_recursive")(spark, sfDir).count()))
+
+      // TPC-H suite completions: each aggregates a 10× fact against
+      // constant dims; output is top-k-bounded (q10), threshold-bounded
+      // (q11: the 0.001 fraction keeps the kept-part count roughly
+      // stable as the total grows with the data), attribute-domain-
+      // bounded (q16), or supplier-domain-bounded (q20).
+      println("q10OutputRows=" + timed("full q10_returned_items")(
+        SparkEntry.queries("q10_returned_items")(spark, sfDir).count()))
+      println("q11KeptParts=" + timed("full q11_important_parts")(
+        SparkEntry.queries("q11_important_parts")(spark, sfDir).count()))
+      println("q16AttrBuckets=" + timed("full q16_supplier_counts")(
+        SparkEntry.queries("q16_supplier_counts")(spark, sfDir).count()))
+      println("q20Suppliers=" + timed("full q20_promotable_suppliers")(
+        SparkEntry.queries("q20_promotable_suppliers")(spark, sfDir).count()))
+
+      // winnowing: selected fingerprints track corpus grams at ~2/(w+1)
+      // density; the MOSS pairing is bounded by Σ df² over RARE keys
+      // (df-capped), never corpus². TF-IDF: tf/df aggs and the term join
+      // are corpus-term-sized; output is 3 rows per doc.
+      println("winnowFps=" + timed("full t_winnow")(
+        SparkEntry.queries("t_winnow")(spark, sfDir).count()))
+      println("winnowPairs=" + timed("full d_winnow_pairs")(
+        SparkEntry.queries("d_winnow_pairs")(spark, sfDir).count()))
+      println("tfidfRows=" + timed("full t_tfidf")(
+        SparkEntry.queries("t_tfidf")(spark, sfDir).count()))
+
+      // MMR: candidate generation is the brute scan (q·n pairs); the
+      // greedy itself is candidate-bounded (n + n² rows per query,
+      // n fixed) — output is q·k at every SF.
+      println("mmrRows=" + timed("full s_mmr")(
+        SparkEntry.queries("s_mmr")(spark, sfDir).count()))
+
+      // collocations: token explode + two hash aggs + a vocab join —
+      // output is top-20 at every SF.
+      println("collocRows=" + timed("full t_collocations")(
+        SparkEntry.queries("t_collocations")(spark, sfDir).count()))
     }
     if (what == "curate") {
       // Factor-10 protocol for the curation pipeline: stage counts are

@@ -894,4 +894,55 @@ object Dedup {
       .select(col("vid"), col("cell"), col("witness"),
         col("witness").isNull.as("keep"))
   }
+
+  /** Robust WINNOWING fingerprint selection (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS selector): word `k`-gram md5 hashes,
+    * sliding windows of `w` consecutive grams, each window contributing
+    * its minimum hash with the RIGHTMOST tie-break. Guarantee: any
+    * shared token run of length >= w + k - 1 produces at least one
+    * shared fingerprint, at an expected density of 2/(w+1) of the grams
+    * — the noise-robust middle ground between full-gram inverted
+    * indexes ([[duplicatedSpans]]' O(corpus chars) key stream) and
+    * whole-document hashes ([[TextAnalysis.fingerprint]]).
+    *
+    * The tie-break rides inside the min itself: the window key is
+    * `md5hex || '#' || zeropad(BIG - pos)`, so the lexicographic
+    * minimum IS (min hash, max pos) and no second pass locates the
+    * argmin. Documents shorter than `w` grams fall back to one
+    * whole-document window, so every tokenizable document yields at
+    * least one fingerprint. One doc-partitioned window pass (sort
+    * within doc) then a distinct on the selected (doc, pos) — work
+    * tracks corpus tokens; nothing is quadratic.
+    *
+    * Returns (id, fp_pos, fp): the selected gram position and its
+    * 32-hex fingerprint.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val big = 99999999
+    val toks = split(col(textCol), " ")
+    val grams = df
+      .select(col(idCol).as("id"), toks.as("l"), size(toks).as("n"))
+      .filter(col("n") >= k)
+      .select(col("id"), col("l"),
+        explode(sequence(lit(1), col("n") - (k - 1))).as("pos"))
+      .select(col("id"), col("pos").cast("int").as("pos"),
+        md5(concat_ws(" ", slice(col("l"), col("pos"), lit(k)))).as("hsh"))
+    val frame = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val whole = Window.partitionBy("id")
+    grams
+      .select(col("id"), col("pos"),
+        min(concat(col("hsh"), lit("#"),
+          lpad((lit(big) - col("pos")).cast("string"), 8, "0")))
+          .over(frame).as("wk"),
+        count(lit(1)).over(frame).as("wn"),
+        max(col("pos")).over(whole).as("maxpos"))
+      .filter(col("wn") === w || (col("pos") === 1 && col("maxpos") < w))
+      .select(col("id"),
+        (lit(big) - substring(col("wk"), 34, 8).cast("int")).as("fp_pos"),
+        substring(col("wk"), 1, 32).as("fp"))
+      .distinct()
+  }
 }

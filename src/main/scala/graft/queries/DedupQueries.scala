@@ -127,6 +127,43 @@ object DedupQueries {
         Dedup.simhashBits(docs(s, dir).filter(col("doc_id") < 100),
           "doc_id", "text"), maxDist = 6)
         .orderBy("id_a", "id_b")),
+
+    // MOSS match step over winnowing fingerprints (Schleimer et al.
+    // 2003): documents sharing >= 3 selected fingerprints — detects
+    // shared runs of >= w+k-1 tokens at 2/(w+1) index density, i.e. a
+    // ~60% smaller inverted index than full-gram span detection for the
+    // same guarantee window. HOT fingerprints (boilerplate grams in
+    // > 10 docs) are dropped BEFORE the pairing self-join, the same
+    // df-cap that keeps every inverted-index join here linear: pairs
+    // cost Σ df² over the rare keys only, never corpus². Fingerprints
+    // come from ONE winnow pass reused on both join legs (self-join on
+    // the fp key → exchange reuse, asserted in PlanShapeSpec).
+    "d_winnow_pairs" -> ((s, dir) => {
+      // (doc, fp) distinct: a fingerprint selected at several positions
+      // in one document is one posting — df counts DOCUMENTS and pair
+      // strength counts DISTINCT shared fingerprints (MOSS semantics).
+      // The boilerplate cap (df > 10 dropped BEFORE pairing) is a
+      // WINDOW over the fp partitioning rather than a separate
+      // aggregate+join: the winnow pass is the expensive subplan, and
+      // this keeps BOTH self-join legs the identical
+      // winnow→distinct→window→filter tree so Catalyst reuses ONE
+      // exchange instead of recomputing the pass per leg (a measured
+      // 14×-at-10× wall without the reuse; plan-asserted in
+      // PlanShapeSpec).
+      val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val fp = Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text")
+        .select("id", "fp").distinct()
+        .withColumn("df", count(lit(1)).over(byFp))
+        .filter(col("df") <= 10)
+        .select("id", "fp")
+      fp.select(col("fp"), col("id").as("doc_a"))
+        .join(fp.select(col("fp"), col("id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 3)
+        .orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,5 +315,32 @@ object DedupQueries {
         |generate_series(1, 32) AS p(p)
         |GROUP BY 1, 2 HAVING dist <= 6
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(unnest(generate_series(1, n - 2)) AS INTEGER) AS pos, l
+        |  FROM t WHERE n >= 3),
+        |h AS (SELECT doc_id, pos,
+        |    md5(array_to_string(list_transform(
+        |      generate_series(pos, pos + 2), j -> l[j]), ' ')) AS hsh
+        |  FROM g),
+        |w AS (SELECT doc_id, pos,
+        |    min(hsh || '#' || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn,
+        |    max(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |  FROM h),
+        |fp AS (SELECT DISTINCT doc_id, substr(wk, 1, 32) AS fp
+        |  FROM w WHERE wn = 4 OR (pos = 1 AND maxpos < 4)),
+        |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS shared_fps
+        |FROM fp a JOIN rare USING (fp) JOIN fp b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin,
   )
 }

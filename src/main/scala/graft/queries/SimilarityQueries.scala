@@ -152,6 +152,20 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // MMR diversified retrieval (Carbonell & Goldstein 1998): top-12
+    // brute candidates per query, then greedy λ=0.7 redundancy-penalized
+    // selection of 5 — candidate generation and the 12×12 pairwise
+    // matrix distributed, the sequential greedy executor-local per
+    // query via flatMapGroups (Similarity.mmrRerank scaladoc). The
+    // DuckDB oracle replays the same greedy as a recursive CTE.
+    "s_mmr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.mmrRerank(
+        e, e.filter(col("vec_id").isin(QueryIds: _*)),
+        n = 12, k = 5, lambdaTenths = 7)
+        .orderBy("qid", "step")
+    }),
+
     // Sign-LSH bucketed ANN: candidates share the query's 8-bit
     // axis-sign bucket; exact rerank inside the bucket, top-5.
     "s_ann_lsh" -> ((s, dir) => {
@@ -968,6 +982,59 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+    "s_mmr" ->
+      s"""WITH RECURSIVE cand0 AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    q.embedding AS qvec, c.embedding AS cvec
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id IN (0, 1, 2)),
+        |${cosCte.replace("FROM cand,", "FROM cand0,")},
+        |cand AS (SELECT qid, vid, cos, row_number()
+        |    OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+        |  FROM scored QUALIFY rk <= 12),
+        |pw0 AS (SELECT a.qid, a.vid AS va, b.vid AS vb,
+        |    ea.embedding AS qvec, eb.embedding AS cvec
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vid <> b.vid
+        |  JOIN embeddings ea ON a.vid = ea.vec_id
+        |  JOIN embeddings eb ON b.vid = eb.vec_id),
+        |pterms AS (SELECT qid, va, vb,
+        |    CAST(CAST(qvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)
+        |      AS DECIMAL(28,12)) AS p,
+        |    CAST(CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)
+        |      AS DECIMAL(28,12)) AS qq,
+        |    CAST(CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)
+        |      AS DECIMAL(28,12)) AS cc
+        |  FROM pw0, generate_series(1, 64) AS t(i)),
+        |pw AS (SELECT qid, va, vb,
+        |    round(CAST(sum(p) AS DOUBLE)
+        |      / (sqrt(CAST(sum(qq) AS DOUBLE))
+        |        * sqrt(CAST(sum(cc) AS DOUBLE))), 6) AS sim
+        |  FROM pterms GROUP BY qid, va, vb),
+        |sel AS (
+        |  SELECT qid, 1 AS step, vid AS picked, [vid] AS ids,
+        |      10 * CAST(round(cos * 1e6) AS BIGINT) AS mmr_e7
+        |  FROM cand
+        |  QUALIFY row_number()
+        |    OVER (PARTITION BY qid ORDER BY cos DESC, vid) = 1
+        |  UNION ALL
+        |  SELECT qid, step, picked, list_append(ids, picked) AS ids,
+        |      mmr_e7
+        |  FROM (
+        |    SELECT s.qid, s.step + 1 AS step, c.vid AS picked, s.ids,
+        |        7 * any_value(CAST(round(c.cos * 1e6) AS BIGINT))
+        |          - 3 * max(CAST(round(p.sim * 1e6) AS BIGINT)) AS mmr_e7,
+        |        row_number() OVER (PARTITION BY s.qid
+        |          ORDER BY 7 * any_value(CAST(round(c.cos * 1e6) AS BIGINT))
+        |            - 3 * max(CAST(round(p.sim * 1e6) AS BIGINT))
+        |            DESC, c.vid) AS r
+        |    FROM sel s
+        |    JOIN cand c ON c.qid = s.qid AND NOT list_contains(s.ids, c.vid)
+        |    JOIN pw p ON p.qid = s.qid AND p.va = c.vid
+        |      AND list_contains(s.ids, p.vb)
+        |    WHERE s.step < 5
+        |    GROUP BY s.qid, s.step, s.ids, c.vid
+        |  ) WHERE r = 1)
+        |SELECT qid, step, picked, CAST(mmr_e7 AS DOUBLE) / 1e7 AS mmr
+        |FROM sel ORDER BY qid, step""".stripMargin,
     "s_ann_lsh" -> {
       val bucket = lshBucketSql _
       s"""WITH cand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,

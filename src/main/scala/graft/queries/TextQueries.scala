@@ -562,6 +562,80 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Robust WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003):
+    // windowed-minimum k-gram selection at ~2/(w+1) density (measured
+    // 0.39) — semantics and scale shape documented on
+    // [[graft.operators.Dedup.winnowFingerprints]]; `d_winnow_pairs`
+    // runs the MOSS match step over the same selection.
+    "t_winnow" -> ((s, dir) =>
+      graft.operators.Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "fp_pos")),
+
+    // Collocation mining: top-20 bigrams by LIFT — the rational core of
+    // PMI (Church & Hanks 1990), score = N·c(ab) / (c(a)·c(b)), which
+    // is monotone to PMI = log of it; staying in integer counts + two
+    // IEEE-exact double ops keeps both engines bit-identical where a
+    // libm log would not. c(w) counts occurrences in EITHER bigram slot
+    // (head + tail), so the denominator is the standard unigram
+    // frequency up to the two boundary tokens. Shapes: one explode
+    // over token positions, two map-combined hash aggs (bigram key,
+    // word key), a vocabulary-sized join, global top-20 — corpus cost
+    // is the token explode; nothing quadratic.
+    "t_collocations" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val bg = docs(s, dir)
+        .select(toks.as("l"), size(toks).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("l"), explode(sequence(lit(1), col("n") - 1)).as("i"))
+        .select(element_at(col("l"), col("i")).as("w1"),
+          element_at(col("l"), col("i") + 1).as("w2"))
+      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      val uc = bg.select(col("w1").as("w"))
+        .unionByName(bg.select(col("w2").as("w")))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val nb = bg.agg(count(lit(1)).as("nb"))
+      cb.filter(col("cab") >= 5)
+        .join(uc.select(col("w").as("w1"), col("cw").as("ca")), "w1")
+        .join(uc.select(col("w").as("w2"), col("cw").as("cb2")), "w2")
+        .crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("cab"),
+          (col("nb").cast("double") * col("cab").cast("double") /
+            (col("ca").cast("double") * col("cb2").cast("double")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    // TF-IDF top-3 terms per document — the sparse-retrieval / keyword-
+    // extraction primitive (salience = term frequency × corpus rarity).
+    // idf is the RATIONAL form N/df, not log(N/df): multiplication and
+    // division are IEEE-correctly-rounded so both engines produce
+    // bit-identical doubles, while libm log is not guaranteed to — the
+    // ranking is order-equivalent (log is monotone). Shapes: tf is one
+    // (doc, term) hash agg; df reduces tf by term (map-side combined);
+    // the df join shuffles on the term key — both sides are
+    // vocabulary- or corpus-term-sized, no broadcast assumption — and
+    // the top-3 is a per-doc window over tf's own partitioning. N is a
+    // 1-row broadcast.
+    "t_tfidf" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val rk = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast("double") * col("n").cast("double") /
+            col("df").cast("double")).as("score"))
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "score")
+        .orderBy("doc_id", "rk")
+    }),
+
     // Reference-MODEL scoring (the CCNet recipe's shape: train a cheap
     // LM on trusted data, score everything against it): bigram counts
     // learned on the train split become the model table; every document
@@ -1108,6 +1182,63 @@ object TextQueries {
         |    AS chunk_fp
         |FROM c WHERE chunk_id = 0 OR len >= 32
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "t_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(unnest(generate_series(1, n - 2)) AS INTEGER) AS pos, l
+        |  FROM t WHERE n >= 3),
+        |h AS (SELECT doc_id, pos,
+        |    md5(array_to_string(list_transform(
+        |      generate_series(pos, pos + 2), j -> l[j]), ' ')) AS hsh
+        |  FROM g),
+        |w AS (SELECT doc_id, pos,
+        |    min(hsh || '#' || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn,
+        |    max(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |  FROM h)
+        |SELECT DISTINCT doc_id,
+        |    99999999 - CAST(substr(wk, 34, 8) AS INTEGER) AS fp_pos,
+        |    substr(wk, 1, 32) AS fp
+        |FROM w WHERE wn = 4 OR (pos = 1 AND maxpos < 4)
+        |ORDER BY doc_id, fp_pos""".stripMargin,
+    "t_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |ix AS (SELECT doc_id, l,
+        |    CAST(unnest(generate_series(1, n - 1)) AS INTEGER) AS i
+        |  FROM t WHERE n >= 2),
+        |bg AS (SELECT l[i] AS w1, l[i+1] AS w2 FROM ix),
+        |cb AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT w, sum(c) AS cw FROM (
+        |    SELECT w1 AS w, count(*) AS c FROM bg GROUP BY 1
+        |    UNION ALL SELECT w2 AS w, count(*) AS c FROM bg GROUP BY 1)
+        |  GROUP BY w),
+        |n AS (SELECT count(*) AS nb FROM bg)
+        |SELECT w1, w2, cab,
+        |  CAST(nb AS DOUBLE) * CAST(cab AS DOUBLE)
+        |    / (CAST(a.cw AS DOUBLE) * CAST(b.cw AS DOUBLE)) AS lift
+        |FROM cb JOIN uc a ON w1 = a.w JOIN uc b ON w2 = b.w, n
+        |WHERE cab >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
+    "t_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE)
+        |      AS score
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT doc_id, term, score, row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM s)
+        |SELECT doc_id, rk, term, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "t_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
         |    FROM documents),

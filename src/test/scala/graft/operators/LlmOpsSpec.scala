@@ -846,4 +846,74 @@ class LlmOpsSpec extends SparkFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaGeom == explicit && viaGeom.nonEmpty)
   }
+
+  // ---- MMR ----
+
+  test("mmrRerank: demotes the redundant near-twin that plain top-k ranks second") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // q = e1; c1 ~ q; c2 ~ c1 (redundant twin); c3 orthogonal-ish.
+    // Plain cosine ranks c2 second; MMR must pick the diverse c3 first.
+    def v(xs: Float*): Array[Float] = xs.toArray
+    val emb = Seq(
+      (0L, v(1f, 0f, 0f, 0f)), // query
+      (1L, v(0.9f, 0.1f, 0f, 0f)), // c1: closest
+      (2L, v(0.89f, 0.11f, 0f, 0f)), // c2: c1's twin
+      (3L, v(0.5f, 0f, 0.8f, 0f)) // c3: diverse
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(
+      emb, emb.filter(col("vec_id") === 0L), n = 3, k = 3,
+      lambdaTenths = 5)
+      .orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 3L, 2L),
+      out.mkString(", "))
+    // greedy runs in exact 1e-7 integer units: every emitted score is
+    // an exact multiple of 1e-7
+    out.foreach { r =>
+      val e7 = r.getDouble(3) * 1e7
+      assert(e7 == math.rint(e7), r.toString)
+    }
+  }
+
+  // ---- Winnowing ----
+
+  test("winnow: shared run of >= w+k-1 tokens guarantees a shared fingerprint") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // k=3, w=4 → guarantee window is 6 tokens. The two docs share the
+    // 6-token run "p q r s t u" inside otherwise-disjoint noise.
+    val df = Seq(
+      (1L, "aa bb cc p q r s t u dd ee ff"),
+      (2L, "gg hh p q r s t u ii jj kk ll"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(df, "doc_id", "text")
+      .select("id", "fp").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert((fp(1L) intersect fp(2L)).nonEmpty,
+      "shared 6-token run must yield a shared fingerprint")
+    assert((fp(1L) intersect fp(3L)).isEmpty)
+  }
+
+  test("winnow: rightmost tie-break, whole-doc fallback, ~2/(w+1) density") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // all-identical grams: every window's min is tied → rightmost wins
+    // per window → selected positions are exactly one per window start.
+    val tied = Seq((1L, "x x x x x x x x x")).toDF("doc_id", "text")
+    val selTied = Dedup.winnowFingerprints(tied, "doc_id", "text")
+      .select("fp_pos").collect().map(_.getInt(0)).sorted
+    // 7 grams, windows start at pos 1..4, rightmost of [p, p+3] is p+3
+    assert(selTied.toSeq == Seq(4, 5, 6, 7), selTied.toSeq)
+    // short doc (< w grams) still fingerprints via the whole-doc window
+    val short = Seq((2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(short, "doc_id", "text").count() == 1)
+    // density on the real corpus ~ 2/(w+1) = 0.4
+    val grams = docs.select(
+      greatest(size(split(col("text"), " ")) - 2, lit(0)).as("g"))
+      .agg(sum("g")).head().getLong(0)
+    val sel = Dedup.winnowFingerprints(docs, "doc_id", "text").count()
+    val density = sel.toDouble / grams
+    assert(density > 0.3 && density < 0.5, s"density $density")
+  }
 }

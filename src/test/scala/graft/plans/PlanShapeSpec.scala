@@ -76,6 +76,46 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q10_returned_items: dims broadcast, top-20 without a global sort") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q11_important_parts: 1-row broadcast threshold, no cartesian") {
+    val p = plan("q11_important_parts")
+    assert(!p.contains("CartesianProduct"), p)
+    // the HAVING threshold must arrive as a broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q16_supplier_counts: NOT IN lowered to anti-join, part broadcast") {
+    val p = plan("q16_supplier_counts")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q20_promotable_suppliers: IN-subquery lowered to semi-join, no cartesian") {
+    val p = plan("q20_promotable_suppliers")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d_winnow_pairs: self-join reuses ONE winnow exchange; no cartesian") {
+    val p = plan("d_winnow_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the expensive winnow pass must be computed once, not per leg
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+  }
+
+  test("t_tfidf: df-join shuffles on the term key; 1-row N broadcast") {
+    val p = plan("t_tfidf")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("mm_neardup: banded pairing via equality joins only") {
     val p = plan("mm_neardup")
     assert(!p.contains("CartesianProduct"), p)
