@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: tokenization,
@@ -282,6 +282,38 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)),
       slice(t, lit(3), m),
       (ab, c) => concat(ab, lit(" "), c))
+  }
+
+  /** Context-window CHUNKING with overlap — the long-document splitter
+    * feeding fixed-window training / embedding / RAG indexing:
+    * `win`-token windows at `stride` (so `win - stride` tokens of
+    * overlap), the trailing partial window kept iff it holds at least
+    * `minTail` tokens; the first window always survives, so no
+    * document vanishes. Entirely map-only and STATELESS: each
+    * document's chunk boundaries derive from its own token count (the
+    * window count is 1 + ceil((n-win)/stride), exact arithmetic both
+    * engines truncate identically), so the same projection serves the
+    * batch query and the streaming stage unchanged, and a replayed
+    * document reproduces identical chunks. The per-chunk md5
+    * fingerprint keeps outputs slim while hash-proving the exact token
+    * spans. Returns (id, chunk_id, start, len, chunk_fp).
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      win: Int = 64, stride: Int = 48, minTail: Int = 32): DataFrame = {
+    val t = split(col(textCol), " ")
+    val n = size(t)
+    val extra = greatest((n - win + stride - 1).cast("double")
+      .divide(stride).cast("int"), lit(0))
+    df.select(col(idCol).as("id"), t.as("t"), n.as("n"), extra.as("extra"))
+      .select(col("id"), col("t"), col("n"),
+        explode(transform(sequence(lit(0), col("extra")),
+          k => struct(k.as("chunk_id"), (k * stride + 1).as("start"),
+            least(lit(win), col("n") - k * stride).as("len")))).as("c"))
+      .filter(col("c.chunk_id") === 0 || col("c.len") >= minTail)
+      .select(col("id"), col("c.chunk_id").as("chunk_id"),
+        col("c.start").as("start"), col("c.len").as("len"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("c.start"), col("c.len")))).as("chunk_fp"))
   }
 
   /** Contiguous sequence packing: assign each document a pack id such

@@ -617,10 +617,16 @@ object RelationalQueries {
     // threshold is a 1-row broadcast; the only shuffle is the per-part
     // aggregation.
     "q11_important_parts" -> ((s, dir) => {
+      // region-level supplier restriction (TPC-H uses a nation; at the
+      // smallest SF single nations have zero suppliers, a region never
+      // does — same dim-filtered-broadcast topology)
+      val asia = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")
       val supp = t(s, dir, "supplier")
-        .join(broadcast(t(s, dir, "nation")
-          .filter(col("n_name") === "NATION_7")),
-          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
       val base = t(s, dir, "lineitem")
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
@@ -660,7 +666,8 @@ object RelationalQueries {
     }),
 
     // TPC-H Q20-shaped nested semi-join promotion scan: suppliers in one
-    // nation who pushed more than half their all-time shipped quantity
+    // region (a nation in TPC-H; empty at the smallest SF here) who
+    // pushed more than half their all-time shipped quantity
     // of a part family inside one year (the correlated-threshold pair
     // aggregate stands in for availqty > 0.5*shipped, which needs the
     // absent partsupp). Pair aggregate shuffles once on (part, supp);
@@ -681,10 +688,13 @@ object RelationalQueries {
           sum(qdec).cast("double").as("q_tot"))
         .filter(col("q_win") > lit(0.5) * col("q_tot"))
         .select("l_suppkey")
+      val asia = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")
       t(s, dir, "supplier")
-        .join(broadcast(t(s, dir, "nation")
-          .filter(col("n_name") === "NATION_4")),
-          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
         .join(pairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
@@ -714,7 +724,8 @@ object RelationalQueries {
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_7'),
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
         |tot AS (SELECT CAST(sum(v) AS DOUBLE) * 2.0
         |    / CAST(count(DISTINCT l_partkey) AS DOUBLE) AS thr FROM base)
         |SELECT l_partkey, CAST(sum(v) AS DOUBLE) AS value
@@ -744,7 +755,8 @@ object RelationalQueries {
         |  GROUP BY 1, 2)
         |SELECT s_suppkey, s_name FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_4'
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
         |  AND s_suppkey IN
         |    (SELECT l_suppkey FROM pairs WHERE q_win > 0.5 * q_tot)
         |ORDER BY s_suppkey""".stripMargin,

@@ -527,40 +527,18 @@ object TextQueries {
         .select("doc_id", "bucket", "score", "band")
         .orderBy("doc_id")),
 
-    // Context-window CHUNKING with overlap — the long-document splitter
-    // feeding fixed-window training / embedding / RAG indexing: 64-token
-    // windows at stride 48 (16-token overlap), the trailing partial
-    // window kept iff it holds ≥ 32 tokens (with this stride the tail
-    // always holds ≥ 17, so the rule genuinely prunes; the first
-    // window always survives, so no document vanishes). Entirely
-    // map-only: each document's chunk boundaries derive from its own
-    // token count — the window count is 1 + ceil((n-64)/48), computed
-    // as exact arithmetic both engines truncate identically — and the
-    // per-chunk
-    // fingerprint keeps the output slim while still hash-proving the
-    // exact token spans. Chunks scale with corpus tokens; no shuffle
-    // before the presentation sort.
-    "t_chunk" -> ((s, dir) => {
-      val win = 64
-      val stride = 48
-      val minTail = 32
-      val t = split(col("text"), " ")
-      val n = size(t)
-      val extra = greatest((n - win + stride - 1).cast("double")
-        .divide(stride).cast("int"), lit(0))
-      docs(s, dir)
-        .select(col("doc_id"), t.as("t"), n.as("n"), extra.as("extra"))
-        .select(col("doc_id"), col("t"), col("n"),
-          explode(transform(sequence(lit(0), col("extra")),
-            k => struct(k.as("chunk_id"), (k * stride + 1).as("start"),
-              least(lit(win), col("n") - k * stride).as("len")))).as("c"))
-        .filter(col("c.chunk_id") === 0 || col("c.len") >= minTail)
-        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
-          col("c.start").as("start"), col("c.len").as("len"),
-          md5(concat_ws(" ",
-            slice(col("t"), col("c.start"), col("c.len")))).as("chunk_fp"))
-        .orderBy("doc_id", "chunk_id")
-    }),
+    // Context-window CHUNKING with overlap — 64-token windows at stride
+    // 48 (16-token overlap), trailing partial window kept at ≥ 32
+    // tokens (with this stride the tail always holds ≥ 17, so the rule
+    // genuinely prunes). Semantics and the stateless-map-only scale
+    // shape documented on [[graft.operators.TextAnalysis.chunkWindows]];
+    // `DocStreams.chunked` runs the SAME projection continuously,
+    // spec-proven equal to this batch query. Chunks scale with corpus
+    // tokens; no shuffle before the presentation sort.
+    "t_chunk" -> ((s, dir) =>
+      TA.chunkWindows(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")),
 
     // Robust WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003):
     // windowed-minimum k-gram selection at ~2/(w+1) density (measured

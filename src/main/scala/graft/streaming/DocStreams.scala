@@ -235,6 +235,22 @@ object DocStreams {
     * text, never on what else has arrived). Spec-proven to keep the
     * same rows as the batch query (DocStreamsSpec).
     */
+  /** CONTINUOUS context-window chunking — the streaming face of
+    * `t_chunk`: arriving documents explode into their 64/48 training
+    * windows as they land ([[graft.operators.TextAnalysis.chunkWindows]]
+    * — the SAME projection as the batch query). Stateless map-only, so
+    * no watermark, no state store, no foreachBatch; a plain append
+    * sink is row-level idempotent by the [[qualitySampled]] argument —
+    * a replayed document reproduces byte-identical chunks because its
+    * boundaries and fingerprints depend only on its own text.
+    * Spec-proven to emit exactly the batch query's rows
+    * (DocStreamsSpec).
+    */
+  def chunked(stream: DataFrame, win: Int = 64, stride: Int = 48,
+      minTail: Int = 32): DataFrame =
+    TextAnalysis.chunkWindows(stream, "doc_id", "text", win, stride,
+      minTail).withColumnRenamed("id", "doc_id")
+
   def qualitySampled(stream: DataFrame): DataFrame =
     stream
       .select(col("doc_id"),

@@ -251,4 +251,37 @@ class DocStreamsSpec extends SparkFunSuite {
     assert(got.map(_._2).size >= 1 && Set("head", "middle", "tail")
       .exists(b => got.exists(_._2 == b)))
   }
+
+  test("streaming chunker emits exactly the batch query's chunks") {
+    val s = spark
+    val streamDir = tmpDir("ck_stream")
+    val outDir = tmpDir("ck_out")
+    for ((lo, hi, name) <- Seq((0L, 250L, "wave1"), (250L, 500L, "wave2"))) {
+      val staged = tmpDir(s"ck_stage_$name")
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(streamDir, s"$name.parquet"))
+    }
+    val q = DocStreams.chunked(DocStreams.readDocs(s, streamDir))
+      .writeStream
+      .option("checkpointLocation", tmpDir("ck_ckpt"))
+      .format("parquet").option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "chunk_id", "start", "len", "chunk_fp").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4)))
+        .toSet
+    val got = asSet(s.read.parquet(outDir))
+    val want = asSet(graft.SparkEntry.queries("t_chunk")(s, sf0001))
+    assert(got.nonEmpty && got == want)
+    // long docs really split: at least one doc yields multiple chunks
+    assert(got.groupBy(_._1).exists(_._2.size > 1))
+  }
 }
