@@ -24,6 +24,7 @@ object SparkEntry {
       (DedupQueries.defs, DedupQueries.oracles),
       (SimilarityQueries.defs, SimilarityQueries.oracles),
       (AdvancedQueries.defs, AdvancedQueries.oracles),
+      (GraphQueries.defs, GraphQueries.oracles),
       (SketchQueries.defs, SketchQueries.oracles),
     )
 

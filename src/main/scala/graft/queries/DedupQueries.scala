@@ -164,6 +164,31 @@ object DedupQueries {
         .filter(col("shared_fps") >= 3)
         .orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
     }),
+
+    // Record-linkage / entity resolution by EDIT DISTANCE: each part
+    // name's closest other name, searched only inside its blocking key
+    // (shared head noun) — the classic blocked fuzzy-match that makes
+    // string-similarity linkage feasible at scale. Two scale moves:
+    // (1) the match runs over the DISTINCT name domain, not the corpus
+    // (dedupe-the-domain first: one count shuffle, then pair work is
+    // |domain|-sized regardless of row count); (2) candidates come
+    // from an equi-join on the block key — Levenshtein runs only on
+    // within-block pairs, never |domain|². Both engines ship the
+    // textbook unit-cost edit distance, so `dist` is integer-exact;
+    // ties break lexicographically for a deterministic best match.
+    "d_fuzzy_match" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val names = Sources.table(s, dir, "part")
+        .select(col("p_name").as("nm")).distinct()
+        .withColumn("noun", element_at(split(col("nm"), " "), 2))
+      val pairs = names.as("a").join(names.as("b"),
+          col("a.noun") === col("b.noun") && col("a.nm") =!= col("b.nm"))
+        .select(col("a.nm").as("nm"), col("b.nm").as("cand"),
+          levenshtein(col("a.nm"), col("b.nm")).as("dist"))
+      val w = Window.partitionBy(col("nm")).orderBy(col("dist"), col("cand"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("nm", "cand", "dist").orderBy("nm")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +367,16 @@ object DedupQueries {
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin,
+    "d_fuzzy_match" ->
+      """WITH nms AS (SELECT DISTINCT p_name AS nm FROM part),
+        |blk AS (SELECT nm, split_part(nm, ' ', 2) AS noun FROM nms),
+        |pairs AS (SELECT a.nm AS nm, b.nm AS cand,
+        |    levenshtein(a.nm, b.nm) AS dist
+        |  FROM blk a JOIN blk b ON a.noun = b.noun AND a.nm <> b.nm),
+        |best AS (SELECT nm, cand, dist,
+        |    row_number() OVER (PARTITION BY nm ORDER BY dist, cand) AS rn
+        |  FROM pairs)
+        |SELECT nm, cand, dist FROM best WHERE rn = 1 ORDER BY nm"""
+        .stripMargin,
   )
 }

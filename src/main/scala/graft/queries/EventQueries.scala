@@ -319,6 +319,85 @@ object EventQueries {
         .orderBy("event_type", "h")
     }),
 
+    // CUSUM changepoint detection (Page 1954) over the per-type hourly
+    // value series: S_i = max(0, S_{i-1} + (x_i − target)) flags a
+    // sustained upward shift long before any single hour looks
+    // anomalous — the drift-detection complement to e_anomaly's
+    // point z-score. The recursion LOOKS fold-only, but it has a
+    // closed form in plain window functions:
+    //   S_i = P_i − min(0, min_{j≤i} P_j),   P = prefix sum of (x−target)
+    // so the whole detector is two cumulative windows over ONE
+    // (event_type → h) sort — no per-group collect, no recursion, no
+    // state. Arithmetic is integer end to end (hourly sums exact in
+    // DECIMAL(18,6), scaled to micro-unit BIGINT; target is a trunc
+    // division of positive longs — both engines agree), so every cusum
+    // value hash-matches. Scale shape: one map-combined count shuffle
+    // to the HOURS domain (per-type time series, never corpus-sized),
+    // then the two windows share one exchange+sort; at 100 TB the
+    // series length is days×types, the raw events never sort.
+    "e_cusum" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("h"))
+        .agg((sum(col("value").cast(DecimalType(18, 6))) * 1000000)
+          .cast("long").as("xs"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      hourly
+        .withColumn("tot", sum(col("xs")).over(wAll))
+        .withColumn("nh", count(lit(1)).over(wAll))
+        .withColumn("target", expr("tot div nh"))
+        .withColumn("psum", sum(col("xs") - col("target")).over(wRun))
+        .withColumn("cusum",
+          col("psum") - least(min(col("psum")).over(wRun), lit(0L)))
+        .select(col("event_type"), col("h"), col("xs"), col("cusum"),
+          (col("cusum") > lit(3L) * greatest(col("target"), lit(1L)))
+            .as("flagged"))
+        .orderBy("event_type", "h")
+    }),
+
+    // Lag-k autocorrelation (k = 1..3) of the per-type hourly count
+    // series — the periodicity/trend diagnostic that tells a pipeline
+    // whether e_anomaly's trailing-window z-score or e_cusum's drift
+    // detector is looking at structured or white traffic. Pearson over
+    // the (x_{h−k}, x_h) pairs with the a_corr recipe: exact DECIMAL
+    // power sums (overflow-safe at cluster-scale hourly counts),
+    // doubles only in the final fixed-order expression → bit-identical
+    // in both engines. Plan shape: one count shuffle to the hours
+    // domain, ONE window sort per type computing all three lags, a
+    // stack() unpivot (map-side), and a map-combined agg to
+    // |types|·3 rows. The raw events never sort.
+    "e_autocorr" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val lagged = hourly
+        .withColumn("lag1", lag(col("cnt"), 1).over(w))
+        .withColumn("lag2", lag(col("cnt"), 2).over(w))
+        .withColumn("lag3", lag(col("cnt"), 3).over(w))
+        .selectExpr("event_type", "cnt",
+          "stack(3, 1, lag1, 2, lag2, 3, lag3) AS (k, x0)")
+        .filter(col("x0").isNotNull)
+      val x = col("x0").cast(DecimalType(12, 0))
+      val y = col("cnt").cast(DecimalType(12, 0))
+      val m = lagged.groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      val (nD, sxD, syD) = (col("n").cast("double"),
+        col("sx").cast("double"), col("sy").cast("double"))
+      val (sxxD, syyD, sxyD) = (col("sxx").cast("double"),
+        col("syy").cast("double"), col("sxy").cast("double"))
+      val vx = nD * sxxD - sxD * sxD
+      val vy = nD * syyD - syD * syD
+      val acf = when(vx === 0.0 || vy === 0.0, lit(0.0))
+        .otherwise((nD * sxyD - sxD * syD) / (sqrt(vx) * sqrt(vy)))
+      m.select(col("event_type"), col("k"), col("n"),
+          round(acf, 6).as("acf"))
+        .orderBy("event_type", "k")
+    }),
+
     // Event-time top-k: busiest hour per event type (rank over agg).
     "e_busiest_hours" -> ((s, dir) => {
       val hourly = ev(s, dir)
@@ -638,6 +717,65 @@ object EventQueries {
         |SELECT event_type, h, cnt, n_prev, round(zr, 6) AS z,
         |  abs(round(zr, 6)) > 2 AS anomalous
         |FROM z ORDER BY event_type, h""".stripMargin,
+    "e_cusum" ->
+      """WITH hourly AS (SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      AS xs
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, h, xs,
+        |    sum(xs) OVER (PARTITION BY event_type)
+        |      // count(*) OVER (PARTITION BY event_type) AS target
+        |  FROM hourly),
+        |p AS (SELECT event_type, h, xs, target,
+        |    sum(xs - target) OVER win AS psum
+        |  FROM t WINDOW win AS (PARTITION BY event_type ORDER BY h)),
+        |c AS (SELECT event_type, h, xs, target, psum,
+        |    psum - least(min(psum) OVER win, 0) AS cusum
+        |  FROM p WINDOW win AS (PARTITION BY event_type ORDER BY h))
+        |SELECT event_type, h, xs, CAST(cusum AS BIGINT) AS cusum,
+        |  cusum > 3 * greatest(target, 1) AS flagged
+        |FROM c ORDER BY event_type, h""".stripMargin,
+    "e_autocorr" ->
+      """WITH hourly AS (SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS h,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (SELECT event_type, cnt,
+        |    lag(cnt, 1) OVER win AS lag1,
+        |    lag(cnt, 2) OVER win AS lag2,
+        |    lag(cnt, 3) OVER win AS lag3
+        |  FROM hourly
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY h)),
+        |pairs AS (
+        |  SELECT event_type, 1 AS k, lag1 AS x0, cnt FROM lagged
+        |  UNION ALL
+        |  SELECT event_type, 2 AS k, lag2 AS x0, cnt FROM lagged
+        |  UNION ALL
+        |  SELECT event_type, 3 AS k, lag3 AS x0, cnt FROM lagged),
+        |m AS (SELECT event_type, k, count(*) AS n,
+        |    sum(CAST(x0 AS DECIMAL(12,0))) AS sx,
+        |    sum(CAST(cnt AS DECIMAL(12,0))) AS sy,
+        |    sum(CAST(x0 AS DECIMAL(12,0))
+        |      * CAST(x0 AS DECIMAL(12,0))) AS sxx,
+        |    sum(CAST(cnt AS DECIMAL(12,0))
+        |      * CAST(cnt AS DECIMAL(12,0))) AS syy,
+        |    sum(CAST(x0 AS DECIMAL(12,0))
+        |      * CAST(cnt AS DECIMAL(12,0))) AS sxy
+        |  FROM pairs WHERE x0 IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, k, n,
+        |  round(CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) = 0
+        |      OR CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) = 0 THEN 0.0
+        |    ELSE (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END, 6)
+        |    AS acf
+        |FROM m ORDER BY event_type, k""".stripMargin,
     "e_busiest_hours" ->
       """SELECT event_type, rn, h, cnt FROM (
         |  SELECT event_type, h, cnt,

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+import graft.sources.Sources
+
+/** Graph-analytics queries (SURVEY.md §2B — joins/iterative category):
+  * link-analysis ranking over graphs derived from the relational
+  * tables. Complements DedupQueries' `d_components` (structural
+  * clustering) with NUMERIC iterative graph computation.
+  */
+object GraphQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Sources.table(s, dir, name)
+
+  /** PageRank iterations — small and fixed so the DuckDB oracle can
+    * replay each round as a chained CTE.
+    */
+  private val PrIters = 5
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PageRank over the part–supplier co-sourcing graph: nodes are
+    // parts (even ids: partkey·2) and suppliers (odd ids:
+    // suppkey·2+1); an undirected edge links a part to every supplier
+    // that shipped it (distinct lineitem pairs, symmetrized). The
+    // ranking surfaces the suppliers whose catalog spans many
+    // well-connected parts — the same link-analysis centrality a
+    // web-corpus curation pipeline computes over page/domain graphs
+    // before sampling. Integer fixed-point arithmetic end to end
+    // (Graph.pageRank scaladoc), so every rank hash-matches the
+    // oracle's 5-round CTE replay. Top-100 keeps the output bounded
+    // at every SF while the rank computation itself touches the whole
+    // graph.
+    "g_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      // Parity split makes the reverse set disjoint from the forward
+      // set, so plain unionAll symmetrizes without a dedup pass; every
+      // node gains an out-edge, satisfying the no-dangling contract
+      // (validation skipped — true by construction).
+      val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(und, iters = PrIters, validateDangling = false)
+        .select(
+          when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+            .as("kind"),
+          expr("node div 2").as("key"),
+          col("r").as("rank_e12"))
+        .orderBy(col("rank_e12").desc, col("kind"), col("key"))
+        .limit(100)
+    }),
+  )
+
+  private def prOracle(iters: Int): String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+        |und AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+        |ed AS (SELECT u.src, u.dst, d.deg
+        |  FROM und u JOIN deg d ON u.src = d.node),
+        |params AS (SELECT 1000000000000 // count(*) AS r0,
+        |    (15 * (1000000000000 // count(*))) // 100 AS base FROM deg),
+        |rt0 AS (SELECT node, (SELECT r0 FROM params) AS r FROM deg)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""rt$i AS (SELECT n.node,
+         |    (SELECT base FROM params) + (85 * coalesce(s.sc, 0)) // 100 AS r
+         |  FROM deg n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r // e.deg) AS sc
+         |    FROM ed e JOIN rt${i - 1} p ON e.src = p.node GROUP BY 1) s
+         |  ON n.node = s.node)""".stripMargin
+    }
+    val tail =
+      s"""SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+         |    AS kind,
+         |  node // 2 AS key, CAST(r AS BIGINT) AS rank_e12
+         |FROM rt$iters
+         |ORDER BY rank_e12 DESC, kind, key LIMIT 100""".stripMargin
+    (head +: rounds).mkString(",\n") + "\n" + tail
+  }
+
+  val oracles: Map[String, String] = Map(
+    "g_pagerank" -> prOracle(PrIters),
+  )
+}

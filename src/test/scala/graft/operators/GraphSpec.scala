@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Graph.pageRank invariants on handcrafted graphs where the answer is
+  * known analytically, plus the fail-fast dangling contract.
+  */
+class GraphSpec extends SparkFunSuite {
+
+  val s = spark; import s.implicits._
+
+  private val Scale = 1000000000000L
+
+  test("symmetric cycle: all ranks equal and mass ≈ scale") {
+    // 3-cycle a→b→c→a symmetrized: every node indistinguishable.
+    val e0 = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val und = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    val r = Graph.pageRank(und, iters = 5).collect()
+    assert(r.length == 3)
+    val ranks = r.map(_.getLong(1)).toSet
+    assert(ranks.size == 1, s"symmetric nodes must tie: $ranks")
+    val mass = r.map(_.getLong(1)).sum
+    // every iteration can floor away ≤3 micro-units per node (contrib
+    // div, damping div, and the teleport base's own floor)
+    assert(math.abs(mass - Scale) <= 5L * 3 * 3 + 3, s"mass drifted: $mass")
+  }
+
+  test("star: hub outranks spokes; spokes tie; exact fixed-point values") {
+    // hub 0 ↔ spokes 1..3. hub deg 3, spokes deg 1.
+    val e0 = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val und = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    val got = Graph.pageRank(und, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the documented integer recurrence in plain Scala
+    val n = 4L
+    val r0 = Scale / n
+    val base = (15L * r0) / 100L
+    var rank = Map(0L -> r0, 1L -> r0, 2L -> r0, 3L -> r0)
+    val deg = Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 3L -> 1L)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / deg(u) }.sum
+      }
+      rank = rank.keys.map(v => v -> (base + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    assert(got == rank, s"fixed-point mismatch: $got vs $rank")
+    assert(got(0L) > got(1L), "hub must outrank spokes")
+    assert(got(1L) == got(2L) && got(2L) == got(3L), "spokes must tie")
+  }
+
+  test("dangling node fails fast when validation is on") {
+    val directed = Seq((0L, 1L)).toDF("src", "dst") // 1 has no out-edge
+    val err = intercept[IllegalArgumentException] {
+      Graph.pageRank(directed, iters = 1)
+    }
+    assert(err.getMessage.contains("out-edge"))
+  }
+}
