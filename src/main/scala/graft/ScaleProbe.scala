@@ -451,6 +451,38 @@ object ScaleProbe {
       println("collocRows=" + timed("full t_collocations")(
         SparkEntry.queries("t_collocations")(spark, sfDir).count()))
     }
+    if (what == "r14b") {
+      // g_pagerank: the corpus-sized work is ONE distinct over
+      // lineitem (part, supplier) pairs; edges then saturate toward
+      // the |parts|·|suppliers| domain, and each of the 5 iterations
+      // shuffles |E| — evidence is the edge count vs lineitem rows.
+      val li = Sources.table(spark, sfDir, "lineitem")
+      println("prLineitem=" + li.count())
+      val e0 = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      println("prEdges=" + timed("pr distinct pairs")(e0.count()))
+      println("prRows=" + timed("g_pagerank cold (incl. edge build)")(
+        SparkEntry.queries("g_pagerank")(spark, sfDir).count()))
+      timed("g_pagerank warm (5 rank rounds over the standing index)")(
+        SparkEntry.queries("g_pagerank")(spark, sfDir).count())
+
+      // e_cusum / e_autocorr: the only corpus-sized work is the
+      // hourly count shuffle; the windows run over the |types|·|hours|
+      // series, which the 10× generator leaves UNCHANGED (it grows
+      // users, not time span) — rows flat, wall flat is the claim.
+      println("cusumRows=" + timed("full e_cusum")(
+        SparkEntry.queries("e_cusum")(spark, sfDir).count()))
+      println("acfRows=" + timed("full e_autocorr")(
+        SparkEntry.queries("e_autocorr")(spark, sfDir).count()))
+
+      // d_fuzzy_match: pair work is |distinct-name domain|², blocked —
+      // corpus growth only adds rows to the one distinct shuffle.
+      val p = Sources.table(spark, sfDir, "part")
+      println("fuzzyParts=" + p.count())
+      println("fuzzyDomain=" + p.select("p_name").distinct().count())
+      println("fuzzyRows=" + timed("full d_fuzzy_match")(
+        SparkEntry.queries("d_fuzzy_match")(spark, sfDir).count()))
+    }
     if (what == "curate") {
       // Factor-10 protocol for the curation pipeline: stage counts are
       // the evidence (each stage reuses a measured primitive — gopher

@@ -20,35 +20,116 @@ import org.apache.spark.sql.functions._
   * integers — no float appears anywhere, so the result is
   * bit-reproducible across engines and partitionings (float summation
   * order would otherwise make a hash-checked oracle impossible). The
-  * floor steps drop ≤1 micro-unit of mass per node per iteration —
+  * floor steps drop ≤3 micro-units of mass per node per iteration —
   * deterministic, documented, and irrelevant at 1e12 scale.
   */
 object Graph {
 
-  /** Fixed-point PageRank over a DIRECTED edge list `(src, dst)`.
+  /** Handle to a materialized loop relation: the degree-denormalized
+    * edge table (a parquet path, or a bucketed catalog table when
+    * `bucketed`) and the (node, deg) parquet. Strings, not DataFrames,
+    * so a per-JVM registry can hand the standing artifact to later
+    * sessions/queries — the same contract as the persisted IVF/IVFPQ
+    * index paths.
+    */
+  final case class EdgeIndex(edgesRef: String, nodesPath: String,
+      bucketed: Boolean) {
+    def edges(spark: SparkSession): DataFrame =
+      if (bucketed) spark.table(edgesRef) else spark.read.parquet(edgesRef)
+    def nodes(spark: SparkSession): DataFrame =
+      spark.read.parquet(nodesPath)
+  }
+
+  /** Materialize the loop-INVARIANT relation the iterative algorithms
+    * consume once per round (the q_recursive / reliable-checkpoint
+    * shape: lineage roots at a file, executor loss re-reads instead of
+    * failing; a per-round re-execution of the caller's distinct/union
+    * lineage would multiply its shuffles by the iteration count).
+    *
+    * The raw edges are STAGED to parquet first; degree, validation,
+    * and the final degree-denormalized table all derive from the
+    * staged copy, so the caller's plan executes exactly once (the
+    * writeIvfPqIndex staging rationale: one extra write+read of a slim
+    * 2-column table beats re-running the upstream shuffles per
+    * consumer). Layout by who is big:
+    *  - `bucketed = true` (default — nothing assumed small): the edge
+    *    table lands BUCKETED on `src`, so each iteration's join
+    *    shuffles ONLY the |V|-row rank table into the bucket layout —
+    *    the |E| side is never exchanged again after this one write
+    *    (the standing band-index trick, [[Dedup.writeBandIndex]]).
+    *  - `bucketed = false` (for DOMAIN-BOUNDED graphs whose rank table
+    *    will broadcast): plain parquet, scanned map-side per round.
     *
     * Contract: every node must appear as a `src` (out-degree ≥ 1).
     * Symmetrized (undirected) graphs satisfy this by construction; a
     * dangling node would silently LEAK its mass each iteration, so by
-    * default the build fails fast on one (`validateDangling` runs a
-    * one-time anti-join — one |E| shuffle, amortized over the
-    * iterations; disable for graphs known symmetric).
+    * default the build fails fast on one (`validateDangling` is a
+    * one-time anti-join over the staged copy — one |E| shuffle,
+    * amortized over every later search; disable for graphs known
+    * symmetric).
+    */
+  def materializeEdges(edges: DataFrame, key: String,
+      validateDangling: Boolean = true,
+      bucketed: Boolean = true,
+      buckets: Int = 32): EdgeIndex = {
+    val spark = edges.sparkSession
+    val scratch = graft.sources.Scratch.dir("pagerank", key)
+    edges.select("src", "dst")
+      .write.mode("overwrite").parquet(s"$scratch/staging")
+    val staged = spark.read.parquet(s"$scratch/staging")
+    staged.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .write.mode("overwrite").parquet(s"$scratch/nodes")
+    val nodes = spark.read.parquet(s"$scratch/nodes")
+    if (validateDangling) {
+      val dangling = staged.select(col("dst")).distinct()
+        .join(nodes, col("dst") === col("node"), "left_anti")
+      require(dangling.isEmpty,
+        "pageRank contract: every node needs an out-edge — " +
+          "symmetrize the graph or drop dangling sinks first")
+    }
+    // Degree rides DENORMALIZED on the edge table (one |E| write), so
+    // each iteration is exactly one join + one map-combined sum, with
+    // no per-round |V|-side degree lookup.
+    val withDeg = staged.join(
+      nodes.select(col("node").as("src"), col("deg")), "src")
+    val ref =
+      if (!bucketed) {
+        withDeg.write.mode("overwrite").parquet(s"$scratch/edges")
+        s"$scratch/edges"
+      } else {
+        spark.sql("CREATE DATABASE IF NOT EXISTS graft_scratch")
+        val tbl = graft.model.TableRef("graft_scratch",
+          graft.sources.Scratch.name("pagerank_edges", key))
+        graft.sources.CatalogOps.writeBucketed(withDeg, tbl,
+          bucketCols = Seq("src"), numBuckets = buckets,
+          sortCols = Seq("src"))
+        // nonce-scoped warehouse files die with the JVM like tmp scratch
+        val loc = spark.sql(s"DESC FORMATTED ${tbl.qualified}")
+          .filter(col("col_name") === "Location").head().getString(1)
+        graft.sources.Scratch.track(new java.net.URI(loc).getPath)
+        tbl.qualified
+      }
+    val fs = new org.apache.hadoop.fs.Path(scratch)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/staging"), true)
+    EdgeIndex(ref, s"$scratch/nodes", bucketed)
+  }
+
+  /** Fixed-point PageRank over a [[materializeEdges]] artifact.
     *
-    * Execution shape (the Pregel loop, declaratively):
-    *  - The edge relation is loop-INVARIANT but consumed once per
-    *    iteration, so it is materialized ONCE to a scratch parquet
-    *    with the out-degree denormalized on — each iteration re-scans
-    *    a slim 3-column file instead of re-running the dedup/degree
-    *    shuffles (the q_recursive / reliable-checkpoint shape: lineage
-    *    roots at a file, executor loss re-reads instead of failing).
-    *  - Each iteration is one shuffle join (edges ⋈ ranks on src) and
-    *    one map-combined sum to dst — O(|E|) per round, the minimum
-    *    any push-style PageRank pays. Ranks never collect: the rank
-    *    table is a DataFrame of |V| rows throughout, so the loop works
-    *    at any |V| a cluster can shuffle.
-    *  - Lineage grows linearly with `iters`; for the tens-of-rounds
-    *    regime checkpoint every ~10 rounds, exactly as
-    *    [[Dedup.connectedComponents]] documents for pointer doubling.
+    * Execution shape (the Pregel loop, declaratively): each iteration
+    * is one join (edges ⋈ ranks on src) and one map-combined sum to
+    * dst. With a bucketed index the join shuffles only the |V| rank
+    * rows; with `broadcastRanks` (DOMAIN-BOUNDED graphs — |V| is a
+    * dimension vocabulary, not corpus-derived) even that exchange goes
+    * away and the only shuffle per round is the |V|-bounded
+    * partial-agg exchange of the sum. Ranks never collect: the rank
+    * table is a DataFrame of |V| rows throughout, so the loop works at
+    * any |V| a cluster can shuffle. Lineage grows linearly with
+    * `iters`; for the tens-of-rounds regime checkpoint every ~10
+    * rounds, exactly as [[Dedup.connectedComponents]] documents for
+    * pointer doubling.
     *
     * Per-iteration update, all in longs:
     *   contrib(u→v) = r(u) div outdeg(u)
@@ -60,45 +141,58 @@ object Graph {
     *
     * @return (node, r) — r in micro-units of `scale`.
     */
-  def pageRank(edges: DataFrame, iters: Int = 5,
-      scale: Long = 1000000000000L,
-      validateDangling: Boolean = true): DataFrame = {
+  def pageRankIndexed(spark: SparkSession, idx: EdgeIndex,
+      iters: Int = 5, scale: Long = 1000000000000L,
+      broadcastRanks: Boolean = false,
+      allNodesReceive: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    val spark = edges.sparkSession
-    val scratch = graft.sources.Scratch.dir("pagerank",
-      java.util.UUID.randomUUID().toString)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    if (validateDangling) {
-      val dangling = edges.select(col("dst")).distinct()
-        .join(deg, col("dst") === col("src"), "left_anti")
-      require(dangling.isEmpty,
-        "pageRank contract: every node needs an out-edge — " +
-          "symmetrize the graph or drop dangling sinks first")
-    }
-    edges.join(deg, "src").select("src", "dst", "deg")
-      .write.mode("overwrite").parquet(s"$scratch/edges")
-    deg.select(col("src").as("node"), col("deg"))
-      .write.mode("overwrite").parquet(s"$scratch/nodes")
-    val ed = spark.read.parquet(s"$scratch/edges")
-    val nodes = spark.read.parquet(s"$scratch/nodes")
+    val ed = idx.edges(spark)
+    val nodes = idx.nodes(spark)
     // |V| is O(1) driver model state (a single count), same class as
     // the collected centroid seeds in Similarity.trainCentroidsLiteral.
     val n = nodes.count()
     require(n > 0, "pageRank over an empty graph")
     val r0 = scale / n
     val base = (15L * r0) / 100L
-    var rank = nodes.select(col("node"), lit(r0).as("r"))
-    for (_ <- 1 to iters) {
-      val sums = ed
-        .join(rank.withColumnRenamed("node", "src"), "src")
+    var rank: DataFrame = null
+    for (i <- 1 to iters) {
+      val bySrc =
+        if (i == 1) nodes.select(col("node").as("src"), lit(r0).as("r"))
+        else rank.withColumnRenamed("node", "src")
+      val joined =
+        if (broadcastRanks) ed.join(broadcast(bySrc), "src")
+        else ed.join(bySrc, "src")
+      val sums = joined
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
-        .withColumnRenamed("dst", "node")
-      rank = nodes.select("node")
-        .join(sums, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(sc, 0)) div 100")).as("r"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * sc) div 100")).as("r"))
+      // Zero-in-degree nodes drop out of the sum — re-add them at the
+      // teleport base unless the caller certifies a symmetrized graph
+      // (in-degree ≥ 1 everywhere), which skips a |V| join per round.
+      rank =
+        if (allNodesReceive) sums
+        else nodes.select("node")
+          .join(sums, Seq("node"), "left")
+          .select(col("node"), coalesce(col("r"), lit(base)).as("r"))
     }
     rank
+  }
+
+  /** One-shot convenience: materialize + rank. Prefer materializing
+    * once per graph generation and reusing the [[EdgeIndex]] across
+    * searches/parameter sweeps (the build is the expensive half).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L,
+      validateDangling: Boolean = true,
+      broadcastRanks: Boolean = false,
+      allNodesReceive: Boolean = false,
+      buckets: Int = 32): DataFrame = {
+    val idx = materializeEdges(edges,
+      java.util.UUID.randomUUID().toString, validateDangling,
+      bucketed = !broadcastRanks, buckets)
+    pageRankIndexed(edges.sparkSession, idx, iters, scale,
+      broadcastRanks, allNodesReceive)
   }
 }
