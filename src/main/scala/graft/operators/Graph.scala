@@ -179,6 +179,49 @@ object Graph {
     rank
   }
 
+  /** Multi-source BFS hop distance from a seed set over a
+    * [[materializeEdges]] artifact — the seed-proximity prior of
+    * TrustRank (Gyöngyi, Garcia-Molina, Pedersen 2004, "Combating web
+    * spam with TrustRank"): distance from trusted seeds is the
+    * cheapest link-analysis quality signal a web-corpus curation
+    * pipeline computes, and its simplest form is exactly this BFS.
+    *
+    * Iterative frontier expansion, declaratively: each round is one
+    * join (edges ⋈ frontier on src), a distinct, and an anti-join
+    * against the visited set — O(|E_frontier|) work per round, and
+    * min-hop semantics fall out of visiting each node once (the
+    * anti-join), which a UnionLoop recursive CTE cannot express over a
+    * cyclic graph without re-walking. Frontiers never collect; with
+    * `broadcastFrontier` (domain-bounded graphs) the per-round join is
+    * map-side over the standing edge scan. `maxHops` bounds rounds the
+    * way q_recursive's depth cap does.
+    *
+    * @param seeds one `node` column; rows outside the graph are
+    *              dropped (intersected with the node table).
+    * @return (node, hop) for every node reached within `maxHops`,
+    *         hop 0 = seed. Unreached nodes are absent — left-join the
+    *         node table and coalesce to -1 for a full census.
+    */
+  def bfsHops(spark: SparkSession, idx: EdgeIndex, seeds: DataFrame,
+      maxHops: Int = 4, broadcastFrontier: Boolean = false): DataFrame = {
+    require(maxHops >= 1, "bfsHops needs at least one round")
+    val ed = idx.edges(spark).select("src", "dst")
+    val seeds0 = seeds.select("node").distinct()
+      .join(idx.nodes(spark).select("node"), "node")
+    var visited = seeds0.select(col("node"), lit(0).as("hop"))
+    var frontier = seeds0
+    for (i <- 1 to maxHops) {
+      val bySrc = frontier.select(col("node").as("src"))
+      val nb = ed
+        .join(if (broadcastFrontier) broadcast(bySrc) else bySrc, "src")
+        .select(col("dst").as("node")).distinct()
+      val next = nb.join(visited, Seq("node"), "left_anti")
+      visited = visited.union(next.select(col("node"), lit(i).as("hop")))
+      frontier = next
+    }
+    visited
+  }
+
   /** One-shot convenience: materialize + rank. Prefer materializing
     * once per graph generation and reusing the [[EdgeIndex]] across
     * searches/parameter sweeps (the build is the expensive half).

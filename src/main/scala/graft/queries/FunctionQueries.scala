@@ -287,6 +287,22 @@ object FunctionQueries {
 
     // Duplicate-preserving set ops: INTERSECT ALL / EXCEPT ALL over
     // order-priority multisets.
+    // Bitwise and boolean aggregates — the flag-mask rollup family
+    // (feature bitmasks, permission sets, data-quality flag columns):
+    // bit_and/bit_or/bit_xor fold integer masks, bool_and/bool_or fold
+    // predicates. All integer/boolean-exact, one map-combined shuffle.
+    "f_bitagg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("bit_and(l_linenumber)").as("mask_and"),
+          expr("bit_or(l_linenumber)").as("mask_or"),
+          expr("bit_xor(l_linenumber)").as("mask_xor"),
+          expr("bool_and(l_quantity > 1)").as("all_multi"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     "f_setops_all" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val a = o.filter(col("o_orderstatus") === "F").select("o_orderpriority")
@@ -481,6 +497,15 @@ object FunctionQueries {
         |  COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1)
         |    AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+    "f_bitagg" ->
+      """SELECT l_returnflag,
+        |  bit_and(l_linenumber) AS mask_and,
+        |  bit_or(l_linenumber) AS mask_or,
+        |  bit_xor(l_linenumber) AS mask_xor,
+        |  bool_and(l_quantity > 1) AS all_multi,
+        |  bool_or(l_discount > 0.09) AS any_deep_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "f_setops_all" ->
       """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
         |b AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),

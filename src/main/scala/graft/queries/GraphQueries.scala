@@ -71,14 +71,38 @@ object GraphQueries {
       Graph.pageRankIndexed(s, builtEdgeIndex(s, dir), iters = PrIters,
         broadcastRanks = true, allNodesReceive = true)
         .select(
-          when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
-            .as("kind"),
+          kindOf(col("node")).as("kind"),
           expr("node div 2").as("key"),
           col("r").as("rank_e12"))
         .orderBy(col("rank_e12").desc, col("kind"), col("key"))
         .limit(100)
     }),
+
+    // Multi-source BFS hop census from a trusted-seed set — the
+    // TrustRank-style seed-proximity prior (Graph.bfsHops scaladoc):
+    // how far is every part/supplier from the five lowest-keyed
+    // suppliers over the same co-sourcing graph? Reuses the standing
+    // edge index; 4 frontier rounds (the bipartite graph alternates
+    // kinds per hop), unreached nodes reported at hop −1 via a node
+    // census left-join. Output is the (kind, hop) histogram — a dozen
+    // rows at every SF while the walk touches the whole graph.
+    "g_bfs" -> ((s, dir) => {
+      val idx = builtEdgeIndex(s, dir)
+      val seeds = idx.nodes(s)
+        .filter(col("node").isin(1L, 3L, 5L, 7L, 9L)).select("node")
+      val d = Graph.bfsHops(s, idx, seeds, maxHops = 4,
+        broadcastFrontier = true)
+      idx.nodes(s).select("node")
+        .join(d, Seq("node"), "left")
+        .select(kindOf(col("node")).as("kind"),
+          coalesce(col("hop"), lit(-1)).as("hop"))
+        .groupBy("kind", "hop").agg(count(lit(1)).as("n"))
+        .orderBy("kind", "hop")
+    }),
   )
+
+  private def kindOf(node: org.apache.spark.sql.Column) =
+    when(node % 2 === 0, lit("part")).otherwise(lit("supplier"))
 
   private def prOracle(iters: Int): String = {
     val head =
@@ -110,7 +134,40 @@ object GraphQueries {
     (head +: rounds).mkString(",\n") + "\n" + tail
   }
 
+  private val bfsOracle: String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+        |und AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM und),
+        |h0 AS (SELECT node FROM nodes WHERE node IN (1, 3, 5, 7, 9)),
+        |v0 AS (SELECT node FROM h0)""".stripMargin
+    val rounds = (1 to 4).map { i =>
+      s"""h$i AS (SELECT DISTINCT e.dst AS node
+         |  FROM und e JOIN h${i - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+         |v$i AS (SELECT node FROM v${i - 1}
+         |  UNION ALL SELECT node FROM h$i)""".stripMargin
+    }
+    val tail =
+      """dist AS (
+        |  SELECT node, 0 AS hop FROM h0
+        |  UNION ALL SELECT node, 1 FROM h1
+        |  UNION ALL SELECT node, 2 FROM h2
+        |  UNION ALL SELECT node, 3 FROM h3
+        |  UNION ALL SELECT node, 4 FROM h4),
+        |census AS (SELECT n.node, coalesce(d.hop, -1) AS hop
+        |  FROM nodes n LEFT JOIN dist d ON n.node = d.node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+        |    AS kind,
+        |  hop, count(*) AS n
+        |FROM census GROUP BY 1, 2 ORDER BY kind, hop""".stripMargin
+    (head +: rounds).mkString(",\n") + ",\n" + tail
+  }
+
   val oracles: Map[String, String] = Map(
     "g_pagerank" -> prOracle(PrIters),
+    "g_bfs" -> bfsOracle,
   )
 }

@@ -585,6 +585,44 @@ object TextQueries {
         .limit(20)
     }),
 
+    // DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw
+    // document by how much its HASHED-BIGRAM feature profile looks
+    // like a target distribution (here: the English slice), using
+    // Laplace-smoothed per-bucket counts. Faithful parts: word-bigram
+    // features hashed into B=64 buckets (DSIR's hashed n-gram model),
+    // target/raw count ratio per bucket, per-document aggregation over
+    // its own features. Deliberate departure: DSIR aggregates
+    // log-ratios; libm log is not correctly rounded and diverges
+    // between engines (the t_collocations LIFT precedent), so the
+    // per-feature weight stays RATIONAL — w(f) = (ct+1)·1e6 div (cr+1)
+    // — and the document score is the integer mean feature weight.
+    // Monotone per feature, integer-exact end to end, hash-checkable.
+    // Shapes: one explode to (doc, bucket) rows, two map-combined
+    // count shuffles (target is a filter of the same pass), a 64-row
+    // BROADCAST weight join back onto the feature stream, one per-doc
+    // agg. Nothing corpus² anywhere; the weight table is model state.
+    "t_dsir" -> ((s, dir) => {
+      val feats = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TA.wordBigrams(col("text"))).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          pmod(conv(substring(md5(concat(lit("dsir:"), col("bg"))), 1, 4),
+            16, 10).cast("int"), lit(64)).as("f"))
+      val tCounts = feats.filter(col("lang") === "en")
+        .groupBy("f").agg(count(lit(1)).as("ct"))
+      val rCounts = feats.groupBy("f").agg(count(lit(1)).as("cr"))
+      val w = rCounts.join(tCounts, Seq("f"), "left")
+        .select(col("f"),
+          expr("((coalesce(ct, 0) + 1) * 1000000) div (cr + 1)").as("w_e6"))
+      feats.join(broadcast(w), "f")
+        .groupBy("doc_id").agg(count(lit(1)).as("nf"),
+          sum(col("w_e6")).as("sw"))
+        .select(col("doc_id"), col("nf"), expr("sw div nf").as("dsir_e6"))
+        .orderBy(col("dsir_e6").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // TF-IDF top-3 terms per document — the sparse-retrieval / keyword-
     // extraction primitive (salience = term frequency × corpus rarity).
     // idf is the RATIONAL form N/df, not log(N/df): multiplication and
@@ -1202,6 +1240,28 @@ object TextQueries {
         |FROM cb JOIN uc a ON w1 = a.w JOIN uc b ON w2 = b.w, n
         |WHERE cab >= 5
         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
+    "t_dsir" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |ix AS (SELECT doc_id, lang, l,
+        |    CAST(unnest(generate_series(1, n - 1)) AS INTEGER) AS i
+        |  FROM t WHERE n >= 2),
+        |feats AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(
+        |      md5('dsir:' || l[i] || ' ' || l[i+1]), 1, 4)) AS INTEGER)
+        |      % 64 AS f
+        |  FROM ix),
+        |tc AS (SELECT f, count(*) AS ct FROM feats
+        |  WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT f, count(*) AS cr FROM feats GROUP BY 1),
+        |w AS (SELECT rc.f,
+        |    ((coalesce(ct, 0) + 1) * 1000000) // (cr + 1) AS w_e6
+        |  FROM rc LEFT JOIN tc ON rc.f = tc.f)
+        |SELECT doc_id, count(*) AS nf,
+        |  CAST(sum(w_e6) // count(*) AS BIGINT) AS dsir_e6
+        |FROM feats JOIN w USING (f)
+        |GROUP BY doc_id
+        |ORDER BY dsir_e6 DESC, doc_id LIMIT 50""".stripMargin,
     "t_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |    FROM documents),

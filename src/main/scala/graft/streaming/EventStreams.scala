@@ -263,6 +263,68 @@ object EventStreams {
       .toDF("event_type", "win_start", "cnt", "filled", "locf_sum")
   }
 
+  final case class CusumState(lastHour: Long, s: Long)
+  final case class CusumOut(event_type: String, h: String, xs: Long,
+      cusum: Long, flagged: Boolean)
+
+  /** CONTINUOUS CUSUM drift detection — the streaming twin of the
+    * oracle-checked `e_cusum`, as a per-type keyed state machine: state
+    * is the O(1) pair (emitted-hour frontier, running S), and each
+    * arriving micro-batch folds its own complete hours in event-time
+    * order through S ← max(0, S + (xs − target)).
+    *
+    * Deployment split (the textbook CUSUM shape): the batch twin
+    * DERIVES the reference value from the full historical series; the
+    * stream DETECTS against that frozen reference — `targets` is model
+    * state per type (micro-units of value), computed offline exactly
+    * like the IVF centroids the streaming ANN ingest encodes against.
+    * Hourly sums fold as 6-decimal BigDecimals scaled to micro-unit
+    * longs — bit-identical to the batch's DECIMAL(18,6)·1e6 cast — so
+    * given the batch-derived targets the stream's rows are
+    * value-identical to `e_cusum` (spec-proven across micro-batch
+    * splits and under RocksDB state).
+    *
+    * Contract (the gapFillStream frontier convention): ingestion is
+    * hour-monotone per type and each hour arrives within one
+    * micro-batch — the hourly-file-drop shape; rows at or before the
+    * emitted frontier are dropped (a frontier, like a watermark,
+    * cannot retract an emitted S). Each hour emits exactly once →
+    * Append mode.
+    */
+  def cusumStream(spark: SparkSession, events: DataFrame,
+      targets: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_type"),
+        (unix_micros(date_trunc("hour", col("ts"))) / 3600000000L)
+          .cast("long").as("hr"),
+        col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (et, rows, state: GroupState[CusumState]) =>
+          val target = targets.getOrElse(et, 0L)
+          var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L))
+          val byHour = rows.toSeq
+            .filter(_._2 > st.lastHour)
+            .groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (h, rs) =>
+              h -> (rs.map(r => BigDecimal(r._3)
+                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP))
+                .sum * 1000000).toLongExact
+            }
+          val out = byHour.map { case (h, xs) =>
+            st = CusumState(h, math.max(0L, st.s + (xs - target)))
+            CusumOut(et, fmtHour(h), xs, st.s,
+              st.s > 3L * math.max(target, 1L))
+          }
+          if (out.nonEmpty) state.update(st)
+          out.iterator
+      }
+      .toDF("event_type", "h", "xs", "cusum", "flagged")
+  }
+
   final case class FunnelState(tv: Option[Long], tc: Option[Long], tp: Option[Long])
   final case class FunnelOut(userId: Long, stage: Int)
 

@@ -50,6 +50,26 @@ class GraphSpec extends SparkFunSuite {
     assert(got(1L) == got(2L) && got(2L) == got(3L), "spokes must tie")
   }
 
+  test("bfsHops: min-hop on a path, hop cap honored, islands unreached") {
+    // path 0-1-2-3 plus island 10-11, symmetrized; seed {0}
+    val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val und = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    val idx = Graph.materializeEdges(und, "bfs-spec",
+      validateDangling = false, bucketed = false)
+    val seeds = Seq(0L).toDF("node")
+    def hops(maxHops: Int) =
+      Graph.bfsHops(spark, idx, seeds, maxHops).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hops(4) == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+    // the cap cuts the walk, and the back-edge does NOT revisit node 0
+    assert(hops(2) == Map(0L -> 0, 1L -> 1, 2L -> 2))
+    // a seed outside the graph is dropped, not walked
+    val stray = Seq(0L, 999L).toDF("node")
+    assert(Graph.bfsHops(spark, idx, stray, 1).collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
+
   test("dangling node fails fast when validation is on") {
     val directed = Seq((0L, 1L)).toDF("src", "dst") // 1 has no out-edge
     val err = intercept[IllegalArgumentException] {

@@ -288,6 +288,53 @@ class EventStreamsSpec extends SparkFunSuite {
       == want)
   }
 
+  test("CUSUM stream across micro-batches == batch e_cusum given its targets") {
+    // hour-monotone ingestion split across two micro-batches, with a
+    // drift (hours 13-14 spike) large enough to flag; the batch twin
+    // derives the per-type target from the FULL series, the stream
+    // detects against that frozen reference (the operator's contract).
+    val b0 = mbRows(Seq(
+      (1L, "2026-01-01 10:10:00", 1L, "click", 1.0),
+      (2L, "2026-01-01 10:40:00", 2L, "click", 1.5),
+      (3L, "2026-01-01 11:05:00", 1L, "click", 2.0),
+      (4L, "2026-01-01 12:20:00", 3L, "click", 1.25),
+      (5L, "2026-01-01 10:30:00", 4L, "view", 3.0),
+      (6L, "2026-01-01 11:45:00", 4L, "view", 2.5)))
+    val b1 = mbRows(Seq(
+      (7L, "2026-01-01 13:15:00", 1L, "click", 1.0),
+      (8L, "2026-01-01 14:50:00", 2L, "click", 200.0),
+      (9L, "2026-01-01 14:05:00", 3L, "click", 300.0),
+      (10L, "2026-01-01 13:30:00", 4L, "view", 2.0)))
+    val dir = writeBatches(Seq(b0, b1))
+    val sfLike = java.nio.file.Files.createTempDirectory("cusum_sf").toString
+    b0.unionByName(b1).write.mode("overwrite")
+      .parquet(s"$sfLike/events.parquet")
+    val want = graft.SparkEntry.queries("e_cusum")(spark, sfLike).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // derive the stream's reference values exactly as the batch does:
+    // per-type trunc-mean of the hourly micro-unit sums
+    val targets = want.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(_._3).sum / rs.length
+    }
+    EventStreams.runToMemory(
+      EventStreams.cusumStream(spark, readMicroBatched(dir), targets),
+      "cusum_out")
+    def got(tbl: String) = spark.sql(
+      s"SELECT event_type, h, xs, cusum, flagged FROM $tbl").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got("cusum_out").toSet == want.toSet)
+    assert(want.exists(_._5), "the drift must actually flag")
+    // detector state survives the production state store too
+    EventStreams.withRocksDbStateStore(spark) {
+      EventStreams.runToMemory(
+        EventStreams.cusumStream(spark, readMicroBatched(dir), targets),
+        "cusum_rocks")
+    }
+    assert(got("cusum_rocks").toSet == want.toSet)
+  }
+
   test("left-outer stream-stream join: watermark-driven null emission == batch left join") {
     // batch 0: user 1 clicks and never purchases; user 2 clicks and
     // purchases 5 min later. batches 1-3: far-future click+purchase
