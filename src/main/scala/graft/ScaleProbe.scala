@@ -484,6 +484,29 @@ object ScaleProbe {
       println("fuzzyDomain=" + p.select("p_name").distinct().count())
       println("fuzzyRows=" + timed("full d_fuzzy_match")(
         SparkEntry.queries("d_fuzzy_match")(spark, sfDir).count()))
+
+      // t_dsir: one feature explode (corpus bigrams), two map-combined
+      // counts, a 64-row broadcast weight join, one per-doc agg.
+      println("dsirRows=" + timed("full t_dsir")(
+        SparkEntry.queries("t_dsir")(spark, sfDir).count()))
+
+      // j_range_binned: |L| + 2|R| shuffled rows on the bin key —
+      // pair count is the selectivity evidence.
+      println("rangePairs=" + timed("binned range join pairs")(
+        {
+          val o = Sources.table(spark, sfDir, "orders")
+          val pts = o.select(col("o_orderkey"), col("o_totalprice").as("p"))
+          val iv = o.groupBy("o_custkey")
+            .agg(min(col("o_totalprice")).as("lo"))
+            .select(col("o_custkey").as("c"), col("lo"),
+              (col("lo") + 1000.0).as("hi"))
+          graft.operators.Joins.binnedRangeJoin(pts, "p", iv, "lo", "hi",
+            1000.0).count()
+        }))
+      println("forecastRows=" + timed("full e_forecast")(
+        SparkEntry.queries("e_forecast")(spark, sfDir).count()))
+      println("giniRows=" + timed("full a_gini")(
+        SparkEntry.queries("a_gini")(spark, sfDir).count()))
     }
     if (what == "curate") {
       // Factor-10 protocol for the curation pipeline: stage counts are

@@ -206,20 +206,31 @@ object Graph {
       maxHops: Int = 4, broadcastFrontier: Boolean = false): DataFrame = {
     require(maxHops >= 1, "bfsHops needs at least one round")
     val ed = idx.edges(spark).select("src", "dst")
-    val seeds0 = seeds.select("node").distinct()
+    // Each round's frontier MATERIALIZES to scratch (|level| rows —
+    // small next to |E|): round i's anti-join needs the whole visited
+    // set, and leaving the rounds lazy would nest every prior round's
+    // subplan into the next one — the plan tree doubles per level and
+    // early rounds re-execute ~2^maxHops times (measured 26 s → 2 s at
+    // sf0.1 for this 4-level census). Files also root the lineage, the
+    // q_recursive / reliable-checkpoint shape.
+    val scratch = graft.sources.Scratch.dir("bfs",
+      java.util.UUID.randomUUID().toString)
+    seeds.select("node").distinct()
       .join(idx.nodes(spark).select("node"), "node")
-    var visited = seeds0.select(col("node"), lit(0).as("hop"))
-    var frontier = seeds0
+      .select(col("node"), lit(0).as("hop"))
+      .write.mode("overwrite").parquet(s"$scratch/r0")
     for (i <- 1 to maxHops) {
+      val frontier = spark.read.parquet(s"$scratch/r${i - 1}")
+      val visited = spark.read
+        .parquet((0 until i).map(j => s"$scratch/r$j"): _*)
       val bySrc = frontier.select(col("node").as("src"))
-      val nb = ed
-        .join(if (broadcastFrontier) broadcast(bySrc) else bySrc, "src")
+      ed.join(if (broadcastFrontier) broadcast(bySrc) else bySrc, "src")
         .select(col("dst").as("node")).distinct()
-      val next = nb.join(visited, Seq("node"), "left_anti")
-      visited = visited.union(next.select(col("node"), lit(i).as("hop")))
-      frontier = next
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(i).as("hop"))
+        .write.mode("overwrite").parquet(s"$scratch/r$i")
     }
-    visited
+    spark.read.parquet((0 to maxHops).map(j => s"$scratch/r$j"): _*)
   }
 
   /** One-shot convenience: materialize + rank. Prefer materializing

@@ -79,4 +79,44 @@ object Joins {
     }
     unpacked.filter(col("_tag") === 0).drop("_t", "_tag", "_tie", "_payload")
   }
+
+  /** Binned RANGE JOIN — point-in-interval containment for the
+    * BIG × BIG case neither side can broadcast.
+    *
+    * Spark plans a bare `p BETWEEN lo AND hi` as a nested-loop join
+    * (broadcast if one side is small, else a single-partition BNLJ) —
+    * the |L|·|R| shape that dies at cluster scale. The classic fix,
+    * and what dedicated interval-join engines do under the hood:
+    * quantize the range dimension into fixed-width BINS, replicate
+    * each interval to every bin it overlaps (`sequence` over the bin
+    * span — map-side, ⌈span/binWidth⌉+1 copies), tag each point with
+    * its one containing bin, EQUI-join on the bin key (a plain
+    * shuffle/sort-merge join both sides partition on), and keep the
+    * true containment predicate as a residual filter. Correctness
+    * needs no dedup: a point lives in exactly one bin, and an interval
+    * appears once per bin, so each qualifying (point, interval) pair
+    * meets exactly once.
+    *
+    * Scale shape: shuffle is |L| + |R|·replication on a key whose
+    * cardinality the caller CONTROLS via `binWidth` — size it near the
+    * typical interval span (replication ≈ 2×) and well below the
+    * domain width (bins ≫ partitions, so no skew); AQE handles the
+    * rest. Columns from both inputs must not collide (standard join
+    * contract); inverted intervals (lo > hi) match nothing.
+    */
+  def binnedRangeJoin(points: DataFrame, ptCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pb = points.withColumn("_bin",
+      floor(col(ptCol) / binWidth).cast("long"))
+    val ib = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("_bin", explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    pb.join(ib, Seq("_bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("_bin")
+  }
 }

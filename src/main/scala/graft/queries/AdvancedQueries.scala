@@ -61,6 +61,33 @@ object AdvancedQueries {
         .orderBy("check_name")
     }),
 
+    // Categorical concentration profile by GINI IMPURITY — the
+    // log-free face of column entropy (1 − Σp², monotone with entropy
+    // for profiling purposes; libm log would diverge between engines,
+    // the t_collocations/t_tfidf precedent). gini = (N² − Σc²)/N² is
+    // RATIONAL: per-value counts from one map-combined agg per column,
+    // exact integer numerator, one IEEE division → hash-identical.
+    // Profiling shape: one pass per column over the value domain, rows
+    // out = |columns|.
+    "a_gini" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def giniOf(c: String) = {
+        val cd = col("cnt").cast(DecimalType(18, 0))
+        val m = o.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_distinct"), sum(col("cnt")).as("n"),
+            sum(cd * cd).as("ss")) // decimal: c² would overflow long
+        // doubles with a fixed op order (not n·n in longs — overflows
+        // at cluster-scale row counts); both engines round identically
+        val nD = col("n").cast("double")
+        m.select(lit(c).as("column_name"), col("n_distinct"),
+          round((nD * nD - col("ss").cast("double")) / (nD * nD), 6)
+            .as("gini"))
+      }
+      giniOf("o_orderstatus")
+        .unionByName(giniOf("o_orderpriority"))
+        .orderBy("column_name")
+    }),
+
     // Deterministic NEGATIVE SAMPLING via the sort-free
     // [[graft.operators.Sampling.negativeSample]] operator (map-only +
     // two broadcasts; see its scaladoc for the hash-mod recipe and FK
@@ -333,6 +360,27 @@ object AdvancedQueries {
         |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
         |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) AS slope
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "a_gini" ->
+      """WITH s AS (SELECT o_orderstatus AS v FROM orders),
+        |cs AS (SELECT v, count(*) AS cnt FROM s GROUP BY 1),
+        |gs AS (SELECT 'o_orderstatus' AS column_name,
+        |    count(*) AS n_distinct,
+        |    round((CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)
+        |        - CAST(sum(cnt * cnt) AS DOUBLE))
+        |      / (CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)), 6)
+        |      AS gini
+        |  FROM cs),
+        |p AS (SELECT o_orderpriority AS v FROM orders),
+        |cp AS (SELECT v, count(*) AS cnt FROM p GROUP BY 1),
+        |gp AS (SELECT 'o_orderpriority' AS column_name,
+        |    count(*) AS n_distinct,
+        |    round((CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)
+        |        - CAST(sum(cnt * cnt) AS DOUBLE))
+        |      / (CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)), 6)
+        |      AS gini
+        |  FROM cp)
+        |SELECT * FROM gp UNION ALL SELECT * FROM gs
+        |ORDER BY column_name""".stripMargin,
     "a_dq_report" ->
       """WITH a AS (SELECT
         |    CAST(count(*) AS DOUBLE) AS n,

@@ -398,6 +398,35 @@ object EventQueries {
         .orderBy("event_type", "k")
     }),
 
+    // Seasonal-naive forecast BACKTEST: forecast(h) = actual(h − 24)
+    // (the same-hour-yesterday baseline every real forecasting stack
+    // must beat), scored per type by MAE and signed bias over the
+    // whole series. The point is the BACKTEST shape — lag the series
+    // against itself and aggregate the errors — which needs one window
+    // sort over the |types|·|hours| domain and one map-combined agg;
+    // errors are integer-exact (counts), the two final divisions are
+    // single IEEE ops → hash-identical.
+    "e_forecast" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      hourly
+        .withColumn("fc", lag(col("cnt"), 24).over(w))
+        .filter(col("fc").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(abs(col("cnt") - col("fc"))).as("sae"),
+          sum(col("cnt") - col("fc")).as("sbias"))
+        .select(col("event_type"), col("n"), col("sae"),
+          round(col("sae").cast("double") / col("n").cast("double"), 6)
+            .as("mae"),
+          round(col("sbias").cast("double") / col("n").cast("double"), 6)
+            .as("bias"))
+        .orderBy("event_type")
+    }),
+
     // Event-time top-k: busiest hour per event type (rank over agg).
     "e_busiest_hours" -> ((s, dir) => {
       val hourly = ev(s, dir)
@@ -776,6 +805,22 @@ object EventQueries {
         |          - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END, 6)
         |    AS acf
         |FROM m ORDER BY event_type, k""".stripMargin,
+    "e_forecast" ->
+      """WITH hourly AS (SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS h,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, cnt,
+        |    lag(cnt, 24) OVER (PARTITION BY event_type ORDER BY h) AS fc
+        |  FROM hourly)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(abs(cnt - fc)) AS BIGINT) AS sae,
+        |  round(CAST(sum(abs(cnt - fc)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mae,
+        |  round(CAST(sum(cnt - fc) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS bias
+        |FROM l WHERE fc IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "e_busiest_hours" ->
       """SELECT event_type, rn, h, cnt FROM (
         |  SELECT event_type, h, cnt,

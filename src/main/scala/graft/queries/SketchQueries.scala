@@ -312,9 +312,45 @@ object SketchQueries {
             lit("none")).as("signup_ts_s"))
         .orderBy("event_id")
     }),
+
+    // Binned RANGE JOIN, the big×big interval-containment case: which
+    // customers' entry-price bands ([cheapest order, +1000]) contain
+    // each order's price — BOTH sides grow with the corpus, so neither
+    // broadcasts and a bare BETWEEN would nested-loop. The operator
+    // (Joins.binnedRangeJoin) quantizes price into 1000-unit bins,
+    // replicates each band to its ≤2 bins, and equi-joins on the bin
+    // key with containment as a residual — plain shuffle join, |L|+2|R|
+    // rows moved. The DuckDB oracle runs the NAIVE inequality join:
+    // same semantics, hash-checked, different plan — which is the
+    // point.
+    "j_range_binned" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val pts = o.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").as("p"))
+      val iv = o.groupBy("o_custkey")
+        .agg(min(col("o_totalprice")).as("lo"))
+        .select(col("o_custkey").as("c"), col("lo"),
+          (col("lo") + 1000.0).as("hi"))
+      Joins.binnedRangeJoin(pts, "p", iv, "lo", "hi", binWidth = 1000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("pairs"),
+          countDistinct(col("o_orderkey")).as("orders_hit"),
+          countDistinct(col("c")).as("custs_hit"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "j_range_binned" ->
+      """WITH pts AS (SELECT o_orderkey, o_orderpriority,
+        |    o_totalprice AS p FROM orders),
+        |iv AS (SELECT o_custkey AS c, min(o_totalprice) AS lo,
+        |    min(o_totalprice) + 1000.0 AS hi FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS pairs,
+        |  count(DISTINCT o_orderkey) AS orders_hit,
+        |  count(DISTINCT c) AS custs_hit
+        |FROM pts JOIN iv ON p >= lo AND p <= hi
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "x_hist" ->
       """WITH b AS (SELECT min(l_extendedprice) AS lo,
         |    max(l_extendedprice) AS hi FROM lineitem),

@@ -609,12 +609,13 @@ object TextQueries {
         .select(col("doc_id"), col("lang"),
           pmod(conv(substring(md5(concat(lit("dsir:"), col("bg"))), 1, 4),
             16, 10).cast("int"), lit(64)).as("f"))
-      val tCounts = feats.filter(col("lang") === "en")
-        .groupBy("f").agg(count(lit(1)).as("ct"))
-      val rCounts = feats.groupBy("f").agg(count(lit(1)).as("cr"))
-      val w = rCounts.join(tCounts, Seq("f"), "left")
+      // target and raw counts in ONE pass over the feature stream (a
+      // second filtered aggregation would re-run the bigram explode)
+      val w = feats.groupBy("f")
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
         .select(col("f"),
-          expr("((coalesce(ct, 0) + 1) * 1000000) div (cr + 1)").as("w_e6"))
+          expr("((ct + 1) * 1000000) div (cr + 1)").as("w_e6"))
       feats.join(broadcast(w), "f")
         .groupBy("doc_id").agg(count(lit(1)).as("nf"),
           sum(col("w_e6")).as("sw"))

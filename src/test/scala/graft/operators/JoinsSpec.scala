@@ -93,4 +93,47 @@ class JoinsSpec extends SparkFunSuite {
       .collect()
     rows.foreach(r => assert(r.getDouble(0) > 0))
   }
+
+  test("binnedRangeJoin == naive containment join, incl. bin boundaries") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // boundary-heavy points: exact bin edges (10.0, 20.0), interval
+    // endpoints, an inverted interval, and an interval spanning 3 bins
+    val pts = Seq((1L, 0.0), (2L, 9.99), (3L, 10.0), (4L, 15.0),
+      (5L, 20.0), (6L, 25.0), (7L, 34.99), (8L, 35.0))
+      .toDF("pid", "p")
+    val iv = Seq((100L, 10.0, 20.0), (200L, 9.5, 34.99),
+      (300L, 35.0, 35.0), (400L, 30.0, 5.0) /* inverted: matches none */)
+      .toDF("iid", "lo", "hi")
+    val got = Joins.binnedRangeJoin(pts, "p", iv, "lo", "hi", 10.0)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = pts.crossJoin(iv)
+      .filter($"p" >= $"lo" && $"p" <= $"hi")
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.nonEmpty && got.sameElements(want))
+    // each qualifying pair meets exactly once (no bin-replica dups)
+    assert(got.distinct.length == got.length)
+  }
+
+  test("binnedRangeJoin plans an equi shuffle join, never a nested loop") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pts = (1 to 500).map(i => (i.toLong, i * 7.0 % 100)).toDF("pid", "p")
+      val iv = (1 to 200).map(i => (i.toLong, i * 1.0, i * 1.0 + 5))
+        .toDF("iid", "lo", "hi")
+      val plan = Joins.binnedRangeJoin(pts, "p", iv, "lo", "hi", 5.0)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+        s"range join fell back to a nested loop:\n$plan")
+      assert(plan.contains("SortMergeJoin")
+        || plan.contains("ShuffledHashJoin"),
+        s"expected an equi shuffle join on the bin key:\n$plan")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
