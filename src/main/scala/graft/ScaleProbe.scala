@@ -467,6 +467,8 @@ object ScaleProbe {
         SparkEntry.queries("g_pagerank")(spark, sfDir).count())
       println("bfsRows=" + timed("g_bfs (4 frontier rounds, same index)")(
         SparkEntry.queries("g_bfs")(spark, sfDir).count()))
+      println("trustRows=" + timed("g_trustrank (5 rounds, same index)")(
+        SparkEntry.queries("g_trustrank")(spark, sfDir).count()))
 
       // e_cusum / e_autocorr: the only corpus-sized work is the
       // hourly count shuffle; the windows run over the |types|·|hours|

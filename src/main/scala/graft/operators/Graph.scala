@@ -233,6 +233,61 @@ object Graph {
     spark.read.parquet((0 to maxHops).map(j => s"$scratch/r$j"): _*)
   }
 
+  /** TrustRank (Gyöngyi et al. 2004) — PageRank with the teleport
+    * BIASED to a trusted seed set: trust mass originates only at the
+    * seeds and decays outward through the damped propagation, so a
+    * node's score is its link-proximity to trust — the propagation
+    * half of the seed prior whose cheap census half is [[bfsHops]].
+    *
+    * Same fixed-point integer recurrence and execution shape as
+    * [[pageRankIndexed]] with two deltas: r₀ = scale div |S| on seeds
+    * (0 elsewhere), and the per-round teleport lands on seeds only —
+    * a broadcast |S|-row join per round (seed sets are small by
+    * definition: that is what makes them trustable).
+    *   r'(v) = [v ∈ S]·base + (85 · Σ contrib) div 100,
+    *   base = (15·(scale div |S|)) div 100
+    * Non-seed nodes that receive nothing simply stay off the rank
+    * table (their trust is 0 — the TrustRank semantics), so no
+    * zero-in-degree re-add join is ever needed.
+    *
+    * @return (node, r) — trust in micro-units of `scale`; nodes with
+    *         zero trust are ABSENT (left-join the node table and
+    *         coalesce to 0 for a census).
+    */
+  def trustRank(spark: SparkSession, idx: EdgeIndex, seeds: DataFrame,
+      iters: Int = 5, scale: Long = 1000000000000L,
+      broadcastRanks: Boolean = false): DataFrame = {
+    require(iters >= 1, "trustRank needs at least one iteration")
+    val ed = idx.edges(spark)
+    val seeds0 = seeds.select("node").distinct()
+      .join(idx.nodes(spark).select("node"), "node")
+    // |S| is O(1) driver model state, like |V| in pageRankIndexed.
+    val nSeeds = seeds0.count()
+    require(nSeeds > 0, "trustRank needs at least one in-graph seed")
+    val r0 = scale / nSeeds
+    val base = (15L * r0) / 100L
+    val seedBase = broadcast(seeds0.withColumn("b", lit(base)))
+    var rank = seeds0.select(col("node"), lit(r0).as("r"))
+    for (_ <- 1 to iters) {
+      val bySrc = rank.withColumnRenamed("node", "src")
+      val joined =
+        if (broadcastRanks) ed.join(broadcast(bySrc), "src")
+        else ed.join(bySrc, "src")
+      rank = joined
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"), expr("(85 * sc) div 100").as("dr"))
+        // FULL join: a seed that receives no in-flow this round still
+        // keeps its teleport base (it would vanish from a left join of
+        // the receiver side)
+        .join(seedBase, Seq("node"), "full")
+        .select(col("node"),
+          (coalesce(col("b"), lit(0L)) + coalesce(col("dr"), lit(0L)))
+            .as("r"))
+    }
+    rank
+  }
+
   /** One-shot convenience: materialize + rank. Prefer materializing
     * once per graph generation and reusing the [[EdgeIndex]] across
     * searches/parameter sweeps (the build is the expensive half).

@@ -86,6 +86,25 @@ object GraphQueries {
     // kinds per hop), unreached nodes reported at hop −1 via a node
     // census left-join. Output is the (kind, hop) histogram — a dozen
     // rows at every SF while the walk touches the whole graph.
+    // TrustRank: trust mass originates at the five lowest-keyed
+    // suppliers and decays outward through damped propagation over the
+    // same co-sourcing graph — the propagation half of the seed prior
+    // whose census half is g_bfs. Same fixed-point integer arithmetic
+    // as g_pagerank (Graph.trustRank scaladoc); the oracle replays all
+    // 5 rounds, seed-biased teleport included, as chained CTEs.
+    "g_trustrank" -> ((s, dir) => {
+      val idx = builtEdgeIndex(s, dir)
+      val seeds = idx.nodes(s)
+        .filter(col("node").isin(1L, 3L, 5L, 7L, 9L)).select("node")
+      Graph.trustRank(s, idx, seeds, iters = PrIters,
+        broadcastRanks = true)
+        .select(kindOf(col("node")).as("kind"),
+          expr("node div 2").as("key"),
+          col("r").as("trust_e12"))
+        .orderBy(col("trust_e12").desc, col("kind"), col("key"))
+        .limit(50)
+    }),
+
     "g_bfs" -> ((s, dir) => {
       val idx = builtEdgeIndex(s, dir)
       val seeds = idx.nodes(s)
@@ -166,8 +185,42 @@ object GraphQueries {
     (head +: rounds).mkString(",\n") + ",\n" + tail
   }
 
+  private def trOracle(iters: Int): String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+        |und AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+        |ed AS (SELECT u.src, u.dst, d.deg
+        |  FROM und u JOIN deg d ON u.src = d.node),
+        |seeds AS (SELECT node FROM deg WHERE node IN (1, 3, 5, 7, 9)),
+        |params AS (SELECT count(*) AS ns FROM seeds),
+        |rt0 AS (SELECT node,
+        |    (SELECT 1000000000000 // ns FROM params) AS r FROM seeds)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""rt$i AS (SELECT coalesce(s.node, b.node) AS node,
+         |    CASE WHEN b.node IS NOT NULL THEN
+         |      (SELECT (15 * (1000000000000 // ns)) // 100 FROM params)
+         |    ELSE 0 END + coalesce(s.dr, 0) AS r
+         |  FROM (
+         |    SELECT e.dst AS node, (85 * sum(p.r // e.deg)) // 100 AS dr
+         |    FROM ed e JOIN rt${i - 1} p ON e.src = p.node GROUP BY 1) s
+         |  FULL JOIN seeds b ON s.node = b.node)""".stripMargin
+    }
+    val tail =
+      s"""SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+         |    AS kind,
+         |  node // 2 AS key, CAST(r AS BIGINT) AS trust_e12
+         |FROM rt$iters
+         |ORDER BY trust_e12 DESC, kind, key LIMIT 50""".stripMargin
+    (head +: rounds).mkString(",\n") + "\n" + tail
+  }
+
   val oracles: Map[String, String] = Map(
     "g_pagerank" -> prOracle(PrIters),
     "g_bfs" -> bfsOracle,
+    "g_trustrank" -> trOracle(PrIters),
   )
 }

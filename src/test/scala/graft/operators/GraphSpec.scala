@@ -50,6 +50,38 @@ class GraphSpec extends SparkFunSuite {
     assert(got(1L) == got(2L) && got(2L) == got(3L), "spokes must tie")
   }
 
+  test("trustRank: seed-biased recurrence replayed; islands get none") {
+    // star 0↔{1,2,3} plus island 10↔11; seed = hub 0
+    val e0 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val und = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    val idx = Graph.materializeEdges(und, "tr-spec",
+      validateDangling = false, bucketed = false)
+    val got = Graph.trustRank(spark, idx, Seq(0L).toDF("node"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the documented integer recurrence in plain Scala
+    val r0 = Scale / 1L
+    val base = (15L * r0) / 100L
+    val deg = Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 1L, 11L -> 1L)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L),
+      (3L, 0L), (10L, 11L), (11L, 10L))
+    var rank = Map(0L -> r0)
+    for (_ <- 1 to 5) {
+      val in = edges.flatMap { case (u, v) =>
+        rank.get(u).map(r => v -> r / deg(u))
+      }.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+      val nodes = in.keySet + 0L
+      rank = nodes.map(v => v ->
+        ((if (v == 0L) base else 0L) +
+          (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    assert(got == rank, s"trust mismatch: $got vs $rank")
+    assert(!got.contains(10L) && !got.contains(11L),
+      "unreachable island must hold zero trust")
+    assert(got(0L) > got(1L), "the seed holds the most trust")
+  }
+
   test("bfsHops: min-hop on a path, hop cap honored, islands unreached") {
     // path 0-1-2-3 plus island 10-11, symmetrized; seed {0}
     val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
