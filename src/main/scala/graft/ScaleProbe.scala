@@ -509,6 +509,10 @@ object ScaleProbe {
         SparkEntry.queries("e_forecast")(spark, sfDir).count()))
       println("giniRows=" + timed("full a_gini")(
         SparkEntry.queries("a_gini")(spark, sfDir).count()))
+      println("topicsRows=" + timed("s_cluster_topics cold (incl. training)")(
+        SparkEntry.queries("s_cluster_topics")(spark, sfDir).count()))
+      timed("s_cluster_topics warm (assignment + labeling)")(
+        SparkEntry.queries("s_cluster_topics")(spark, sfDir).count())
     }
     if (what == "curate") {
       // Factor-10 protocol for the curation pipeline: stage counts are

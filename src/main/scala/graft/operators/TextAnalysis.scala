@@ -352,4 +352,28 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(arr)).cast("double")
         / size(arr).cast("double"))
       .otherwise(lit(0.0))
+
+  /** DSIR hashed-feature bucket for one word bigram: 16 md5 bits mod
+    * 64 — shared by the batch `t_dsir` weight training and the
+    * streaming importance gate so the feature space can never drift.
+    */
+  def dsirBucket(bigram: Column): Column =
+    pmod(conv(substring(md5(concat(lit("dsir:"), bigram)), 1, 4), 16, 10)
+      .cast("int"), lit(64))
+
+  /** Per-row DSIR feature-weight array: each word bigram looked up in
+    * the trained 64-bucket weight table (micro-units; model state, a
+    * broadcast-literal map). A bucket the training corpus never
+    * produced defaults to the Laplace prior (0+1)·1e6 div (0+1) = 1e6.
+    * The caller folds sum/size to the integer mean — value-identical
+    * to the distributed explode+join formulation in t_dsir, so a
+    * stateless stream can score rows without touching the corpus.
+    */
+  def dsirWeights(text: Column, weights: Map[Int, Long]): Column = {
+    val entries = weights.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val wMap = map(entries: _*)
+    transform(wordBigrams(text),
+      b => coalesce(element_at(wMap, dsirBucket(b)), lit(1000000L)))
+  }
 }

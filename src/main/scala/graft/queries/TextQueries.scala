@@ -607,8 +607,7 @@ object TextQueries {
         .select(col("doc_id"), col("lang"),
           explode(TA.wordBigrams(col("text"))).as("bg"))
         .select(col("doc_id"), col("lang"),
-          pmod(conv(substring(md5(concat(lit("dsir:"), col("bg"))), 1, 4),
-            16, 10).cast("int"), lit(64)).as("f"))
+          TA.dsirBucket(col("bg")).as("f"))
       // target and raw counts in ONE pass over the feature stream (a
       // second filtered aggregation would re-run the bigram explode)
       val w = feats.groupBy("f")

@@ -259,6 +259,29 @@ object DocStreams {
         TextAnalysis.hashBand256(col("doc_id"), "qb:").as("band"))
       .filter(TextAnalysis.qualityKeep(col("doc_id"), col("bucket")))
 
+  /** CONTINUOUS DSIR importance gate: arriving documents score
+    * themselves against the trained 64-bucket weight table (model
+    * state from the batch `t_dsir` aggregate — the same offline-model
+    * / online-detector split as the CUSUM and IVFPQ streams) and keep
+    * only rows whose integer mean feature weight clears `threshold`.
+    * Stateless map-only: a document's fate depends only on its own
+    * text + the frozen weights, so delivery is row-level exactly-once
+    * under replay with no watermark, state store, or foreachBatch —
+    * the qualitySampled shape. Featureless documents (<2 tokens) carry
+    * no evidence and are dropped.
+    */
+  def importanceGated(stream: DataFrame, weights: Map[Int, Long],
+      threshold: Long): DataFrame =
+    stream
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.dsirWeights(col("text"), weights).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("lang"), size(col("ws")).as("nf"),
+        aggregate(col("ws"), lit(0L), (a, v) => a + v).as("sw"))
+      .select(col("doc_id"), col("lang"), col("nf"),
+        expr("sw div nf").as("dsir_e6"))
+      .filter(col("dsir_e6") >= threshold)
+
   /** Stage 3: per-micro-batch candidate dedup + exact-Jaccard
     * verification against the static `docStore` (which must contain
     * both the corpus and the arriving documents' text — in production,

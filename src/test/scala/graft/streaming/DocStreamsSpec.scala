@@ -252,6 +252,59 @@ class DocStreamsSpec extends SparkFunSuite {
       .exists(b => got.exists(_._2 == b)))
   }
 
+  test("streaming DSIR gate keeps exactly the docs the batch scores in") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // train the 64-bucket weight table exactly as t_dsir does (model
+    // state: one aggregate, collected)
+    val feats = docs.select(col("doc_id"), col("lang"),
+        explode(graft.operators.TextAnalysis.wordBigrams(col("text")))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"),
+        graft.operators.TextAnalysis.dsirBucket(col("bg")).as("f"))
+    val weights = feats.groupBy("f")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .select(col("f"), expr("((ct + 1) * 1000000) div (cr + 1)").as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // batch truth: per-doc integer mean feature weight via the
+    // distributed formulation; threshold = the median score, so the
+    // gate provably discriminates (some in, some out)
+    val scores = feats
+      .join(feats.sparkSession.createDataFrame(weights.toSeq)
+        .toDF("f", "w"), "f")
+      .groupBy("doc_id").agg(count(lit(1)).as("nf"), sum("w").as("sw"))
+      .select(col("doc_id"), expr("sw div nf").as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val thr = scores.map(_._2).sorted.apply(scores.length / 2)
+    val want = scores.filter(_._2 >= thr).toMap
+    // stream the same corpus in two waves through the stateless gate
+    val streamDir = tmpDir("dsir_stream")
+    val outDir = tmpDir("dsir_out")
+    for ((lo, hi, name) <- Seq((0L, 250L, "wave1"), (250L, 500L, "wave2"))) {
+      val staged = tmpDir(s"dsir_stage_$name")
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(streamDir, s"$name.parquet"))
+    }
+    val q = DocStreams.importanceGated(
+        DocStreams.readDocs(s, streamDir), weights, thr)
+      .writeStream
+      .option("checkpointLocation", tmpDir("dsir_ckpt"))
+      .format("parquet").option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = s.read.parquet(outDir).select("doc_id", "dsir_e6")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got == want)
+    // the gate discriminates (threshold sits inside the score range)
+    assert(got.size < docs.count())
+  }
+
   test("streaming chunker emits exactly the batch query's chunks") {
     val s = spark
     val streamDir = tmpDir("ck_stream")
