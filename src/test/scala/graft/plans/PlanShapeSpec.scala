@@ -212,4 +212,29 @@ class PlanShapeSpec extends SparkFunSuite {
     // aggregate/join exchanges should appear.
     assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
   }
+
+  test("e_cusum: all three window frames ride ONE event_type exchange") {
+    val p = plan("e_cusum")
+    // count-shuffle hash exchange + one window exchange + the final
+    // presentation range exchange — the two cumulative windows and the
+    // whole-partition target windows must NOT add exchanges of their own.
+    // (AQE renders Final + Initial sections; count the final one only.)
+    val finalOnly = p.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalOnly).length
+    assert(hashEx == 2, s"expected agg+window hash exchanges only:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"), p)
+  }
+
+  test("e_autocorr: one window computes all three lags; no join") {
+    val p = plan("e_autocorr")
+    assert("Window ".r.findAllIn(p).length <= 2,
+      s"lags must share one window pass:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("g_pagerank warm search: per-round ranks broadcast, no SMJ") {
+    val p = plan("g_pagerank")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
