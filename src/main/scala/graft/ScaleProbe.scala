@@ -469,6 +469,8 @@ object ScaleProbe {
         SparkEntry.queries("g_bfs")(spark, sfDir).count()))
       println("trustRows=" + timed("g_trustrank (5 rounds, same index)")(
         SparkEntry.queries("g_trustrank")(spark, sfDir).count()))
+      println("docRankRows=" + timed("g_doc_rank (minhash pairs + 3 rounds)")(
+        SparkEntry.queries("g_doc_rank")(spark, sfDir).count()))
 
       // e_cusum / e_autocorr: the only corpus-sized work is the
       // hourly count shuffle; the windows run over the |types|·|hours|

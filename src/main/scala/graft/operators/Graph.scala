@@ -71,12 +71,23 @@ object Graph {
   def materializeEdges(edges: DataFrame, key: String,
       validateDangling: Boolean = true,
       bucketed: Boolean = true,
-      buckets: Int = 32): EdgeIndex = {
+      buckets: Int = 32,
+      symmetrize: Boolean = false): EdgeIndex = {
     val spark = edges.sparkSession
     val scratch = graft.sources.Scratch.dir("pagerank", key)
+    // `symmetrize`: callers with an UNDIRECTED pair relation pass the
+    // pairs raw — the reverse direction derives from the STAGED copy,
+    // so the (possibly expensive) caller plan executes once, not once
+    // per union leg (a caller-side union(reverse) re-ran a full
+    // minhash pipeline per leg: measured 22.9 → ~12 s at 10× for
+    // g_doc_rank).
     edges.select("src", "dst")
       .write.mode("overwrite").parquet(s"$scratch/staging")
-    val staged = spark.read.parquet(s"$scratch/staging")
+    val staged0 = spark.read.parquet(s"$scratch/staging")
+    val staged =
+      if (!symmetrize) staged0
+      else staged0.union(
+        staged0.select(col("dst").as("src"), col("src").as("dst")))
     staged.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
       .write.mode("overwrite").parquet(s"$scratch/nodes")
@@ -297,10 +308,11 @@ object Graph {
       validateDangling: Boolean = true,
       broadcastRanks: Boolean = false,
       allNodesReceive: Boolean = false,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32,
+      symmetrize: Boolean = false): DataFrame = {
     val idx = materializeEdges(edges,
       java.util.UUID.randomUUID().toString, validateDangling,
-      bucketed = !broadcastRanks, buckets)
+      bucketed = !broadcastRanks, buckets, symmetrize)
     pageRankIndexed(edges.sparkSession, idx, iters, scale,
       broadcastRanks, allNodesReceive)
   }

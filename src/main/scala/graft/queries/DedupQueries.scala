@@ -14,7 +14,7 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String) = Sources.table(s, dir, "documents")
 
   /** Shared oracle CTE: word-3-gram shingle relation. */
-  private def shingleCte(where: String = ""): String =
+  private[queries] def shingleCte(where: String = ""): String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w
        |  FROM documents $where),
        |sh AS (SELECT DISTINCT doc_id,
@@ -22,7 +22,7 @@ object DedupQueries {
        |  FROM toks, generate_series(1, 97) AS t(i)
        |  WHERE i + 2 <= len(w))""".stripMargin
 
-  private val jaccardCte: String =
+  private[queries] val jaccardCte: String =
     """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -33,6 +33,31 @@ object DedupQueries {
       |  FROM inter
       |  JOIN sz sa ON ia = sa.doc_id
       |  JOIN sz sb ON ib = sb.doc_id)""".stripMargin
+
+  /** Shared oracle CTE chain reproducing `Dedup.minhashNearDups`:
+    * shingles → Kirsch–Mitzenmacher signatures → 6×2 bands → bucket
+    * candidates → exact-Jaccard. Consumers select from `cand`/`jac`
+    * (e.g. `WHERE j.jac >= 0.5` for the d_minhash threshold). Shared
+    * with GraphQueries' g_doc_rank so the pair relation the rank runs
+    * on can never drift from the dedup query it composes.
+    */
+  private[queries] val minhashPairCtes: String =
+    s"""${shingleCte()},
+       |base AS (SELECT doc_id,
+       |    CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+       |    CAST(('0x' || substring(md5(shingle), 9, 8)) AS BIGINT) AS h2
+       |  FROM sh),
+       |hashes AS (SELECT doc_id, hi.i AS i, h1 + hi.i * h2 AS h
+       |  FROM base, generate_series(0, 11) AS hi(i)),
+       |bands AS (SELECT doc_id, i // 2 AS band,
+       |    min(CASE WHEN i % 2 = 0 THEN h END) AS m0,
+       |    min(CASE WHEN i % 2 = 1 THEN h END) AS m1
+       |  FROM hashes GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+       |      AND x.doc_id < y.doc_id),
+       |$jaccardCte""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup on a positional prefix key: hash-groupBy, dup groups only.
@@ -205,22 +230,7 @@ object DedupQueries {
         |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "d_minhash" ->
-      s"""WITH ${shingleCte()},
-        |base AS (SELECT doc_id,
-        |    CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h1,
-        |    CAST(('0x' || substring(md5(shingle), 9, 8)) AS BIGINT) AS h2
-        |  FROM sh),
-        |hashes AS (SELECT doc_id, hi.i AS i, h1 + hi.i * h2 AS h
-        |  FROM base, generate_series(0, 11) AS hi(i)),
-        |bands AS (SELECT doc_id, i // 2 AS band,
-        |    min(CASE WHEN i % 2 = 0 THEN h END) AS m0,
-        |    min(CASE WHEN i % 2 = 1 THEN h END) AS m1
-        |  FROM hashes GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |  FROM bands x JOIN bands y
-        |    ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
-        |      AND x.doc_id < y.doc_id),
-        |$jaccardCte
+      s"""WITH $minhashPairCtes
         |SELECT j.id_a, j.id_b, j.jac
         |FROM jac j JOIN cand USING (id_a, id_b)
         |WHERE j.jac >= 0.5

@@ -38,11 +38,9 @@ object GraphQueries {
       // set, so plain unionAll symmetrizes without a dedup pass; every
       // node gains an out-edge, satisfying the no-dangling contract
       // (validation skipped — true by construction).
-      val und = e0.union(
-        e0.select(col("dst").as("src"), col("src").as("dst")))
       val t0 = System.nanoTime()
-      val idx = Graph.materializeEdges(und, dir,
-        validateDangling = false, bucketed = false)
+      val idx = Graph.materializeEdges(e0, dir,
+        validateDangling = false, bucketed = false, symmetrize = true)
       println(f"[graft] g_pagerank: one-time edge materialization for " +
         f"$dir took ${(System.nanoTime() - t0) / 1e9}%.2f s")
       idx
@@ -78,14 +76,6 @@ object GraphQueries {
         .limit(100)
     }),
 
-    // Multi-source BFS hop census from a trusted-seed set — the
-    // TrustRank-style seed-proximity prior (Graph.bfsHops scaladoc):
-    // how far is every part/supplier from the five lowest-keyed
-    // suppliers over the same co-sourcing graph? Reuses the standing
-    // edge index; 4 frontier rounds (the bipartite graph alternates
-    // kinds per hop), unreached nodes reported at hop −1 via a node
-    // census left-join. Output is the (kind, hop) histogram — a dozen
-    // rows at every SF while the walk touches the whole graph.
     // TrustRank: trust mass originates at the five lowest-keyed
     // suppliers and decays outward through damped propagation over the
     // same co-sourcing graph — the propagation half of the seed prior
@@ -105,6 +95,35 @@ object GraphQueries {
         .limit(50)
     }),
 
+    // PageRank over the DOCUMENT near-dup graph: nodes are documents,
+    // edges the oracle-checked d_minhash pairs (jac ≥ 0.5) symmetrized
+    // — dedup-cluster CENTRALITY, the principled alternative to min-id
+    // when choosing which duplicate to keep (the most-connected copy
+    // is the best-attested text). Corpus-derived |V|, so this query
+    // exercises pageRank's DEFAULT layout: bucketed standing edges,
+    // per-round joins shuffle only the rank rows — no broadcast
+    // assumption anywhere. The oracle chains the full minhash pipeline
+    // into the 3-round integer rank replay.
+    "g_doc_rank" -> ((s, dir) => {
+      val pairs = DedupQueries.defs("d_minhash")(s, dir)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      // symmetrize INSIDE the operator: the reverse direction derives
+      // from the staged copy, so the minhash pipeline executes once
+      Graph.pageRank(pairs, iters = DocRankIters,
+        validateDangling = false, allNodesReceive = true,
+        symmetrize = true)
+        .select(col("node").as("doc_id"), col("r").as("rank_e12"))
+        .orderBy(col("rank_e12").desc, col("doc_id"))
+    }),
+
+    // Multi-source BFS hop census from a trusted-seed set — the
+    // TrustRank-style seed-proximity prior (Graph.bfsHops scaladoc):
+    // how far is every part/supplier from the five lowest-keyed
+    // suppliers over the same co-sourcing graph? Reuses the standing
+    // edge index; 4 frontier rounds (the bipartite graph alternates
+    // kinds per hop), unreached nodes reported at hop −1 via a node
+    // census left-join. Output is the (kind, hop) histogram — a dozen
+    // rows at every SF while the walk touches the whole graph.
     "g_bfs" -> ((s, dir) => {
       val idx = builtEdgeIndex(s, dir)
       val seeds = idx.nodes(s)
@@ -123,13 +142,13 @@ object GraphQueries {
   private def kindOf(node: org.apache.spark.sql.Column) =
     when(node % 2 === 0, lit("part")).otherwise(lit("supplier"))
 
-  private def prOracle(iters: Int): String = {
+  /** Shared oracle CTEs over any `und(src, dst)` edge relation:
+    * deg/ed/params plus the uniform-teleport rounds rt0..rtN — the
+    * exact integer recurrence of [[Graph.pageRankIndexed]].
+    */
+  private def prChainSql(iters: Int): String = {
     val head =
-      """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
-        |    l_suppkey * 2 + 1 AS dst FROM lineitem),
-        |und AS (SELECT src, dst FROM e0
-        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
-        |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+      """deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
         |ed AS (SELECT u.src, u.dst, d.deg
         |  FROM und u JOIN deg d ON u.src = d.node),
         |params AS (SELECT 1000000000000 // count(*) AS r0,
@@ -144,13 +163,42 @@ object GraphQueries {
          |    FROM ed e JOIN rt${i - 1} p ON e.src = p.node GROUP BY 1) s
          |  ON n.node = s.node)""".stripMargin
     }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private def prOracle(iters: Int): String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+        |und AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0)"""
+        .stripMargin
     val tail =
       s"""SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
          |    AS kind,
          |  node // 2 AS key, CAST(r AS BIGINT) AS rank_e12
          |FROM rt$iters
          |ORDER BY rank_e12 DESC, kind, key LIMIT 100""".stripMargin
-    (head +: rounds).mkString(",\n") + "\n" + tail
+    head + ",\n" + prChainSql(iters) + "\n" + tail
+  }
+
+  /** Rank iterations for the document near-dup graph — 3 keeps the
+    * oracle's chained-CTE replay over the minhash pipeline compact.
+    */
+  private val DocRankIters = 3
+
+  private def docRankOracle: String = {
+    val head =
+      s"""WITH ${DedupQueries.minhashPairCtes},
+         |pe AS (SELECT j.id_a AS src, j.id_b AS dst
+         |  FROM jac j JOIN cand USING (id_a, id_b) WHERE j.jac >= 0.5),
+         |und AS (SELECT src, dst FROM pe
+         |  UNION ALL SELECT dst AS src, src AS dst FROM pe)""".stripMargin
+    val tail =
+      s"""SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_e12
+         |FROM rt$DocRankIters
+         |ORDER BY rank_e12 DESC, doc_id""".stripMargin
+    head + ",\n" + prChainSql(DocRankIters) + "\n" + tail
   }
 
   private val bfsOracle: String = {
@@ -222,5 +270,6 @@ object GraphQueries {
     "g_pagerank" -> prOracle(PrIters),
     "g_bfs" -> bfsOracle,
     "g_trustrank" -> trOracle(PrIters),
+    "g_doc_rank" -> docRankOracle,
   )
 }
