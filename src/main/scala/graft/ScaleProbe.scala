@@ -471,6 +471,8 @@ object ScaleProbe {
         SparkEntry.queries("g_trustrank")(spark, sfDir).count()))
       println("docRankRows=" + timed("g_doc_rank (minhash pairs + 3 rounds)")(
         SparkEntry.queries("g_doc_rank")(spark, sfDir).count()))
+      println("wRankRows=" + timed("g_rank_weighted (same pairs, weighted)")(
+        SparkEntry.queries("g_rank_weighted")(spark, sfDir).count()))
 
       // e_cusum / e_autocorr: the only corpus-sized work is the
       // hourly count shuffle; the windows run over the |types|·|hours|

@@ -244,6 +244,79 @@ object Graph {
     spark.read.parquet((0 to maxHops).map(j => s"$scratch/r$j"): _*)
   }
 
+  /** WEIGHTED PageRank over an edge list `(src, dst, w)` with
+    * positive INTEGER weights (e.g. similarity in micro-units): each
+    * node pushes rank proportional to edge weight,
+    *   contrib(u→v) = (r(u) · w(u,v)) div Σ_x w(u,x)
+    * — on a similarity graph, stronger duplicates pull more
+    * centrality, which plain [[pageRankIndexed]]'s uniform split
+    * ignores. Same fixed-point integer recurrence otherwise; same
+    * staging discipline (the caller plan executes once; weight sums
+    * are denormalized onto the edge table). Overflow is a REAL
+    * constraint here — r·w must fit a long — so the build measures
+    * max(w) and fails fast unless scale · max(w) < 2⁶³ (defaults:
+    * 1e12 · 1e6 = 1e18 ✓).
+    *
+    * @param symmetrize derive the reverse direction (same weight) from
+    *                   the staged copy, as [[materializeEdges]] does.
+    * @return (node, r) — r in micro-units of `scale`.
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L,
+      allNodesReceive: Boolean = false,
+      symmetrize: Boolean = false): DataFrame = {
+    require(iters >= 1, "pageRankWeighted needs at least one iteration")
+    val spark = edges.sparkSession
+    val scratch = graft.sources.Scratch.dir("pagerank_w",
+      java.util.UUID.randomUUID().toString)
+    edges.select("src", "dst", "w")
+      .write.mode("overwrite").parquet(s"$scratch/staging")
+    val staged0 = spark.read.parquet(s"$scratch/staging")
+    val staged =
+      if (!symmetrize) staged0
+      else staged0.union(staged0.select(
+        col("dst").as("src"), col("src").as("dst"), col("w")))
+    staged.groupBy("src")
+      .agg(sum(col("w")).as("ws"), max(col("w")).as("mw"),
+        min(col("w")).as("nw"))
+      .select(col("src").as("node"), col("ws"), col("mw"), col("nw"))
+      .write.mode("overwrite").parquet(s"$scratch/nodes")
+    val nodes = spark.read.parquet(s"$scratch/nodes")
+    val ext = nodes.agg(max(col("mw")), min(col("nw"))).head()
+    require(!ext.isNullAt(1) && ext.getLong(1) > 0,
+      "pageRankWeighted: edge weights must be positive")
+    require(ext.getLong(0) > 0 && scale <= Long.MaxValue / ext.getLong(0),
+      s"pageRankWeighted: scale·max(w) overflows a long " +
+        s"(max w = ${ext.getLong(0)})")
+    staged.join(nodes.select(col("node").as("src"), col("ws")), "src")
+      .write.mode("overwrite").parquet(s"$scratch/edges")
+    val ed = spark.read.parquet(s"$scratch/edges")
+    val fs = new org.apache.hadoop.fs.Path(scratch)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/staging"), true)
+    val n = nodes.count()
+    require(n > 0, "pageRankWeighted over an empty graph")
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    var rank: DataFrame = null
+    for (i <- 1 to iters) {
+      val bySrc =
+        if (i == 1) nodes.select(col("node").as("src"), lit(r0).as("r"))
+        else rank.withColumnRenamed("node", "src")
+      val sums = ed.join(bySrc, "src")
+        .select(col("dst"), expr("(r * w) div ws").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * sc) div 100")).as("r"))
+      rank =
+        if (allNodesReceive) sums
+        else nodes.select("node")
+          .join(sums, Seq("node"), "left")
+          .select(col("node"), coalesce(col("r"), lit(base)).as("r"))
+    }
+    rank
+  }
+
   /** TrustRank (Gyöngyi et al. 2004) — PageRank with the teleport
     * BIASED to a trusted seed set: trust mass originates only at the
     * seeds and decays outward through the damped propagation, so a

@@ -116,6 +116,25 @@ object GraphQueries {
         .orderBy(col("rank_e12").desc, col("doc_id"))
     }),
 
+    // WEIGHTED PageRank over the same document near-dup graph: edge
+    // weight = the pair's Jaccard in micro-units, so centrality flows
+    // preferentially along STRONGER duplicate links — g_doc_rank's
+    // uniform split treats a 0.5 and a 0.99 duplicate alike, this
+    // variant doesn't (the difference is the point; values diverge
+    // from g_doc_rank wherever a node's edge weights differ).
+    // Integer end to end: contrib = (r·w) div Σw with the build-time
+    // overflow guard (Graph.pageRankWeighted scaladoc); the oracle
+    // chains the minhash pipeline into the weighted 3-round replay.
+    "g_rank_weighted" -> ((s, dir) => {
+      val pairs = DedupQueries.defs("d_minhash")(s, dir)
+        .select(col("id_a").as("src"), col("id_b").as("dst"),
+          round(col("jac") * 1000000).cast("long").as("w"))
+      Graph.pageRankWeighted(pairs, iters = DocRankIters,
+        allNodesReceive = true, symmetrize = true)
+        .select(col("node").as("doc_id"), col("r").as("rank_e12"))
+        .orderBy(col("rank_e12").desc, col("doc_id"))
+    }),
+
     // Multi-source BFS hop census from a trusted-seed set — the
     // TrustRank-style seed-proximity prior (Graph.bfsHops scaladoc):
     // how far is every part/supplier from the five lowest-keyed
@@ -266,10 +285,41 @@ object GraphQueries {
     (head +: rounds).mkString(",\n") + "\n" + tail
   }
 
+  private def rankWeightedOracle: String = {
+    val head =
+      s"""WITH ${DedupQueries.minhashPairCtes},
+         |pe AS (SELECT j.id_a AS src, j.id_b AS dst,
+         |    CAST(round(j.jac * 1000000) AS BIGINT) AS w
+         |  FROM jac j JOIN cand USING (id_a, id_b) WHERE j.jac >= 0.5),
+         |und AS (SELECT src, dst, w FROM pe
+         |  UNION ALL SELECT dst AS src, src AS dst, w FROM pe),
+         |wsum AS (SELECT src AS node, sum(w) AS ws FROM und GROUP BY 1),
+         |ed AS (SELECT u.src, u.dst, u.w, s.ws
+         |  FROM und u JOIN wsum s ON u.src = s.node),
+         |params AS (SELECT 1000000000000 // count(*) AS r0,
+         |    (15 * (1000000000000 // count(*))) // 100 AS base FROM wsum),
+         |rt0 AS (SELECT node, (SELECT r0 FROM params) AS r FROM wsum)"""
+        .stripMargin
+    val rounds = (1 to DocRankIters).map { i =>
+      s"""rt$i AS (SELECT n.node,
+         |    (SELECT base FROM params) + (85 * coalesce(s.sc, 0)) // 100 AS r
+         |  FROM wsum n LEFT JOIN (
+         |    SELECT e.dst AS node, sum((p.r * e.w) // e.ws) AS sc
+         |    FROM ed e JOIN rt${i - 1} p ON e.src = p.node GROUP BY 1) s
+         |  ON n.node = s.node)""".stripMargin
+    }
+    val tail =
+      s"""SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_e12
+         |FROM rt$DocRankIters
+         |ORDER BY rank_e12 DESC, doc_id""".stripMargin
+    (head +: rounds).mkString(",\n") + "\n" + tail
+  }
+
   val oracles: Map[String, String] = Map(
     "g_pagerank" -> prOracle(PrIters),
     "g_bfs" -> bfsOracle,
     "g_trustrank" -> trOracle(PrIters),
     "g_doc_rank" -> docRankOracle,
+    "g_rank_weighted" -> rankWeightedOracle,
   )
 }

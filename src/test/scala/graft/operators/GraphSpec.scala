@@ -82,6 +82,55 @@ class GraphSpec extends SparkFunSuite {
     assert(got(0L) > got(1L), "the seed holds the most trust")
   }
 
+  test("pageRankWeighted: recurrence replayed; weights steer the flow") {
+    // triangle 0-1-2 with one heavy edge (0-1 at w=900k vs 100k):
+    // weighted ranks must differ from uniform ones, and node 2 (the
+    // one weakly attached to both) must fall behind
+    val e0 = Seq((0L, 1L, 900000L), (1L, 2L, 100000L), (0L, 2L, 100000L))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRankWeighted(e0, iters = 5,
+        allNodesReceive = true, symmetrize = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Scala replay of the documented integer recurrence
+    val edges = Seq((0L, 1L, 900000L), (1L, 2L, 100000L),
+      (0L, 2L, 100000L), (1L, 0L, 900000L), (2L, 1L, 100000L),
+      (2L, 0L, 100000L))
+    val ws = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val r0 = Scale / 3L
+    val base = (15L * r0) / 100L
+    var rank = Map(0L -> r0, 1L -> r0, 2L -> r0)
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) => rank(u) * w / ws(u) }.sum
+      }
+      rank = in.map { case (v, s) => v -> (base + (85L * s) / 100L) }
+    }
+    assert(got == rank, s"weighted mismatch: $got vs $rank")
+    assert(got(2L) < got(0L) && got(2L) < got(1L),
+      "the weakly-linked node must rank last")
+    // and it genuinely differs from the uniform split on this graph
+    val uni = Graph.pageRank(e0.select("src", "dst"), iters = 5,
+        validateDangling = false, allNodesReceive = true,
+        symmetrize = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uni(0L) == uni(1L) && uni(1L) == uni(2L),
+      "uniform split ties the symmetric triangle")
+    assert(got.values.toSet.size > 1, "weights must break the tie")
+  }
+
+  test("pageRankWeighted: guards reject nonpositive weights and overflow") {
+    val e = Seq((0L, 1L, 0L)).toDF("src", "dst", "w")
+    val err1 = intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(e, iters = 1, symmetrize = true)
+    }
+    assert(err1.getMessage.contains("positive"))
+    val big = Seq((0L, 1L, Long.MaxValue / 2)).toDF("src", "dst", "w")
+    val err2 = intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(big, iters = 1, symmetrize = true)
+    }
+    assert(err2.getMessage.contains("overflow"))
+  }
+
   test("bfsHops: min-hop on a path, hop cap honored, islands unreached") {
     // path 0-1-2-3 plus island 10-11, symmetrized; seed {0}
     val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
