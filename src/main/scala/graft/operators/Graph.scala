@@ -27,13 +27,19 @@ object Graph {
 
   /** Handle to a materialized loop relation: the degree-denormalized
     * edge table (a parquet path, or a bucketed catalog table when
-    * `bucketed`) and the (node, deg) parquet. Strings, not DataFrames,
-    * so a per-JVM registry can hand the standing artifact to later
-    * sessions/queries — the same contract as the persisted IVF/IVFPQ
-    * index paths.
+    * `bucketed`) and the (node, deg[, ws]) parquet. Strings, not
+    * DataFrames, so a per-JVM registry can hand the standing artifact
+    * to later sessions/queries — the same contract as the persisted
+    * IVF/IVFPQ index paths.
+    *
+    * `weighted` indexes additionally denormalize the per-source weight
+    * sum `ws` onto the edge rows and carry `maxW`, the build-measured
+    * weight ceiling the rank-time overflow guard checks against
+    * (scale·maxW must fit a long — rank·weight products appear in the
+    * weighted recurrence).
     */
   final case class EdgeIndex(edgesRef: String, nodesPath: String,
-      bucketed: Boolean) {
+      bucketed: Boolean, weighted: Boolean = false, maxW: Long = 0L) {
     def edges(spark: SparkSession): DataFrame =
       if (bucketed) spark.table(edgesRef) else spark.read.parquet(edgesRef)
     def nodes(spark: SparkSession): DataFrame =
@@ -50,7 +56,7 @@ object Graph {
     * and the final degree-denormalized table all derive from the
     * staged copy, so the caller's plan executes exactly once (the
     * writeIvfPqIndex staging rationale: one extra write+read of a slim
-    * 2-column table beats re-running the upstream shuffles per
+    * 2-3 column table beats re-running the upstream shuffles per
     * consumer). Layout by who is big:
     *  - `bucketed = true` (default — nothing assumed small): the edge
     *    table lands BUCKETED on `src`, so each iteration's join
@@ -59,6 +65,19 @@ object Graph {
     *    (the standing band-index trick, [[Dedup.writeBandIndex]]).
     *  - `bucketed = false` (for DOMAIN-BOUNDED graphs whose rank table
     *    will broadcast): plain parquet, scanned map-side per round.
+    *  - `bucketIfOver ≥ 0` makes the choice DATA-DRIVEN, overriding
+    *    `bucketed`: the staged node count decides (|V| ≤ bucketIfOver
+    *    → plain parquet, rank rows will broadcast; above → bucketed).
+    *    Callers who claim "this domain broadcasts at any SF" should
+    *    pass a cap instead — TPC-H part/supplier vocabularies grow
+    *    linearly with SF, so an unconditional broadcast eventually
+    *    hits the driver-memory / 8 GB broadcast wall.
+    *
+    * `weighted = true` expects a positive long `w` column on the
+    * edges: the build denormalizes Σw per source onto the edge rows
+    * (the weighted recurrence's denominator), fails fast on a
+    * non-positive weight, and records max(w) for the rank-time
+    * overflow guard.
     *
     * Contract: every node must appear as a `src` (out-degree ≥ 1).
     * Symmetrized (undirected) graphs satisfy this by construction; a
@@ -72,26 +91,49 @@ object Graph {
       validateDangling: Boolean = true,
       bucketed: Boolean = true,
       buckets: Int = 32,
-      symmetrize: Boolean = false): EdgeIndex = {
+      symmetrize: Boolean = false,
+      weighted: Boolean = false,
+      bucketIfOver: Long = -1L): EdgeIndex = {
     val spark = edges.sparkSession
-    val scratch = graft.sources.Scratch.dir("pagerank", key)
+    val tag = if (weighted) "pagerank_w" else "pagerank"
+    val scratch = graft.sources.Scratch.dir(tag, key)
     // `symmetrize`: callers with an UNDIRECTED pair relation pass the
     // pairs raw — the reverse direction derives from the STAGED copy,
     // so the (possibly expensive) caller plan executes once, not once
     // per union leg (a caller-side union(reverse) re-ran a full
     // minhash pipeline per leg: measured 22.9 → ~12 s at 10× for
     // g_doc_rank).
-    edges.select("src", "dst")
+    val baseCols = if (weighted) Seq("src", "dst", "w") else Seq("src", "dst")
+    edges.select(baseCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$scratch/staging")
     val staged0 = spark.read.parquet(s"$scratch/staging")
     val staged =
       if (!symmetrize) staged0
-      else staged0.union(
-        staged0.select(col("dst").as("src"), col("src").as("dst")))
-    staged.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
+      else staged0.union(staged0.select(
+        (col("dst").as("src") +: col("src").as("dst") +:
+          (if (weighted) Seq(col("w")) else Nil)): _*))
+    val nodeAggs =
+      if (weighted)
+        Seq(count(lit(1)).as("deg"), sum(col("w")).as("ws"),
+          max(col("w")).as("mw"), min(col("w")).as("nw"))
+      else Seq(count(lit(1)).as("deg"))
+    staged.groupBy("src").agg(nodeAggs.head, nodeAggs.tail: _*)
+      .withColumnRenamed("src", "node")
       .write.mode("overwrite").parquet(s"$scratch/nodes")
     val nodes = spark.read.parquet(s"$scratch/nodes")
+    // Weight extremes are O(1) driver model state (one 1-row agg over
+    // the slim node table): positivity is a BUILD contract (a zero
+    // weight would divide mass into nothing; a negative one breaks the
+    // non-negative-longs arithmetic), max(w) feeds the rank-time
+    // scale·w overflow guard.
+    val maxW =
+      if (!weighted) 0L
+      else {
+        val ext = nodes.agg(max(col("mw")), min(col("nw"))).head()
+        require(!ext.isNullAt(1) && ext.getLong(1) > 0,
+          "materializeEdges: edge weights must be positive")
+        ext.getLong(0)
+      }
     if (validateDangling) {
       val dangling = staged.select(col("dst")).distinct()
         .join(nodes, col("dst") === col("node"), "left_anti")
@@ -99,19 +141,24 @@ object Graph {
         "pageRank contract: every node needs an out-edge — " +
           "symmetrize the graph or drop dangling sinks first")
     }
-    // Degree rides DENORMALIZED on the edge table (one |E| write), so
-    // each iteration is exactly one join + one map-combined sum, with
-    // no per-round |V|-side degree lookup.
-    val withDeg = staged.join(
-      nodes.select(col("node").as("src"), col("deg")), "src")
+    val useBucketed =
+      if (bucketIfOver >= 0L) nodes.count() > bucketIfOver else bucketed
+    // Degree (and for weighted graphs the weight sum) rides
+    // DENORMALIZED on the edge table (one |E| write), so each
+    // iteration is exactly one join + one map-combined sum, with no
+    // per-round |V|-side lookup.
+    val denorm =
+      if (weighted) nodes.select(col("node").as("src"), col("deg"), col("ws"))
+      else nodes.select(col("node").as("src"), col("deg"))
+    val withDeg = staged.join(denorm, "src")
     val ref =
-      if (!bucketed) {
+      if (!useBucketed) {
         withDeg.write.mode("overwrite").parquet(s"$scratch/edges")
         s"$scratch/edges"
       } else {
         spark.sql("CREATE DATABASE IF NOT EXISTS graft_scratch")
         val tbl = graft.model.TableRef("graft_scratch",
-          graft.sources.Scratch.name("pagerank_edges", key))
+          graft.sources.Scratch.name(s"${tag}_edges", key))
         graft.sources.CatalogOps.writeBucketed(withDeg, tbl,
           bucketCols = Seq("src"), numBuckets = buckets,
           sortCols = Seq("src"))
@@ -124,7 +171,90 @@ object Graph {
     val fs = new org.apache.hadoop.fs.Path(scratch)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/staging"), true)
-    EdgeIndex(ref, s"$scratch/nodes", bucketed)
+    EdgeIndex(ref, s"$scratch/nodes", useBucketed, weighted, maxW)
+  }
+
+  /** The shared damped-propagation loop of [[pageRankIndexed]] and
+    * [[pageRankWeightedIndexed]] — one join (edges ⋈ ranks on src) and
+    * one map-combined sum to dst per round, with the per-edge
+    * contribution expression as the only difference between the
+    * uniform and weighted recurrences.
+    *
+    * `checkpointEvery > 0` MATERIALIZES the rank table to scratch
+    * parquet every that-many rounds (the bfsHops shape): lineage
+    * re-roots at a file, so plan depth stays bounded in the
+    * tens-of-rounds regime instead of growing one join/agg layer per
+    * round, and an executor loss replays at most `checkpointEvery`
+    * rounds. Identical integers either way — materialization commutes
+    * with the exact arithmetic.
+    *
+    * `tolL1 > 0` adds CONVERGENCE-aware early stopping: every round
+    * materializes (piggybacking the checkpoint machinery) and the L1
+    * rank delta Σ|r_i − r_{i−1}| — one |V|-bounded join + 1-row agg,
+    * O(1) driver state per round — ends the loop once it drops below
+    * `tolL1` micro-units. Absent-node rank is taken as 0 in the delta
+    * (only reachable when `allNodesReceive` drops isolated receivers).
+    * Leave 0 for the oracle-checked queries: fixed `iters` keeps the
+    * replay bit-reproducible.
+    */
+  private def dampedLoop(spark: SparkSession, idx: EdgeIndex, iters: Int,
+      scale: Long, broadcastRanks: Boolean, allNodesReceive: Boolean,
+      checkpointEvery: Int, tolL1: Long, contrib: String): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val ed = idx.edges(spark)
+    val nodes = idx.nodes(spark)
+    // |V| is O(1) driver model state (a single count), same class as
+    // the collected centroid seeds in Similarity.trainCentroidsLiteral.
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty graph")
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    val ck =
+      if (checkpointEvery > 0 || tolL1 > 0)
+        graft.sources.Scratch.dir("pagerank_ck",
+          java.util.UUID.randomUUID().toString)
+      else null
+    var rank: DataFrame = null
+    var i = 1
+    var stop = false
+    while (i <= iters && !stop) {
+      val bySrc =
+        if (i == 1) nodes.select(col("node").as("src"), lit(r0).as("r"))
+        else rank.withColumnRenamed("node", "src")
+      val joined =
+        if (broadcastRanks) ed.join(broadcast(bySrc), "src")
+        else ed.join(bySrc, "src")
+      val sums = joined
+        .select(col("dst"), expr(contrib).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * sc) div 100")).as("r"))
+      // Zero-in-degree nodes drop out of the sum — re-add them at the
+      // teleport base unless the caller certifies a symmetrized graph
+      // (in-degree ≥ 1 everywhere), which skips a |V| join per round.
+      val next =
+        if (allNodesReceive) sums
+        else nodes.select("node")
+          .join(sums, Seq("node"), "left")
+          .select(col("node"), coalesce(col("r"), lit(base)).as("r"))
+      rank =
+        if (tolL1 > 0 ||
+            (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)) {
+          next.write.mode("overwrite").parquet(s"$ck/r$i")
+          spark.read.parquet(s"$ck/r$i")
+        } else next
+      if (tolL1 > 0 && i > 1) {
+        val prev = spark.read.parquet(s"$ck/r${i - 1}")
+          .select(col("node"), col("r").as("rp"))
+        val delta = rank.join(prev, Seq("node"), "full")
+          .agg(sum(abs(coalesce(col("r"), lit(0L)) -
+            coalesce(col("rp"), lit(0L)))).as("d"))
+          .head().getLong(0)
+        if (delta < tolL1) stop = true
+      }
+      i += 1
+    }
+    rank
   }
 
   /** Fixed-point PageRank over a [[materializeEdges]] artifact.
@@ -138,9 +268,11 @@ object Graph {
     * partial-agg exchange of the sum. Ranks never collect: the rank
     * table is a DataFrame of |V| rows throughout, so the loop works at
     * any |V| a cluster can shuffle. Lineage grows linearly with
-    * `iters`; for the tens-of-rounds regime checkpoint every ~10
-    * rounds, exactly as [[Dedup.connectedComponents]] documents for
-    * pointer doubling.
+    * `iters`; for the tens-of-rounds regime pass `checkpointEvery`
+    * (≈10) and the loop re-roots at scratch parquet on that cadence,
+    * exactly as [[Dedup.connectedComponents]] documents for pointer
+    * doubling. `tolL1` opts into convergence-aware early stop (see
+    * [[dampedLoop]]).
     *
     * Per-iteration update, all in longs:
     *   contrib(u→v) = r(u) div outdeg(u)
@@ -155,39 +287,65 @@ object Graph {
   def pageRankIndexed(spark: SparkSession, idx: EdgeIndex,
       iters: Int = 5, scale: Long = 1000000000000L,
       broadcastRanks: Boolean = false,
-      allNodesReceive: Boolean = false): DataFrame = {
-    require(iters >= 1, "pageRank needs at least one iteration")
-    val ed = idx.edges(spark)
-    val nodes = idx.nodes(spark)
-    // |V| is O(1) driver model state (a single count), same class as
-    // the collected centroid seeds in Similarity.trainCentroidsLiteral.
-    val n = nodes.count()
-    require(n > 0, "pageRank over an empty graph")
-    val r0 = scale / n
-    val base = (15L * r0) / 100L
-    var rank: DataFrame = null
-    for (i <- 1 to iters) {
-      val bySrc =
-        if (i == 1) nodes.select(col("node").as("src"), lit(r0).as("r"))
-        else rank.withColumnRenamed("node", "src")
-      val joined =
-        if (broadcastRanks) ed.join(broadcast(bySrc), "src")
-        else ed.join(bySrc, "src")
-      val sums = joined
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("sc"))
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * sc) div 100")).as("r"))
-      // Zero-in-degree nodes drop out of the sum — re-add them at the
-      // teleport base unless the caller certifies a symmetrized graph
-      // (in-degree ≥ 1 everywhere), which skips a |V| join per round.
-      rank =
-        if (allNodesReceive) sums
-        else nodes.select("node")
-          .join(sums, Seq("node"), "left")
-          .select(col("node"), coalesce(col("r"), lit(base)).as("r"))
-    }
-    rank
+      allNodesReceive: Boolean = false,
+      checkpointEvery: Int = 0,
+      tolL1: Long = 0L): DataFrame =
+    dampedLoop(spark, idx, iters, scale, broadcastRanks, allNodesReceive,
+      checkpointEvery, tolL1, "r div deg")
+
+  /** WEIGHTED PageRank over a `materializeEdges(weighted = true)`
+    * artifact: each node pushes rank proportional to edge weight,
+    *   contrib(u→v) = (r(u) · w(u,v)) div Σ_x w(u,x)
+    * — on a similarity graph, stronger duplicates pull more
+    * centrality, which plain [[pageRankIndexed]]'s uniform split
+    * ignores. Same fixed-point integer recurrence, same execution
+    * shape (bucketed index → per-round joins exchange only the |V|
+    * rank rows — the |E| weighted edge table is never re-shuffled
+    * after the one build write), same checkpoint/convergence options.
+    * Overflow is a REAL constraint here — r·w must fit a long — so
+    * the guard checks scale · maxW < 2⁶³ against the build-measured
+    * weight ceiling (defaults: 1e12 · 1e6 = 1e18 ✓).
+    *
+    * @return (node, r) — r in micro-units of `scale`.
+    */
+  def pageRankWeightedIndexed(spark: SparkSession, idx: EdgeIndex,
+      iters: Int = 5, scale: Long = 1000000000000L,
+      broadcastRanks: Boolean = false,
+      allNodesReceive: Boolean = false,
+      checkpointEvery: Int = 0,
+      tolL1: Long = 0L): DataFrame = {
+    require(idx.weighted,
+      "pageRankWeightedIndexed needs materializeEdges(weighted = true)")
+    require(idx.maxW > 0 && scale <= Long.MaxValue / idx.maxW,
+      s"pageRankWeighted: scale·max(w) overflows a long " +
+        s"(max w = ${idx.maxW})")
+    dampedLoop(spark, idx, iters, scale, broadcastRanks, allNodesReceive,
+      checkpointEvery, tolL1, "(r * w) div ws")
+  }
+
+  /** One-shot weighted convenience: materialize (weighted) + rank.
+    * Routes through [[materializeEdges]], so the staging discipline,
+    * bucketed standing-edge layout, positivity fail-fast, and — unlike
+    * the pre-r15 cut — the DANGLING-NODE validation all apply: a
+    * directed edge list with a sink node fails fast instead of
+    * silently leaking the sink's received mass every round
+    * (`validateDangling`; symmetrized graphs satisfy the contract by
+    * construction and may skip it). Prefer materializing once per
+    * graph generation and reusing the [[EdgeIndex]] across
+    * searches/parameter sweeps (the build is the expensive half).
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L,
+      allNodesReceive: Boolean = false,
+      symmetrize: Boolean = false,
+      validateDangling: Boolean = true,
+      buckets: Int = 32): DataFrame = {
+    val idx = materializeEdges(edges,
+      java.util.UUID.randomUUID().toString,
+      validateDangling = validateDangling && !symmetrize,
+      bucketed = true, buckets, symmetrize, weighted = true)
+    pageRankWeightedIndexed(edges.sparkSession, idx, iters, scale,
+      allNodesReceive = allNodesReceive)
   }
 
   /** Multi-source BFS hop distance from a seed set over a
@@ -244,79 +402,6 @@ object Graph {
     spark.read.parquet((0 to maxHops).map(j => s"$scratch/r$j"): _*)
   }
 
-  /** WEIGHTED PageRank over an edge list `(src, dst, w)` with
-    * positive INTEGER weights (e.g. similarity in micro-units): each
-    * node pushes rank proportional to edge weight,
-    *   contrib(u→v) = (r(u) · w(u,v)) div Σ_x w(u,x)
-    * — on a similarity graph, stronger duplicates pull more
-    * centrality, which plain [[pageRankIndexed]]'s uniform split
-    * ignores. Same fixed-point integer recurrence otherwise; same
-    * staging discipline (the caller plan executes once; weight sums
-    * are denormalized onto the edge table). Overflow is a REAL
-    * constraint here — r·w must fit a long — so the build measures
-    * max(w) and fails fast unless scale · max(w) < 2⁶³ (defaults:
-    * 1e12 · 1e6 = 1e18 ✓).
-    *
-    * @param symmetrize derive the reverse direction (same weight) from
-    *                   the staged copy, as [[materializeEdges]] does.
-    * @return (node, r) — r in micro-units of `scale`.
-    */
-  def pageRankWeighted(edges: DataFrame, iters: Int = 5,
-      scale: Long = 1000000000000L,
-      allNodesReceive: Boolean = false,
-      symmetrize: Boolean = false): DataFrame = {
-    require(iters >= 1, "pageRankWeighted needs at least one iteration")
-    val spark = edges.sparkSession
-    val scratch = graft.sources.Scratch.dir("pagerank_w",
-      java.util.UUID.randomUUID().toString)
-    edges.select("src", "dst", "w")
-      .write.mode("overwrite").parquet(s"$scratch/staging")
-    val staged0 = spark.read.parquet(s"$scratch/staging")
-    val staged =
-      if (!symmetrize) staged0
-      else staged0.union(staged0.select(
-        col("dst").as("src"), col("src").as("dst"), col("w")))
-    staged.groupBy("src")
-      .agg(sum(col("w")).as("ws"), max(col("w")).as("mw"),
-        min(col("w")).as("nw"))
-      .select(col("src").as("node"), col("ws"), col("mw"), col("nw"))
-      .write.mode("overwrite").parquet(s"$scratch/nodes")
-    val nodes = spark.read.parquet(s"$scratch/nodes")
-    val ext = nodes.agg(max(col("mw")), min(col("nw"))).head()
-    require(!ext.isNullAt(1) && ext.getLong(1) > 0,
-      "pageRankWeighted: edge weights must be positive")
-    require(ext.getLong(0) > 0 && scale <= Long.MaxValue / ext.getLong(0),
-      s"pageRankWeighted: scale·max(w) overflows a long " +
-        s"(max w = ${ext.getLong(0)})")
-    staged.join(nodes.select(col("node").as("src"), col("ws")), "src")
-      .write.mode("overwrite").parquet(s"$scratch/edges")
-    val ed = spark.read.parquet(s"$scratch/edges")
-    val fs = new org.apache.hadoop.fs.Path(scratch)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$scratch/staging"), true)
-    val n = nodes.count()
-    require(n > 0, "pageRankWeighted over an empty graph")
-    val r0 = scale / n
-    val base = (15L * r0) / 100L
-    var rank: DataFrame = null
-    for (i <- 1 to iters) {
-      val bySrc =
-        if (i == 1) nodes.select(col("node").as("src"), lit(r0).as("r"))
-        else rank.withColumnRenamed("node", "src")
-      val sums = ed.join(bySrc, "src")
-        .select(col("dst"), expr("(r * w) div ws").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("sc"))
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * sc) div 100")).as("r"))
-      rank =
-        if (allNodesReceive) sums
-        else nodes.select("node")
-          .join(sums, Seq("node"), "left")
-          .select(col("node"), coalesce(col("r"), lit(base)).as("r"))
-    }
-    rank
-  }
-
   /** TrustRank (Gyöngyi et al. 2004) — PageRank with the teleport
     * BIASED to a trusted seed set: trust mass originates only at the
     * seeds and decays outward through the damped propagation, so a
@@ -334,13 +419,17 @@ object Graph {
     * table (their trust is 0 — the TrustRank semantics), so no
     * zero-in-degree re-add join is ever needed.
     *
+    * `checkpointEvery` re-roots the trust table at scratch parquet on
+    * that cadence, as [[dampedLoop]] documents for the rank loops.
+    *
     * @return (node, r) — trust in micro-units of `scale`; nodes with
     *         zero trust are ABSENT (left-join the node table and
     *         coalesce to 0 for a census).
     */
   def trustRank(spark: SparkSession, idx: EdgeIndex, seeds: DataFrame,
       iters: Int = 5, scale: Long = 1000000000000L,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Boolean = false,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, "trustRank needs at least one iteration")
     val ed = idx.edges(spark)
     val seeds0 = seeds.select("node").distinct()
@@ -351,8 +440,13 @@ object Graph {
     val r0 = scale / nSeeds
     val base = (15L * r0) / 100L
     val seedBase = broadcast(seeds0.withColumn("b", lit(base)))
+    val ck =
+      if (checkpointEvery > 0)
+        graft.sources.Scratch.dir("trustrank_ck",
+          java.util.UUID.randomUUID().toString)
+      else null
     var rank = seeds0.select(col("node"), lit(r0).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val bySrc = rank.withColumnRenamed("node", "src")
       val joined =
         if (broadcastRanks) ed.join(broadcast(bySrc), "src")
@@ -368,6 +462,10 @@ object Graph {
         .select(col("node"),
           (coalesce(col("b"), lit(0L)) + coalesce(col("dr"), lit(0L)))
             .as("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        rank.write.mode("overwrite").parquet(s"$ck/r$i")
+        rank = spark.read.parquet(s"$ck/r$i")
+      }
     }
     rank
   }

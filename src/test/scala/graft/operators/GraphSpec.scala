@@ -158,4 +158,98 @@ class GraphSpec extends SparkFunSuite {
     }
     assert(err.getMessage.contains("out-edge"))
   }
+
+  test("pageRankWeighted: dangling sink fails fast too (directed input)") {
+    // the r14 ADVICE gap: the weighted one-shot used to stage its own
+    // edges with no dangling check, silently dropping the sink's mass
+    val directed = Seq((0L, 1L, 5L)).toDF("src", "dst", "w")
+    val err = intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(directed, iters = 1)
+    }
+    assert(err.getMessage.contains("out-edge"))
+  }
+
+  test("checkpointEvery: 20-round run matches the unchecked run; plan bounded") {
+    val e0 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("src", "dst")
+    val idx = Graph.materializeEdges(e0, "ck-spec",
+      validateDangling = false, bucketed = false, symmetrize = true)
+    val plain = Graph.pageRankIndexed(spark, idx, iters = 20)
+    val checked = Graph.pageRankIndexed(spark, idx, iters = 20,
+      checkpointEvery = 5)
+    val a = plain.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = checked.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "checkpointing must not change a single micro-unit")
+    // lineage re-roots at the round-15 scratch file: the checked plan
+    // carries ≤5 join/agg layers, the unchecked one all 20
+    val pa = plain.queryExecution.optimizedPlan.treeString
+    val pb = checked.queryExecution.optimizedPlan.treeString
+    assert(pb.length < pa.length / 2,
+      s"checkpointed lineage must be a fraction of the unchecked one " +
+        s"(${pb.length} vs ${pa.length})")
+    // same contract on the weighted loop
+    val ew = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 2L, 2L))
+      .toDF("src", "dst", "w")
+    val widx = Graph.materializeEdges(ew, "ck-spec-w",
+      validateDangling = false, bucketed = false, symmetrize = true,
+      weighted = true)
+    val wa = Graph.pageRankWeightedIndexed(spark, widx, iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wb = Graph.pageRankWeightedIndexed(spark, widx, iters = 12,
+      checkpointEvery = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wa == wb)
+    // and on trustRank
+    val ta = Graph.trustRank(spark, idx, Seq(0L).toDF("node"), iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tb = Graph.trustRank(spark, idx, Seq(0L).toDF("node"), iters = 12,
+      checkpointEvery = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ta == tb)
+  }
+
+  test("tolL1: fast-converging graph stops early with the full run's ranking") {
+    // symmetric 3-cycle converges immediately (every round is the
+    // fixed point up to floor jitter): a loose tolerance must stop the
+    // loop well before 50 rounds yet agree with the full run's order
+    val e0 = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val idx = Graph.materializeEdges(e0, "tol-spec",
+      validateDangling = false, bucketed = false, symmetrize = true)
+    val t0 = System.nanoTime()
+    val early = Graph.pageRankIndexed(spark, idx, iters = 50,
+      tolL1 = 1000000L)
+    val got = early.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Graph.pageRankIndexed(spark, idx, iters = 50,
+      checkpointEvery = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical top-k ORDER (all tied here) and near-identical values
+    assert(got.keySet == full.keySet)
+    assert(got.values.toSet.size == 1 && full.values.toSet.size == 1,
+      "symmetric nodes must tie under both runs")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - full(k)) <= 1000000L, s"node $k drifted")
+    }
+    // the early-stop plan must be rooted at a scratch file from an
+    // early round, not 50 join layers deep
+    val depth = early.queryExecution.optimizedPlan.treeString
+    assert(depth.length < 4000,
+      s"early stop must leave a shallow file-rooted plan:\n$depth")
+  }
+
+  test("bucketIfOver: layout choice is data-driven at build time") {
+    val e0 = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    // 2 nodes ≤ cap → plain parquet (broadcastable regime)
+    val small = Graph.materializeEdges(e0, "cap-small",
+      validateDangling = false, bucketIfOver = 10L)
+    assert(!small.bucketed)
+    // 2 nodes > cap 1 → bucketed standing layout
+    val big = Graph.materializeEdges(e0, "cap-big",
+      validateDangling = false, bucketIfOver = 1L)
+    assert(big.bucketed)
+    // both produce identical ranks
+    val a = Graph.pageRankIndexed(spark, small, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRankIndexed(spark, big, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }

@@ -237,4 +237,20 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("g_rank_weighted warm search: bucketed edges, only rank rows exchange") {
+    val p = plan("g_rank_weighted")
+    // the weighted |E| table must come off the standing BUCKETED scan
+    // (its bucket spec absorbs the per-round join distribution)…
+    assert(p.contains("SelectedBucketsCount"), p)
+    // …so each of the 3 rounds pays exactly 2 hash exchanges (the |V|
+    // rank rows into the bucket layout + the map-combined sum to dst);
+    // an un-bucketed layout re-exchanges the edge side every round and
+    // pushes this count to ≥9. (AQE renders Final + Initial sections;
+    // count the final one only.)
+    val finalOnly = p.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalOnly).length
+    assert(hashEx <= 6, s"expected ≤2 hash exchanges per rank round:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
