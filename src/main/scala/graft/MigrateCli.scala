@@ -40,7 +40,9 @@ import graft.resume.Checkpoint
   * target per-language token shares applied via the deterministic
   * 256-band sampler, with the post-mixture count in the report;
   * `--stopwords multilang` switches the quality gate to the shipped
-  * per-language function-word registry).
+  * per-language function-word registry; `--canonical rank` keeps the
+  * max-PageRank member of each near-dup cluster instead of the
+  * minimum id — dedup-cluster centrality as the keep choice).
   */
 object MigrateCli {
 
@@ -162,8 +164,12 @@ object MigrateCli {
           case Some(other) => throw new IllegalArgumentException(
             s"--stopwords must be 'en' or 'multilang', got '$other'")
         }
+        // --canonical rank keeps the max-PageRank member per near-dup
+        // cluster instead of the minimum id (Curation.curate scaladoc)
+        val canonical = args.getOrElse("canonical", "minid")
         val rep = graft.operators.Curation.curate(src, cfg.destPath,
-          jaccard = jac, stopwords = stopwords, mixture = mixture)
+          jaccard = jac, stopwords = stopwords, mixture = mixture,
+          canonical = canonical)
         val splits = rep.bySplit.toSeq.sorted
           .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
         val mixtureField = rep.afterMixture
@@ -171,6 +177,7 @@ object MigrateCli {
         val body =
           s"""{"mode": "curate", "source": ${js(cfg.sourcePath)},
              | "dest": ${js(cfg.destPath)}, "jaccard": $jac,
+             | "canonical": ${js(canonical)},
              | "input": ${rep.input}, "after_quality": ${rep.afterQuality},
              | "after_exact_dedup": ${rep.afterExactDedup},
              | "after_near_dup": ${rep.afterNearDup},$mixtureField

@@ -128,12 +128,27 @@ object Curation {
     * computed on the deduplicated survivors — duplicates must not
     * inflate a language's measured budget) and before the split;
     * the report carries the post-mixture count in `afterMixture`.
+    *
+    * `canonical` picks WHICH member of a near-dup cluster survives:
+    *  - `"minid"` (default): the minimum id — cheapest, and exactly
+    *    the cluster label [[Dedup.connectedComponents]] already
+    *    computes.
+    *  - `"rank"`: the max-PageRank member (ties to min id) — the
+    *    `g_doc_rank` argument applied operationally: the
+    *    most-connected copy of a duplicated text is its best-attested
+    *    version, so centrality beats id order as the keep choice. The
+    *    pair graph is STAGED to scratch once so the minhash pipeline
+    *    still executes once (components + rank both read the file),
+    *    and exactly one document survives per cluster either way, so
+    *    every audit count is canonical-choice-invariant.
     */
   def curate(docs: DataFrame, outDir: String, idCol: String = "doc_id",
       textCol: String = "text", jaccard: Double = 0.5,
       stopwords: Map[String, Seq[String]] = Map("en" -> TA.Stopwords),
-      mixture: Seq[(String, Double)] = Nil, langCol: String = "lang")
-      : CurationReport = {
+      mixture: Seq[(String, Double)] = Nil, langCol: String = "lang",
+      canonical: String = "minid"): CurationReport = {
+    require(canonical == "minid" || canonical == "rank",
+      s"canonical must be 'minid' or 'rank', got '$canonical'")
     val input = docs.count()
 
     val quality = docs
@@ -148,11 +163,33 @@ object Curation {
       .persist()
     val afterExact = exact.count()
 
-    val pairs = Dedup.minhashNearDups(exact, idCol, textCol, jaccard)
+    val pairsRaw = Dedup.minhashNearDups(exact, idCol, textCol, jaccard)
       .select(col("id_a"), col("id_b"))
-    val drop = Dedup.connectedComponents(pairs)
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol))
+    // rank mode has TWO pair consumers (components + the rank build),
+    // so the minhash pipeline stages to scratch and both read the file
+    val pairs =
+      if (canonical != "rank") pairsRaw
+      else {
+        val p = graft.sources.Scratch.dir("curate_pairs", outDir)
+        pairsRaw.write.mode("overwrite").parquet(p)
+        docs.sparkSession.read.parquet(p)
+      }
+    val comp = Dedup.connectedComponents(pairs)
+    val drop =
+      if (canonical == "minid")
+        comp.filter(col("id") =!= col("cluster")).select(col("id").as(idCol))
+      else {
+        val rank = Graph.pageRank(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          iters = 3, validateDangling = false, allNodesReceive = true,
+          symmetrize = true)
+        val wc = Window.partitionBy(col("cluster"))
+          .orderBy(col("r").desc, col("id"))
+        comp.join(rank.withColumnRenamed("node", "id"), "id")
+          .withColumn("__rn", row_number().over(wc))
+          .filter(col("__rn") > 1)
+          .select(col("id").as(idCol))
+      }
     // With a mixture stage the deduped set gets two consumers (its
     // count + the mixture's token aggregate and filter), so it is
     // persisted across them like every other stage intermediate.

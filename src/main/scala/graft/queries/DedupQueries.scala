@@ -205,7 +205,12 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val names = Sources.table(s, dir, "part")
         .select(col("p_name").as("nm")).distinct()
-        .withColumn("noun", element_at(split(col("nm"), " "), 2))
+        // coalesce to '': Spark's element_at past the end is NULL
+        // (which never equi-joins — a single-token name would silently
+        // vanish), DuckDB's split_part is '' — '' makes both engines
+        // block degenerate names together
+        .withColumn("noun",
+          coalesce(element_at(split(col("nm"), " "), 2), lit("")))
       val pairs = names.as("a").join(names.as("b"),
           col("a.noun") === col("b.noun") && col("a.nm") =!= col("b.nm"))
         .select(col("a.nm").as("nm"), col("b.nm").as("cand"),

@@ -329,9 +329,12 @@ object EventQueries {
     // so the whole detector is two cumulative windows over ONE
     // (event_type → h) sort — no per-group collect, no recursion, no
     // state. Arithmetic is integer end to end (hourly sums exact in
-    // DECIMAL(18,6), scaled to micro-unit BIGINT; target is a trunc
-    // division of positive longs — both engines agree), so every cusum
-    // value hash-matches. Scale shape: one map-combined count shuffle
+    // DECIMAL(18,6), scaled to micro-unit BIGINT; target is a FLOOR
+    // division on both sides — DuckDB `//` floors while Spark `div`
+    // truncates toward zero, so the Spark side subtracts pmod first:
+    // (tot − pmod(tot, nh)) div nh ≡ floor(tot/nh) for nh > 0 even
+    // when a per-type sum goes negative, e.g. refund-heavy hours), so
+    // every cusum value hash-matches on ANY fixture. Scale shape: one map-combined count shuffle
     // to the HOURS domain (per-type time series, never corpus-sized),
     // then the two windows share one exchange+sort; at 100 TB the
     // series length is days×types, the raw events never sort.
@@ -346,7 +349,7 @@ object EventQueries {
       hourly
         .withColumn("tot", sum(col("xs")).over(wAll))
         .withColumn("nh", count(lit(1)).over(wAll))
-        .withColumn("target", expr("tot div nh"))
+        .withColumn("target", expr("(tot - pmod(tot, nh)) div nh"))
         .withColumn("psum", sum(col("xs") - col("target")).over(wRun))
         .withColumn("cusum",
           col("psum") - least(min(col("psum")).over(wRun), lit(0L)))

@@ -598,26 +598,33 @@ object TextQueries {
     // per-feature weight stays RATIONAL — w(f) = (ct+1)·1e6 div (cr+1)
     // — and the document score is the integer mean feature weight.
     // Monotone per feature, integer-exact end to end, hash-checkable.
-    // Shapes: one explode to (doc, bucket) rows, two map-combined
-    // count shuffles (target is a filter of the same pass), a 64-row
-    // BROADCAST weight join back onto the feature stream, one per-doc
-    // agg. Nothing corpus² anywhere; the weight table is model state.
+    // Shapes: the corpus-sized bigram explode runs EXACTLY ONCE — it
+    // aggregates straight down to (doc, lang, bucket, c) (≤64 buckets
+    // per doc, so the relation is |docs|·64-bounded, nothing like
+    // corpus-token-sized) and THAT slim relation stages to scratch
+    // parquet (the q_recursive shape); the weight aggregate and the
+    // scoring join both read the file instead of re-running the
+    // explode (the pre-r15 cut paid the explode twice — 6.3 s at the
+    // 10× probe). Weights stay a 64-row broadcast; one per-doc agg.
+    // Nothing corpus² anywhere; the weight table is model state.
     "t_dsir" -> ((s, dir) => {
-      val feats = docs(s, dir)
+      val staged = graft.sources.Scratch.dir("dsir", dir)
+      docs(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(TA.wordBigrams(col("text"))).as("bg"))
         .select(col("doc_id"), col("lang"),
           TA.dsirBucket(col("bg")).as("f"))
-      // target and raw counts in ONE pass over the feature stream (a
-      // second filtered aggregation would re-run the bigram explode)
+        .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(staged)
+      val feats = s.read.parquet(staged)
       val w = feats.groupBy("f")
-        .agg(count(lit(1)).as("cr"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        .agg(sum(col("c")).as("cr"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
         .select(col("f"),
           expr("((ct + 1) * 1000000) div (cr + 1)").as("w_e6"))
       feats.join(broadcast(w), "f")
-        .groupBy("doc_id").agg(count(lit(1)).as("nf"),
-          sum(col("w_e6")).as("sw"))
+        .groupBy("doc_id").agg(sum(col("c")).as("nf"),
+          sum(col("c") * col("w_e6")).as("sw"))
         .select(col("doc_id"), col("nf"), expr("sw div nf").as("dsir_e6"))
         .orderBy(col("dsir_e6").desc, col("doc_id"))
         .limit(50)

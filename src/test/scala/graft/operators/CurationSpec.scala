@@ -179,4 +179,56 @@ class CurationSpec extends SparkFunSuite {
     assert(Curation.curate(docs, tmpDir("cur_nomix"), jaccard = 0.3)
       .afterMixture.isEmpty)
   }
+
+  test("canonical=rank: max-rank member kept per cluster; audit counts invariant") {
+    val outMin = tmpDir("cur_minid")
+    val outRank = tmpDir("cur_rank")
+    val repMin = Curation.curate(docs, outMin, jaccard = 0.3)
+    val repRank = Curation.curate(docs, outRank, jaccard = 0.3,
+      canonical = "rank")
+    // exactly one survivor per cluster either way → every scalar audit
+    // count is canonical-choice-invariant (bySplit may shift: a
+    // different survivor hashes to a different split)
+    assert(repRank.input == repMin.input)
+    assert(repRank.afterQuality == repMin.afterQuality)
+    assert(repRank.afterExactDedup == repMin.afterExactDedup)
+    assert(repRank.afterNearDup == repMin.afterNearDup)
+    assert(repRank.bySplit.values.sum == repRank.afterNearDup)
+
+    // replay the pipeline to derive the EXPECTED keep choice: per
+    // multi-member cluster the argmax by (rank desc, id asc)
+    val quality = docs.filter(
+      TA.gopherPassLang(col("text"), Map("en" -> TA.Stopwords)))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+    val exact = quality
+      .withColumn("__fp", TA.fingerprint(col("text")))
+      .withColumn("__keep", min(col("doc_id")).over(wFp) === col("doc_id"))
+      .filter(col("__keep")).drop("__fp", "__keep")
+    val s = spark; import s.implicits._
+    val pairs = Dedup.minhashNearDups(exact, "doc_id", "text", 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "fixture must contain near-dup clusters")
+    val comp = Dedup.connectedComponents(
+      pairs.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rank = Graph.pageRank(
+      pairs.toDF("src", "dst"), iters = 3,
+      validateDangling = false, allNodesReceive = true, symmetrize = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedKeep = comp.groupBy(_._2).map { case (_, members) =>
+      members.keys.toSeq.sortBy(id => (-rank(id), id)).head
+    }.toSet
+    val keptRank = spark.read.parquet(outRank)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every cluster's survivor is the max-rank member…
+    val clustered = comp.keySet
+    assert((keptRank & clustered) == expectedKeep,
+      s"kept ${(keptRank & clustered).toSeq.sorted} vs " +
+        s"expected ${expectedKeep.toSeq.sorted}")
+    // …and unclustered docs are untouched relative to the minid run
+    val keptMin = spark.read.parquet(outMin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((keptRank -- clustered) == (keptMin -- clustered))
+  }
 }

@@ -15,9 +15,10 @@ class CusumSpec extends SparkFunSuite {
     val byType = rows.groupBy(_.getString(0))
     byType.foreach { case (tpe, rs) =>
       // rows arrive ordered (event_type, h); recompute the target the
-      // query derived (trunc division of positive longs)
+      // query derived (FLOOR division — the DuckDB `//` semantics both
+      // engines now share)
       val xs = rs.map(_.getLong(2))
-      val target = xs.sum / xs.length
+      val target = Math.floorDiv(xs.sum, xs.length.toLong)
       var s = 0L
       rs.zip(xs).foreach { case (row, x) =>
         s = math.max(0L, s + (x - target))
@@ -47,5 +48,25 @@ class CusumSpec extends SparkFunSuite {
         col("psum") - least(min(col("psum")).over(wRun), lit(0L)))
       .select("cusum").collect().map(_.getLong(0))
     assert(out.forall(_ == 0L))
+  }
+
+  test("negative per-type sum: target floors like DuckDB //, not trunc") {
+    // refund-heavy series: tot = −5 over 2 hours → floor(−5/2) = −3,
+    // where trunc div would give −2 and silently diverge from the
+    // oracle (the r14 ADVICE case). Replays the query's exact target
+    // expression on a synthetic frame.
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val hourly = Seq(("r", "01", -1L), ("r", "02", -4L))
+      .toDF("event_type", "h", "xs")
+    val wAll = Window.partitionBy(col("event_type"))
+    val got = hourly
+      .withColumn("tot", sum(col("xs")).over(wAll))
+      .withColumn("nh", count(lit(1)).over(wAll))
+      .withColumn("target", expr("(tot - pmod(tot, nh)) div nh"))
+      .select("target").collect().map(_.getLong(0))
+    assert(got.forall(_ == Math.floorDiv(-5L, 2L)),
+      s"target must floor to -3: ${got.toSeq}")
   }
 }
