@@ -518,6 +518,32 @@ object ScaleProbe {
       timed("s_cluster_topics warm (assignment + labeling)")(
         SparkEntry.queries("s_cluster_topics")(spark, sfDir).count())
     }
+    if (what == "r15adds") {
+      // r15's weighted-rank rework: g_rank_weighted now rides a per-JVM
+      // standing BUCKETED doc-edge index like g_doc_rank (the r14
+      // perf-weak flag). Cold = minhash pipeline + index build + 3
+      // rounds; warm = the 3 rank rounds alone — the done-criterion is
+      // warm ≈ in-bench and 10× wall within ~1.2× of g_doc_rank's.
+      println("docRankCold=" + timed("g_doc_rank cold (minhash+build+3 rounds)")(
+        SparkEntry.queries("g_doc_rank")(spark, sfDir).count()))
+      timed("g_doc_rank warm (3 rounds over standing index)")(
+        SparkEntry.queries("g_doc_rank")(spark, sfDir).count())
+      println("wRankCold=" + timed("g_rank_weighted cold (minhash+build+3 rounds)")(
+        SparkEntry.queries("g_rank_weighted")(spark, sfDir).count()))
+      timed("g_rank_weighted warm (3 weighted rounds, standing index)")(
+        SparkEntry.queries("g_rank_weighted")(spark, sfDir).count())
+
+      // t_dsir: the corpus-sized bigram explode now runs ONCE into the
+      // staged (doc, lang, bucket, c) relation (≤64 rows per doc);
+      // weights and scoring both read the file — was 2 explodes.
+      println("dsirRows=" + timed("full t_dsir (one corpus explode)")(
+        SparkEntry.queries("t_dsir")(spark, sfDir).count()))
+
+      // e_cusum with the floor-div target (same exchange count)
+      println("cusumRows=" + timed("full e_cusum")(
+        SparkEntry.queries("e_cusum")(spark, sfDir).count()))
+    }
+
     if (what == "curate") {
       // Factor-10 protocol for the curation pipeline: stage counts are
       // the evidence (each stage reuses a measured primitive — gopher
