@@ -178,6 +178,92 @@ object GraphQueries {
         .orderBy(col("rank_e12").desc, col("doc_id"))
     }),
 
+    // TRIANGLE counting + local clustering coefficient over the
+    // document near-dup graph — the cohesion diagnostic of a dedup
+    // pipeline: a triangle-rich neighborhood is a genuine duplicate
+    // CLUSTER (every member vouches for every other), while a
+    // triangle-free star around one doc is the signature of a template
+    // / boilerplate hub that banding glued together. Algorithm is the
+    // degree-ordered orientation standard (each undirected edge
+    // oriented from its (deg, id)-smaller endpoint): wedge work is
+    // bounded by arboricity instead of max degree — a hub of degree d
+    // generates ZERO wedges from its own adjacency unless its
+    // neighbors out-rank it, the difference between Σdeg² and the
+    // O(|E|^1.5) the orientation guarantees. One wedge self-join plus
+    // one closing equi-join, all on the standing per-JVM edge index;
+    // coefficient stays rational micro-units (2·tri·1e6 div d(d−1)) —
+    // integer-exact, hash-checkable. Oracle replays orientation,
+    // wedge, close, and membership explode in SQL over the shared
+    // minhash CTEs.
+    "g_triangles" -> ((s, dir) => {
+      val idx = builtDocIndex(s, dir, weighted = false)
+      val nodes = idx.nodes(s)
+      // edges carry deg(src) denormalized; pull deg(dst) from the node
+      // table, then keep the one orientation per undirected edge
+      val ed = idx.edges(s).select("src", "dst", "deg")
+        .join(nodes.select(col("node").as("dst"), col("deg").as("ddeg")),
+          "dst")
+      val ore = ed.filter(col("deg") < col("ddeg") ||
+          (col("deg") === col("ddeg") && col("src") < col("dst")))
+        .select("src", "dst", "ddeg")
+      val tri = ore.as("e1").join(ore.as("e2"),
+          col("e1.src") === col("e2.src") &&
+            (col("e1.ddeg") < col("e2.ddeg") ||
+              (col("e1.ddeg") === col("e2.ddeg") &&
+                col("e1.dst") < col("e2.dst"))))
+        .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+          col("e2.dst").as("w"))
+        .join(ore.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"))
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+        .join(nodes.select("node", "deg"), "node")
+        .select(col("node").as("doc_id"), col("tri"), col("deg"),
+          expr("(2 * tri * 1000000) div (deg * (deg - 1))").as("coeff_e6"))
+        .orderBy(col("tri").desc, col("doc_id"))
+    }),
+
+    // LINK PREDICTION by resource allocation (Zhou, Lü, Zhang 2009,
+    // "Predicting missing links via local information") over the
+    // BIPARTITE co-sourcing graph: part pairs are never directly
+    // linked, so every part–part affinity is a PREDICTED link scored
+    // through shared suppliers — Σ over shared z of 1e6 div deg(z),
+    // the item–item collaborative-filtering primitive (a supplier
+    // shipping few parts is strong evidence of relatedness, a
+    // catalog-spanning hub is weak). RA's degree damping is RATIONAL
+    // (no libm log, the Adamic-Adar alternative the lift/t_dsir
+    // precedent rules out), so scores are integer-exact. Scale shape:
+    // the wedge self-join through the supplier is the quadratic
+    // hazard, bounded here the winnow-df way — endpoints restricted
+    // to a catalog slice (p_size ≤ 10, a broadcast dim filter) so
+    // per-supplier wedge fan-out is the SLICE's density, not the full
+    // catalog's; supplier degree stays the FULL catalog degree (the
+    // RA semantics). All legs ride the standing co-sourcing index.
+    "g_predict" -> ((s, dir) => {
+      val idx = builtEdgeIndex(s, dir)
+      // supplier-centered rows of the symmetrized edge table: src odd
+      // (suppliers), dst even (parts), deg = the supplier's full
+      // distinct-part degree
+      val ed = idx.edges(s).select("src", "dst", "deg")
+        .filter(col("src") % 2 === 1)
+      val slice = broadcast(t(s, dir, "part")
+        .filter(col("p_size") <= 10)
+        .select((col("p_partkey") * 2).as("dst")))
+      val hub = ed.join(slice, "dst")
+      val ra = hub.as("e1").join(hub.as("e2"),
+          col("e1.src") === col("e2.src") &&
+            col("e1.dst") < col("e2.dst"))
+        .select(col("e1.dst").as("x"), col("e2.dst").as("y"),
+          col("e1.deg").as("zdeg"))
+      ra.groupBy("x", "y")
+        .agg(count(lit(1)).as("common"),
+          sum(expr("1000000 div zdeg")).as("ra_e6"))
+        .select(expr("x div 2").as("part_a"), expr("y div 2").as("part_b"),
+          col("common"), col("ra_e6"))
+        .orderBy(col("ra_e6").desc, col("part_a"), col("part_b"))
+        .limit(50)
+    }),
+
     // Multi-source BFS hop census from a trusted-seed set — the
     // TrustRank-style seed-proximity prior (Graph.bfsHops scaladoc):
     // how far is every part/supplier from the five lowest-keyed
@@ -328,6 +414,53 @@ object GraphQueries {
     (head +: rounds).mkString(",\n") + "\n" + tail
   }
 
+  /** Shared oracle prefix for the doc near-dup graph queries: the
+    * minhash pipeline → ordered pairs `pe` → symmetric `und` → `deg`.
+    */
+  private def docGraphCtes: String =
+    s"""${DedupQueries.minhashPairCtes},
+       |pe AS (SELECT j.id_a AS src, j.id_b AS dst
+       |  FROM jac j JOIN cand USING (id_a, id_b) WHERE j.jac >= 0.5),
+       |und AS (SELECT src, dst FROM pe
+       |  UNION ALL SELECT dst AS src, src AS dst FROM pe),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1)"""
+      .stripMargin
+
+  private def trianglesOracle: String =
+    s"""WITH $docGraphCtes,
+       |ore AS (SELECT u.src, u.dst, dd.deg AS ddeg
+       |  FROM und u JOIN deg ds ON u.src = ds.node
+       |  JOIN deg dd ON u.dst = dd.node
+       |  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND u.src < u.dst)),
+       |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |  FROM ore e1 JOIN ore e2 ON e1.src = e2.src
+       |    AND (e1.ddeg < e2.ddeg
+       |      OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+       |  JOIN ore e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       |mem AS (SELECT u AS node FROM tri
+       |  UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri),
+       |cnt AS (SELECT node, count(*) AS tri FROM mem GROUP BY 1)
+       |SELECT c.node AS doc_id, c.tri, d.deg,
+       |  CAST((2 * c.tri * 1000000) // (d.deg * (d.deg - 1)) AS BIGINT)
+       |    AS coeff_e6
+       |FROM cnt c JOIN deg d ON c.node = d.node
+       |ORDER BY tri DESC, doc_id""".stripMargin
+
+  private def predictOracle: String =
+    """WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      |  FROM lineitem),
+      |deg AS (SELECT s, count(*) AS deg FROM e0 GROUP BY 1),
+      |flt AS (SELECT e.p, e.s, d.deg
+      |  FROM e0 e JOIN deg d USING (s)
+      |  JOIN part pt ON pt.p_partkey = e.p WHERE pt.p_size <= 10),
+      |ra AS (SELECT e1.p AS x, e2.p AS y, e1.deg AS zdeg
+      |  FROM flt e1 JOIN flt e2 ON e1.s = e2.s AND e1.p < e2.p),
+      |sc AS (SELECT x, y, count(*) AS common,
+      |    CAST(sum(1000000 // zdeg) AS BIGINT) AS ra_e6
+      |  FROM ra GROUP BY 1, 2)
+      |SELECT x AS part_a, y AS part_b, common, ra_e6
+      |FROM sc ORDER BY ra_e6 DESC, part_a, part_b LIMIT 50""".stripMargin
+
   private def rankWeightedOracle: String = {
     val head =
       s"""WITH ${DedupQueries.minhashPairCtes},
@@ -364,5 +497,7 @@ object GraphQueries {
     "g_trustrank" -> trOracle(PrIters),
     "g_doc_rank" -> docRankOracle,
     "g_rank_weighted" -> rankWeightedOracle,
+    "g_triangles" -> trianglesOracle,
+    "g_predict" -> predictOracle,
   )
 }
