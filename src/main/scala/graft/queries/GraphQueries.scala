@@ -69,10 +69,26 @@ object GraphQueries {
     */
   private val docIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, Graph.EdgeIndex]()
+  private val docPairs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The oracle-checked d_minhash pair relation, staged ONCE per JVM
+    * per dataset dir: the minhash pipeline is the expensive half of
+    * BOTH doc-graph index builds (uniform and weighted), so each build
+    * reading the staged file instead of re-running the pipeline halves
+    * the cold cost of the second build.
+    */
+  private def stagedDocPairs(s: SparkSession, dir: String): String =
+    docPairs.computeIfAbsent(dir, { _ =>
+      val p = graft.sources.Scratch.dir("docpairs", dir)
+      DedupQueries.defs("d_minhash")(s, dir)
+        .select(col("id_a"), col("id_b"), col("jac"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
   private def builtDocIndex(s: SparkSession, dir: String,
       weighted: Boolean): Graph.EdgeIndex =
     docIndexes.computeIfAbsent(s"${if (weighted) "w" else "u"}:$dir", { _ =>
-      val pairs0 = DedupQueries.defs("d_minhash")(s, dir)
+      val pairs0 = s.read.parquet(stagedDocPairs(s, dir))
       val pairs =
         if (weighted) pairs0.select(col("id_a").as("src"),
           col("id_b").as("dst"),
@@ -80,7 +96,7 @@ object GraphQueries {
         else pairs0.select(col("id_a").as("src"), col("id_b").as("dst"))
       val t0 = System.nanoTime()
       // symmetrize INSIDE the build: the reverse direction derives
-      // from the staged copy, so the minhash pipeline executes once
+      // from the staged copy, so the pair relation reads once
       val idx = Graph.materializeEdges(pairs,
         s"doc${if (weighted) "w" else ""}:$dir",
         validateDangling = false, symmetrize = true, weighted = weighted)
@@ -178,6 +194,49 @@ object GraphQueries {
         .orderBy(col("rank_e12").desc, col("doc_id"))
     }),
 
+    // HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    // in a hyperlinked environment") over the BIPARTITE co-sourcing
+    // graph — its canonical setting: suppliers are hubs (good hubs
+    // ship many good parts), parts are authorities (good parts are
+    // shipped by good hubs), the mutual-reinforcement recurrence
+    //   a(p) = Σ h(s),  h(s) = Σ a(p)
+    // run 3 rounds with MAX-normalization each half-step — integer
+    // fixed-point in 1e6 units (a max-norm is one 1-row agg broadcast
+    // + a trunc division of non-negative longs, where the textbook
+    // L2 norm would need engine-divergent sqrt), so every score
+    // hash-matches the oracle's chained-CTE replay. Shapes: each
+    // half-round is one join + one map-combined sum + a 1-row max —
+    // the pageRank execution shape with a normalization join instead
+    // of a teleport; rides the standing co-sourcing edge index.
+    "g_hits" -> ((s, dir) => {
+      val idx = builtEdgeIndex(s, dir)
+      // directed supplier→part half of the symmetrized edge table
+      val ed = idx.edges(s).select("src", "dst")
+        .filter(col("src") % 2 === 1)
+      val e6 = 1000000L
+      var hub = ed.select("src").distinct()
+        .select(col("src"), lit(e6).as("h"))
+      var auth: DataFrame = null
+      for (_ <- 1 to 3) {
+        val a0 = ed.join(hub, "src").groupBy("dst")
+          .agg(sum(col("h")).as("a0"))
+        val am = a0.agg(max(col("a0")).as("am"))
+        auth = a0.crossJoin(broadcast(am))
+          .select(col("dst"), expr("(a0 * 1000000) div am").as("a"))
+        val h0 = ed.join(auth, "dst").groupBy("src")
+          .agg(sum(col("a")).as("h0"))
+        val hm = h0.agg(max(col("h0")).as("hm"))
+        hub = h0.crossJoin(broadcast(hm))
+          .select(col("src"), expr("(h0 * 1000000) div hm").as("h"))
+      }
+      auth.select(lit("part").as("kind"), expr("dst div 2").as("key"),
+          col("a").as("score_e6"))
+        .unionByName(hub.select(lit("supplier").as("kind"),
+          expr("src div 2").as("key"), col("h").as("score_e6")))
+        .orderBy(col("score_e6").desc, col("kind"), col("key"))
+        .limit(50)
+    }),
+
     // TRIANGLE counting + local clustering coefficient over the
     // document near-dup graph — the cohesion diagnostic of a dedup
     // pipeline: a triangle-rich neighborhood is a genuine duplicate
@@ -235,7 +294,7 @@ object GraphQueries {
     // precedent rules out), so scores are integer-exact. Scale shape:
     // the wedge self-join through the supplier is the quadratic
     // hazard, bounded here the winnow-df way — endpoints restricted
-    // to a catalog slice (p_size ≤ 10, a broadcast dim filter) so
+    // to a catalog slice (p_size = 1, a broadcast dim filter) so
     // per-supplier wedge fan-out is the SLICE's density, not the full
     // catalog's; supplier degree stays the FULL catalog degree (the
     // RA semantics). All legs ride the standing co-sourcing index.
@@ -247,7 +306,7 @@ object GraphQueries {
       val ed = idx.edges(s).select("src", "dst", "deg")
         .filter(col("src") % 2 === 1)
       val slice = broadcast(t(s, dir, "part")
-        .filter(col("p_size") <= 10)
+        .filter(col("p_size") === 1)
         .select((col("p_partkey") * 2).as("dst")))
       val hub = ed.join(slice, "dst")
       val ra = hub.as("e1").join(hub.as("e2"),
@@ -426,6 +485,32 @@ object GraphQueries {
        |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1)"""
       .stripMargin
 
+  private def hitsOracle: String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |  FROM lineitem),
+        |h0 AS (SELECT DISTINCT s, 1000000 AS h FROM e0)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""a${i}r AS (SELECT e.p, sum(h.h) AS a0
+         |  FROM e0 e JOIN h${i - 1} h USING (s) GROUP BY 1),
+         |a$i AS (SELECT p, CAST((a0 * 1000000)
+         |    // (SELECT max(a0) FROM a${i}r) AS BIGINT) AS a
+         |  FROM a${i}r),
+         |h${i}r AS (SELECT e.s, sum(a.a) AS hh
+         |  FROM e0 e JOIN a$i a USING (p) GROUP BY 1),
+         |h$i AS (SELECT s, CAST((hh * 1000000)
+         |    // (SELECT max(hh) FROM h${i}r) AS BIGINT) AS h
+         |  FROM h${i}r)""".stripMargin
+    }
+    val tail =
+      """SELECT kind, key, score_e6 FROM (
+        |  SELECT 'part' AS kind, p AS key, a AS score_e6 FROM a3
+        |  UNION ALL
+        |  SELECT 'supplier' AS kind, s AS key, h AS score_e6 FROM h3)
+        |ORDER BY score_e6 DESC, kind, key LIMIT 50""".stripMargin
+    (head +: rounds).mkString(",\n") + "\n" + tail
+  }
+
   private def trianglesOracle: String =
     s"""WITH $docGraphCtes,
        |ore AS (SELECT u.src, u.dst, dd.deg AS ddeg
@@ -452,7 +537,7 @@ object GraphQueries {
       |deg AS (SELECT s, count(*) AS deg FROM e0 GROUP BY 1),
       |flt AS (SELECT e.p, e.s, d.deg
       |  FROM e0 e JOIN deg d USING (s)
-      |  JOIN part pt ON pt.p_partkey = e.p WHERE pt.p_size <= 10),
+      |  JOIN part pt ON pt.p_partkey = e.p WHERE pt.p_size = 1),
       |ra AS (SELECT e1.p AS x, e2.p AS y, e1.deg AS zdeg
       |  FROM flt e1 JOIN flt e2 ON e1.s = e2.s AND e1.p < e2.p),
       |sc AS (SELECT x, y, count(*) AS common,
@@ -499,5 +584,6 @@ object GraphQueries {
     "g_rank_weighted" -> rankWeightedOracle,
     "g_triangles" -> trianglesOracle,
     "g_predict" -> predictOracle,
+    "g_hits" -> hitsOracle,
   )
 }

@@ -365,6 +365,45 @@ object SimilarityQueries {
         .orderBy("cell", "rank")
     }),
 
+    // CLUSTER-BALANCED resampling — the topic-balance curation step
+    // after clustering (the move SemDeDup-era pipelines make so one
+    // over-represented topic cluster cannot dominate a training mix):
+    // every vector gets its trained k-means cell, each cell is then
+    // downsampled to the SMALLEST cell's population via the same
+    // deterministic 256-band salted-hash sampler as t_mixture_apply —
+    // no RNG, a document's fate never changes as the corpus grows.
+    // Per-cell counts are MODEL STATE (≤ nlist rows, collected once at
+    // plan build — the applyMixture convention), so the returned plan
+    // pays exactly ONE corpus pass: broadcast-centroid assignment +
+    // map-side band filter + one map-combined count to the cell
+    // domain. Output is the per-cell audit (population, quantized keep
+    // threshold, kept count), hash-checked; the oracle replays Lloyd
+    // training via the shared trainedAssignSql chain plus the band
+    // arithmetic.
+    "s_cluster_balance" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = trainedCentsOf(s, dir)
+      def assigned = Similarity
+        .assignCells(e, cents, "vec_id", "embedding")
+        .select(col("vid"), col("cell"))
+      val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val mn = counts.map(_._2).min
+      val thr = broadcast(counts.toDF("cell", "n_docs")
+        .select(col("cell"), col("n_docs"),
+          floor(round(lit(mn.toDouble) / col("n_docs").cast("double"), 6)
+            * 256 + 0.5).cast("int").as("keep_thr")))
+      val kept = assigned.join(thr, "cell")
+        .filter(graft.operators.TextAnalysis
+          .hashBand256(col("vid"), "cb:") < col("keep_thr"))
+        .groupBy("cell").agg(count(lit(1)).as("k"))
+      thr.join(kept, Seq("cell"), "left")
+        .select(col("cell"), col("n_docs"), col("keep_thr"),
+          coalesce(col("k"), lit(0L)).as("n_kept"))
+        .orderBy("cell")
+    }),
+
     // IVF ANN with TRAINED centroids: 2 deterministic Lloyd rounds
     // (lowest-id seeds, exact-decimal means rounded to 6 dp) replace the
     // raw seeds; same probe/rerank. The trained cells track the corpus's
@@ -1231,6 +1270,25 @@ object SimilarityQueries {
         |SELECT cell, rank, term, ct, round(lift, 6) AS lift
         |FROM ranked WHERE rank <= 3
         |ORDER BY cell, rank""".stripMargin,
+    "s_cluster_balance" ->
+      s"""WITH $trainedAssignSql,
+        |cnt AS (SELECT cell, count(*) AS n_docs
+        |  FROM assignedF GROUP BY 1),
+        |mnv AS (SELECT min(n_docs) AS mn FROM cnt),
+        |thr AS (SELECT cell, n_docs,
+        |    CAST(floor(round(CAST((SELECT mn FROM mnv) AS DOUBLE)
+        |      / CAST(n_docs AS DOUBLE), 6) * 256 + 0.5) AS INTEGER)
+        |      AS keep_thr
+        |  FROM cnt),
+        |kept AS (SELECT a.cell, count(*) AS k
+        |  FROM assignedF a JOIN thr t ON a.cell = t.cell
+        |  WHERE CAST(('0x' || substring(md5('cb:'
+        |      || CAST(a.vid AS VARCHAR)), 1, 2)) AS INTEGER) < t.keep_thr
+        |  GROUP BY 1)
+        |SELECT t.cell, t.n_docs, t.keep_thr,
+        |  COALESCE(k.k, 0) AS n_kept
+        |FROM thr t LEFT JOIN kept k ON t.cell = k.cell
+        |ORDER BY t.cell""".stripMargin,
     "s_ann_ivf_trained" ->
       s"""WITH $trainedAssignSql,
         |qprobes AS (SELECT vid AS qid, cid AS cell FROM (

@@ -527,6 +527,37 @@ object TextQueries {
         .select("doc_id", "bucket", "score", "band")
         .orderBy("doc_id")),
 
+    // Deterministic FEW-SHOT exemplar sampling — the eval-set builder
+    // of a training pipeline: k=3 exemplar documents per
+    // (language × quality-bucket) stratum, picked by smallest salted
+    // md5 hash so the draw is a pure function of the data (no RNG, no
+    // seed to checkpoint, same exemplars on any cluster at any
+    // parallelism, stable as long as the stratum membership is).
+    // EXECUTION is the bounded-state [[graft.functions.ReservoirSketch]]
+    // aggregator — 3 (hash, id) pairs of mergeable map-side-combined
+    // state per stratum, so at 100 TB this is one map-combined shuffle
+    // of k rows per stratum, never a per-stratum sort of corpus-sized
+    // partitions (the x_rs_quantiles convention; the ORACLE stays the
+    // row_number formulation ReservoirSketchSpec proves bit-identical).
+    // The sketch's output array is VALUE-sorted (its quantile-reading
+    // contract), so `rk` numbers the hash-chosen exemplars in id
+    // order — the membership is hash-determined, the listing isn't.
+    "t_eval_sample" -> ((s, dir) => {
+      val rs = udaf(new graft.functions.ReservoirSketch(3))
+      val h = conv(substring(
+        md5(concat(lit("ev:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long")
+      docs(s, dir)
+        .select(col("lang"), TA.qualityBucket(col("text")).as("bucket"),
+          h.as("h"), col("doc_id").cast("double").as("v"))
+        .groupBy("lang", "bucket").agg(rs(col("h"), col("v")).as("picks"))
+        .select(col("lang"), col("bucket"),
+          posexplode(col("picks")).as(Seq("p", "v")))
+        .select(col("lang"), col("bucket"), (col("p") + 1).as("rk"),
+          col("v").cast("long").as("doc_id"))
+        .orderBy("lang", "bucket", "rk")
+    }),
+
     // Context-window CHUNKING with overlap — 64-token windows at stride
     // 48 (16-token overlap), trailing partial window kept at ≥ 32
     // tokens (with this stride the tail always holds ≥ 17, so the rule
@@ -1188,6 +1219,34 @@ object TextQueries {
         |  FROM b)
         |SELECT doc_id, bucket, score, band FROM k
         |WHERE band < thr ORDER BY doc_id""".stripMargin,
+    "t_eval_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |    FROM documents),
+        |scored AS (SELECT doc_id, lang,
+        |    round(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (CAST(len(list_distinct(w)) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) * 0.4
+        |      + CASE WHEN (CAST(len(list_filter(w, x -> x IN ($StopList)))
+        |            AS DOUBLE) / CAST(len(w) AS DOUBLE))
+        |          BETWEEN 0.02 AND 0.3
+        |        THEN 0.2 ELSE 0.0 END, 6) AS score
+        |  FROM t),
+        |b AS (SELECT doc_id, lang,
+        |    CASE WHEN score >= 0.7 THEN 'head'
+        |      WHEN score >= 0.45 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |  FROM scored),
+        |p AS (SELECT doc_id, lang, bucket,
+        |    CAST(('0x' || substring(md5('ev:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) AS h
+        |  FROM b),
+        |r AS (SELECT lang, bucket, doc_id, row_number() OVER (
+        |    PARTITION BY lang, bucket ORDER BY h, doc_id) AS hrk
+        |  FROM p),
+        |s AS (SELECT lang, bucket, doc_id FROM r WHERE hrk <= 3)
+        |SELECT lang, bucket, row_number() OVER (
+        |    PARTITION BY lang, bucket ORDER BY doc_id) AS rk, doc_id
+        |FROM s ORDER BY lang, bucket, rk""".stripMargin,
     "t_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
         |    len(string_split(text, ' ')) AS n FROM documents),
