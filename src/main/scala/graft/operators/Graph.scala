@@ -470,6 +470,87 @@ object Graph {
     rank
   }
 
+  /** Triangle census over a [[materializeEdges]] artifact: per-node
+    * triangle count and local clustering coefficient (rational
+    * micro-units, 2·tri·1e6 div d(d−1)) — the cohesion diagnostic
+    * separating genuine duplicate cliques from template/boilerplate
+    * stars in a near-dup graph.
+    *
+    * Algorithm is the degree-ordered orientation standard: each
+    * undirected edge is oriented from its (deg, id)-smaller endpoint,
+    * so wedge generation is bounded by ARBORICITY instead of max
+    * degree — a degree-d hub generates zero wedges from its own
+    * adjacency unless its neighbors out-rank it (the difference
+    * between Σdeg² and the O(|E|^1.5) the orientation guarantees).
+    * One wedge self-join plus one closing equi-join, both riding the
+    * standing edge layout; nodes in no triangle are absent.
+    *
+    * @return (node, tri, deg, coeff_e6).
+    */
+  def triangles(spark: SparkSession, idx: EdgeIndex): DataFrame = {
+    val nodes = idx.nodes(spark)
+    val ed = idx.edges(spark).select("src", "dst", "deg")
+      .join(nodes.select(col("node").as("dst"), col("deg").as("ddeg")),
+        "dst")
+    val ore = ed.filter(col("deg") < col("ddeg") ||
+        (col("deg") === col("ddeg") && col("src") < col("dst")))
+      .select("src", "dst", "ddeg")
+    val tri = ore.as("e1").join(ore.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+      .join(ore.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+      .join(nodes.select("node", "deg"), "node")
+      .select(col("node"), col("tri"), col("deg"),
+        expr("(2 * tri * 1000000) div (deg * (deg - 1))").as("coeff_e6"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") over a DIRECTED hub→authority
+    * edge list `(src, dst)` — src rows are hubs, dst rows
+    * authorities. The mutual-reinforcement recurrence
+    *   a(v) = Σ_{u→v} h(u),   h(u) = Σ_{u→v} a(v)
+    * runs `iters` rounds with MAX-normalization each half-step, all
+    * in fixed-point integer `scale` units: the max-norm is one 1-row
+    * agg broadcast plus a trunc division of non-negative longs, where
+    * the textbook L2 norm would need engine-divergent sqrt — so
+    * scores are bit-reproducible. Each half-round is one join + one
+    * map-combined sum (the pageRank execution shape with a
+    * normalization join instead of a teleport); keep `scale` modest
+    * (default 1e6) so Σ-then-rescale stays far from long overflow at
+    * any degree a cluster can hold.
+    *
+    * @return (hubs, authorities): ((src, h), (dst, a)) in `scale`
+    *         units; the best hub/authority scores exactly `scale`.
+    */
+  def hits(edges: DataFrame, iters: Int = 3,
+      scale: Long = 1000000L): (DataFrame, DataFrame) = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val ed = edges.select("src", "dst")
+    var hub = ed.select("src").distinct()
+      .select(col("src"), lit(scale).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val a0 = ed.join(hub, "src").groupBy("dst")
+        .agg(sum(col("h")).as("a0"))
+      val am = a0.agg(max(col("a0")).as("am"))
+      auth = a0.crossJoin(broadcast(am))
+        .select(col("dst"), expr(s"(a0 * ${scale}L) div am").as("a"))
+      val h0 = ed.join(auth, "dst").groupBy("src")
+        .agg(sum(col("a")).as("h0"))
+      val hm = h0.agg(max(col("h0")).as("hm"))
+      hub = h0.crossJoin(broadcast(hm))
+        .select(col("src"), expr(s"(h0 * ${scale}L) div hm").as("h"))
+    }
+    (hub, auth)
+  }
+
   /** One-shot convenience: materialize + rank. Prefer materializing
     * once per graph generation and reusing the [[EdgeIndex]] across
     * searches/parameter sweeps (the build is the expensive half).

@@ -213,22 +213,7 @@ object GraphQueries {
       // directed supplier→part half of the symmetrized edge table
       val ed = idx.edges(s).select("src", "dst")
         .filter(col("src") % 2 === 1)
-      val e6 = 1000000L
-      var hub = ed.select("src").distinct()
-        .select(col("src"), lit(e6).as("h"))
-      var auth: DataFrame = null
-      for (_ <- 1 to 3) {
-        val a0 = ed.join(hub, "src").groupBy("dst")
-          .agg(sum(col("h")).as("a0"))
-        val am = a0.agg(max(col("a0")).as("am"))
-        auth = a0.crossJoin(broadcast(am))
-          .select(col("dst"), expr("(a0 * 1000000) div am").as("a"))
-        val h0 = ed.join(auth, "dst").groupBy("src")
-          .agg(sum(col("a")).as("h0"))
-        val hm = h0.agg(max(col("h0")).as("hm"))
-        hub = h0.crossJoin(broadcast(hm))
-          .select(col("src"), expr("(h0 * 1000000) div hm").as("h"))
-      }
+      val (hub, auth) = Graph.hits(ed, iters = 3)
       auth.select(lit("part").as("kind"), expr("dst div 2").as("key"),
           col("a").as("score_e6"))
         .unionByName(hub.select(lit("supplier").as("kind"),
@@ -254,33 +239,11 @@ object GraphQueries {
     // integer-exact, hash-checkable. Oracle replays orientation,
     // wedge, close, and membership explode in SQL over the shared
     // minhash CTEs.
-    "g_triangles" -> ((s, dir) => {
-      val idx = builtDocIndex(s, dir, weighted = false)
-      val nodes = idx.nodes(s)
-      // edges carry deg(src) denormalized; pull deg(dst) from the node
-      // table, then keep the one orientation per undirected edge
-      val ed = idx.edges(s).select("src", "dst", "deg")
-        .join(nodes.select(col("node").as("dst"), col("deg").as("ddeg")),
-          "dst")
-      val ore = ed.filter(col("deg") < col("ddeg") ||
-          (col("deg") === col("ddeg") && col("src") < col("dst")))
-        .select("src", "dst", "ddeg")
-      val tri = ore.as("e1").join(ore.as("e2"),
-          col("e1.src") === col("e2.src") &&
-            (col("e1.ddeg") < col("e2.ddeg") ||
-              (col("e1.ddeg") === col("e2.ddeg") &&
-                col("e1.dst") < col("e2.dst"))))
-        .select(col("e1.src").as("u"), col("e1.dst").as("v"),
-          col("e2.dst").as("w"))
-        .join(ore.select(col("src").as("v"), col("dst").as("w")),
-          Seq("v", "w"))
-      tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("tri"))
-        .join(nodes.select("node", "deg"), "node")
+    "g_triangles" -> ((s, dir) =>
+      Graph.triangles(s, builtDocIndex(s, dir, weighted = false))
         .select(col("node").as("doc_id"), col("tri"), col("deg"),
-          expr("(2 * tri * 1000000) div (deg * (deg - 1))").as("coeff_e6"))
-        .orderBy(col("tri").desc, col("doc_id"))
-    }),
+          col("coeff_e6"))
+        .orderBy(col("tri").desc, col("doc_id"))),
 
     // LINK PREDICTION by resource allocation (Zhou, Lü, Zhang 2009,
     // "Predicting missing links via local information") over the

@@ -235,6 +235,56 @@ class GraphSpec extends SparkFunSuite {
       s"early stop must leave a shallow file-rooted plan:\n$depth")
   }
 
+  test("triangles: K4 counts and coefficients are analytic; stars have none") {
+    // K4 ∪ a star center 10 with leaves 11..13: K4 has C(4,3)=4
+    // triangles, each node in C(3,2)=3 of them, deg 3 → coeff
+    // 2·3·1e6/(3·2) = 1e6 (a clique is maximally clustered); the star
+    // is triangle-free and absent from the census.
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
+    val idx = Graph.materializeEdges((k4 ++ star).toDF("src", "dst"),
+      "tri-spec", validateDangling = false, bucketed = false,
+      symmetrize = true)
+    val got = Graph.triangles(spark, idx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    got.values.foreach { case (tri, deg, coeff) =>
+      assert(tri == 3L && deg == 3L && coeff == 1000000L)
+    }
+  }
+
+  test("hits: recurrence replayed in Scala on a bipartite graph") {
+    // hubs {1, 3}, authorities {0, 2}: 1→{0,2}, 3→{2}. Authority 2 is
+    // endorsed by both hubs → top authority; hub 1 covers both
+    // authorities → top hub.
+    val ed = Seq((1L, 0L), (1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val (hubDf, authDf) = Graph.hits(ed, iters = 3)
+    val hub = hubDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val auth = authDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the documented integer recurrence
+    val edges = Seq((1L, 0L), (1L, 2L), (3L, 2L))
+    val scale = 1000000L
+    var h = Map(1L -> scale, 3L -> scale)
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val a0 = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => h(u) }.sum }
+      val am = a0.values.max
+      a = a0.map { case (v, x) => v -> (x * scale) / am }
+      val h0 = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map { case (_, v) => a(v) }.sum }
+      val hm = h0.values.max
+      h = h0.map { case (u, x) => u -> (x * scale) / hm }
+    }
+    assert(hub == h, s"hubs $hub vs replay $h")
+    assert(auth == a, s"authorities $auth vs replay $a")
+    assert(hub(1L) == 1000000L && hub(1L) > hub(3L),
+      "the two-authority hub must dominate")
+    assert(auth(2L) == 1000000L && auth(2L) > auth(0L),
+      "the doubly-endorsed authority must dominate")
+  }
+
   test("bucketIfOver: layout choice is data-driven at build time") {
     val e0 = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
     // 2 nodes ≤ cap → plain parquet (broadcastable regime)
