@@ -254,6 +254,43 @@ class GraphSpec extends SparkFunSuite {
     }
   }
 
+  test("property: oriented triangle census == naive triple enumeration") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random undirected graphs on ≤9 nodes: the degree-ordered
+    // orientation must produce exactly the naive per-node triangle
+    // counts on every draw — ties in degree, hubs, and disconnected
+    // fragments included
+    val edgeGen = for {
+      n <- Gen.chooseNum(3, 9)
+      all = for { a <- 0 until n; b <- a + 1 until n }
+        yield (a.toLong, b.toLong)
+      m <- Gen.chooseNum(2, all.size)
+      pairs <- Gen.pick(m, all)
+    } yield pairs.toSeq
+    var draw = 0
+    val prop = Prop.forAll(edgeGen) { pairs =>
+      draw += 1
+      val idx = Graph.materializeEdges(pairs.toDF("src", "dst"),
+        s"tri-prop-$draw", validateDangling = false, bucketed = false,
+        symmetrize = true)
+      val got = Graph.triangles(spark, idx).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val es = pairs.toSet
+      def linked(a: Long, b: Long) = es.contains((a, b)) || es.contains((b, a))
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val tris = for {
+        a <- nodes; b <- nodes if a < b && linked(a, b)
+        c <- nodes if b < c && linked(b, c) && linked(a, c)
+      } yield (a, b, c)
+      val want = tris.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("hits: recurrence replayed in Scala on a bipartite graph") {
     // hubs {1, 3}, authorities {0, 2}: 1→{0,2}, 3→{2}. Authority 2 is
     // endorsed by both hubs → top authority; hub 1 covers both
