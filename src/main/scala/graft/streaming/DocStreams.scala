@@ -251,6 +251,48 @@ object DocStreams {
     TextAnalysis.chunkWindows(stream, "doc_id", "text", win, stride,
       minTail).withColumnRenamed("id", "doc_id")
 
+  /** CONTINUOUS few-shot exemplar maintenance — the streaming face of
+    * the batch `t_eval_sample`: each (lang × quality-bucket) stratum
+    * keeps the k smallest (salted-md5, id) pairs as keyed state (the
+    * bottom-k reservoir as a stream fold; O(k) longs per stratum, the
+    * ReservoirSketch merge run incrementally), and after every
+    * micro-batch that touches it re-emits its CURRENT exemplar list in
+    * id order with a monotone `ver` stamp — downstream keeps the
+    * max-`ver` rows per stratum and always holds the latest eval set.
+    * Once all documents have arrived, the final emission per stratum
+    * equals the batch query on the full corpus for ANY arrival order
+    * and ANY micro-batch split (the merge is order-insensitive —
+    * spec-proven across waves). Update-mode stateful: requires
+    * `OutputMode.Update` (memory/foreachBatch sinks).
+    */
+  def evalSampled(stream: DataFrame, k: Int = 3): DataFrame = {
+    val s = stream.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val rows = stream.select(
+        col("lang"),
+        TextAnalysis.qualityBucket(col("text")).as("bucket"),
+        conv(substring(
+          md5(concat(lit("ev:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long").as("h"),
+        col("doc_id"))
+      .as[(String, String, Long, Long)]
+    rows.groupByKey { case (lang, bucket, _, _) => (lang, bucket) }
+      .mapGroupsWithState[(Long, Seq[(Long, Long)]),
+        (String, String, Long, Seq[Long])](GroupStateTimeout.NoTimeout) {
+        case ((lang, bucket), it, state) =>
+          val (ver, cur) = state.getOption.getOrElse((0L, Seq.empty))
+          val merged = (cur ++ it.map(r => (r._3, r._4))).sorted.take(k)
+          state.update((ver + 1, merged))
+          (lang, bucket, ver + 1, merged.map(_._2).sorted)
+      }
+      .toDF("lang", "bucket", "ver", "ids")
+      .select(col("lang"), col("bucket"), col("ver"),
+        posexplode(col("ids")).as(Seq("p", "doc_id")))
+      .select(col("lang"), col("bucket"), col("ver"),
+        (col("p") + 1).as("rk"), col("doc_id"))
+  }
+
   def qualitySampled(stream: DataFrame): DataFrame =
     stream
       .select(col("doc_id"),

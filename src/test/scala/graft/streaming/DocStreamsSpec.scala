@@ -252,6 +252,51 @@ class DocStreamsSpec extends SparkFunSuite {
       .exists(b => got.exists(_._2 == b)))
   }
 
+  test("streaming exemplar reservoir converges to the batch t_eval_sample") {
+    val s = spark
+    val streamDir = tmpDir("ev_stream")
+    // two waves in REVERSE id order: the reservoir merge must be
+    // arrival-order-insensitive for the final state to match batch
+    for ((lo, hi, name) <- Seq((250L, 500L, "wave1"), (0L, 250L, "wave2"))) {
+      val staged = tmpDir(s"ev_stage_$name")
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(streamDir, s"$name.parquet"))
+    }
+    val stream = s.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val q = DocStreams.evalSampled(stream)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("ev_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // per stratum keep only the max-ver (latest) emission
+    val all = s.sql("SELECT lang, bucket, ver, rk, doc_id FROM ev_out")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getInt(3).toLong, r.getLong(4))))
+    assert(all.exists(_._2._1 > 1L),
+      "maxFilesPerTrigger=1 must produce multiple state versions")
+    val got = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val vmax = rows.map(_._2._1).max
+      rows.filter(_._2._1 == vmax).map { case ((l, b), (_, rk, id)) =>
+        (l, b, rk, id) }.toSeq
+    }.toSet
+    val want = graft.SparkEntry.queries("t_eval_sample")(s, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2).toLong,
+        r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty && got == want,
+      s"final reservoir state must equal the batch sample:\n" +
+        s"got ${got.toSeq.sorted.take(8)}…\nwant ${want.toSeq.sorted.take(8)}…")
+  }
+
   test("streaming DSIR gate keeps exactly the docs the batch scores in") {
     val s = spark
     import org.apache.spark.sql.functions._
