@@ -542,6 +542,17 @@ object ScaleProbe {
       // e_cusum with the floor-div target (same exchange count)
       println("cusumRows=" + timed("full e_cusum")(
         SparkEntry.queries("e_cusum")(spark, sfDir).count()))
+
+      // g_hits: the materialized + broadcast-scored loop (construction
+      // is eager — time the whole call, not just the final count)
+      println("hitsRows=" + timed("g_hits cold (edge build + 3 rounds)")(
+        SparkEntry.queries("g_hits")(spark, sfDir).count()))
+      timed("g_hits warm (3 rounds over standing index)")(
+        SparkEntry.queries("g_hits")(spark, sfDir).count())
+      println("triRows=" + timed("full g_triangles (warm index)")(
+        SparkEntry.queries("g_triangles")(spark, sfDir).count()))
+      println("predictRows=" + timed("full g_predict (warm index)")(
+        SparkEntry.queries("g_predict")(spark, sfDir).count()))
     }
 
     if (what == "curate") {

@@ -539,7 +539,8 @@ object Graph {
     *         units; the best hub/authority scores exactly `scale`.
     */
   def hits(edges: DataFrame, iters: Int = 3,
-      scale: Long = 1000000L): (DataFrame, DataFrame) = {
+      scale: Long = 1000000L,
+      broadcastScores: Boolean = false): (DataFrame, DataFrame) = {
     require(iters >= 1, "hits needs at least one iteration")
     val spark = edges.sparkSession
     val ed = edges.select("src", "dst")
@@ -549,19 +550,31 @@ object Graph {
       .write.mode("overwrite").parquet(s"$ck/h0")
     var hub = spark.read.parquet(s"$ck/h0")
     var auth: DataFrame = null
+    // `broadcastScores` (DOMAIN-BOUNDED graphs — hub/authority tables
+    // are vocabulary-sized): the |E| side then scans map-side per
+    // half-round instead of being hash-exchanged 2·iters times — the
+    // broadcastRanks analogue, and the same |V|-growth caveat applies.
+    def side(df: DataFrame) = if (broadcastScores) broadcast(df) else df
+    // Each half-round's join+sum lands RAW in scratch first; the max
+    // normalizer (O(1) driver model state off the |V|-bounded file)
+    // and the rescale both derive from the file, so the |E|-sized
+    // join executes exactly ONCE per half-round — feeding it to the
+    // max and the rescale as one lazy plan ran it twice.
     for (i <- 1 to iters) {
-      val a0 = ed.join(hub, "src").groupBy("dst")
+      ed.join(side(hub), "src").groupBy("dst")
         .agg(sum(col("h")).as("a0"))
-      val am = a0.agg(max(col("a0")).as("am"))
-      a0.crossJoin(broadcast(am))
-        .select(col("dst"), expr(s"(a0 * ${scale}L) div am").as("a"))
+        .write.mode("overwrite").parquet(s"$ck/a0_$i")
+      val a0 = spark.read.parquet(s"$ck/a0_$i")
+      val am = a0.agg(max(col("a0"))).head().getLong(0)
+      a0.select(col("dst"), expr(s"(a0 * ${scale}L) div ${am}L").as("a"))
         .write.mode("overwrite").parquet(s"$ck/a$i")
       auth = spark.read.parquet(s"$ck/a$i")
-      val h0 = ed.join(auth, "dst").groupBy("src")
+      ed.join(side(auth), "dst").groupBy("src")
         .agg(sum(col("a")).as("h0"))
-      val hm = h0.agg(max(col("h0")).as("hm"))
-      h0.crossJoin(broadcast(hm))
-        .select(col("src"), expr(s"(h0 * ${scale}L) div hm").as("h"))
+        .write.mode("overwrite").parquet(s"$ck/h0_$i")
+      val h0 = spark.read.parquet(s"$ck/h0_$i")
+      val hm = h0.agg(max(col("h0"))).head().getLong(0)
+      h0.select(col("src"), expr(s"(h0 * ${scale}L) div ${hm}L").as("h"))
         .write.mode("overwrite").parquet(s"$ck/h$i")
       hub = spark.read.parquet(s"$ck/h$i")
     }

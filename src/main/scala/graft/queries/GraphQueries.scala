@@ -213,7 +213,8 @@ object GraphQueries {
       // directed supplier→part half of the symmetrized edge table
       val ed = idx.edges(s).select("src", "dst")
         .filter(col("src") % 2 === 1)
-      val (hub, auth) = Graph.hits(ed, iters = 3)
+      val (hub, auth) = Graph.hits(ed, iters = 3,
+        broadcastScores = !idx.bucketed)
       auth.select(lit("part").as("kind"), expr("dst div 2").as("key"),
           col("a").as("score_e6"))
         .unionByName(hub.select(lit("supplier").as("kind"),
