@@ -134,7 +134,7 @@ object ConfigResolver {
     val known = Set("mode", "db", "table", "source", "dest", "keys",
       "insert-interval", "resume", "checkpoint", "lock-dir", "report-dir",
       "partition-expr", "config", "drop-orphans", "min-completeness",
-      "jaccard", "mixture", "stopwords")
+      "jaccard", "mixture", "stopwords", "canonical")
     argv.grouped(2).map {
       case Array(k, v) if k.startsWith("--") =>
         val key = k.stripPrefix("--")
