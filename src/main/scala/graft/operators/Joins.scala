@@ -119,4 +119,37 @@ object Joins {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Binned INTERVAL-OVERLAP join — interval × interval for the
+    * BIG × BIG case, the two-sided sibling of [[binnedRangeJoin]]
+    * (whose left side is points): emit every (left, right) pair whose
+    * closed intervals overlap, `l.lo <= r.hi && r.lo <= l.hi`.
+    *
+    * Same quantize-replicate-equi-join shape — BOTH sides replicate to
+    * every bin they touch — with the FIRST-OVERLAP-BIN trick replacing
+    * the point's unique bin as the dedup guarantee: an overlapping
+    * pair co-occurs in every bin their spans share, so the residual
+    * keeps a pair only in the bin where the overlap STARTS
+    * (`floor(greatest(l.lo, r.lo) / binWidth)`). Each qualifying pair
+    * meets exactly once and no distinct (= no extra shuffle of the
+    * output) is ever needed. Shuffle is (|L|+|R|)·replication on the
+    * caller-controlled bin key; size `binWidth` near the typical span
+    * (replication ≈ 2×). Inverted intervals match nothing; column
+    * names must not collide across inputs.
+    */
+  def binnedIntervalJoin(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(lo) <= col(hi))
+      .withColumn("_bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    binned(left, lLo, lHi).join(binned(right, rLo, rHi), Seq("_bin"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("_bin") ===
+        floor(greatest(col(lLo), col(rLo)) / binWidth).cast("long"))
+      .drop("_bin")
+  }
 }

@@ -338,6 +338,40 @@ object SketchQueries {
           countDistinct(col("c")).as("custs_hit"))
         .orderBy("o_orderpriority")
     }),
+
+    // Binned INTERVAL-OVERLAP join, the two-sided big×big case: which
+    // customers' 30-day onboarding windows ([first order day, +30])
+    // overlap across two disjoint cohort slices — cohort
+    // CO-ACTIVATION pairing, where both sides are interval sets that
+    // grow with the corpus (the one-sided point case is
+    // j_range_binned). The operator (Joins.binnedIntervalJoin)
+    // replicates BOTH sides to their 32-day bins and keeps each
+    // overlapping pair only in its overlap-START bin — one equi-join
+    // shuffle, no pair distinct. Day arithmetic is integer
+    // (days-since-epoch), so counts and summed overlap lengths
+    // hash-match the oracle's naive inequality join exactly.
+    "j_interval_overlap" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def win(m: Int) = o.filter(col("o_custkey") % 20 === m)
+        .groupBy("o_custkey")
+        .agg(min(datediff(col("o_orderdate"), lit("1970-01-01")))
+          .as("lo"))
+        .withColumn("hi", col("lo") + 30)
+      val a = win(0).select(col("o_custkey").as("cust_a"),
+        col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val b = win(10).select(col("o_custkey").as("cust_b"),
+        col("lo").as("lo_b"), col("hi").as("hi_b"))
+      Joins.binnedIntervalJoin(a, "lo_a", "hi_a", b, "lo_b", "hi_b",
+          binWidth = 32.0)
+        .select(col("cust_a"),
+          (least(col("hi_a"), col("hi_b")) -
+            greatest(col("lo_a"), col("lo_b")) + 1).as("overlap_days"))
+        .groupBy("cust_a")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("overlap_days")).as("sum_days"))
+        .orderBy(col("n_overlaps").desc, col("cust_a"))
+        .limit(50)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -351,6 +385,22 @@ object SketchQueries {
         |  count(DISTINCT c) AS custs_hit
         |FROM pts JOIN iv ON p >= lo AND p <= hi
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "j_interval_overlap" ->
+      """WITH wa AS (SELECT o_custkey AS cust_a,
+        |    min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS lo_a
+        |  FROM orders WHERE o_custkey % 20 = 0 GROUP BY 1),
+        |a AS (SELECT cust_a, lo_a, lo_a + 30 AS hi_a FROM wa),
+        |wb AS (SELECT o_custkey AS cust_b,
+        |    min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS lo_b
+        |  FROM orders WHERE o_custkey % 20 = 10 GROUP BY 1),
+        |b AS (SELECT cust_b, lo_b, lo_b + 30 AS hi_b FROM wb),
+        |p AS (SELECT cust_a,
+        |    least(hi_a, hi_b) - greatest(lo_a, lo_b) + 1 AS overlap_days
+        |  FROM a JOIN b ON lo_a <= hi_b AND lo_b <= hi_a)
+        |SELECT cust_a, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(overlap_days) AS BIGINT) AS sum_days
+        |FROM p GROUP BY 1
+        |ORDER BY n_overlaps DESC, cust_a LIMIT 50""".stripMargin,
     "x_hist" ->
       """WITH b AS (SELECT min(l_extendedprice) AS lo,
         |    max(l_extendedprice) AS hi FROM lineitem),

@@ -136,4 +136,43 @@ class JoinsSpec extends SparkFunSuite {
         s"expected an equi shuffle join on the bin key:\n$plan")
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("binnedIntervalJoin == naive overlap join; each pair meets once") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // boundary-heavy intervals: bin-edge endpoints, single-point
+    // intervals, a 3-bin span, touching-at-a-point overlaps, an
+    // inverted interval
+    val a = Seq((1L, 0.0, 10.0), (2L, 10.0, 10.0), (3L, 5.0, 34.0),
+      (4L, 40.0, 45.0), (5L, 50.0, 20.0) /* inverted */)
+      .toDF("aid", "lo_a", "hi_a")
+    val b = Seq((10L, 10.0, 12.0), (20L, 30.0, 41.0), (30L, 46.0, 49.0),
+      (40L, 0.0, 60.0)).toDF("bid", "lo_b", "hi_b")
+    val got = Joins.binnedIntervalJoin(a, "lo_a", "hi_a",
+        b, "lo_b", "hi_b", 10.0)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = a.crossJoin(b)
+      .filter($"lo_a" <= $"hi_b" && $"lo_b" <= $"hi_a"
+        && $"lo_a" <= $"hi_a" && $"lo_b" <= $"hi_b")
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.nonEmpty && got.sameElements(want))
+    // the first-overlap-bin residual, not a distinct, dedups replicas
+    assert(got.distinct.length == got.length)
+    // and the plan stays an equi shuffle join with broadcast disabled
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = (1 to 300).map(i => (i.toLong, i * 3.0, i * 3.0 + 7.0))
+        .toDF("aid", "lo_a", "hi_a")
+      val big2 = (1 to 300).map(i => (i.toLong, i * 2.0, i * 2.0 + 9.0))
+        .toDF("bid", "lo_b", "hi_b")
+      val plan = Joins.binnedIntervalJoin(big, "lo_a", "hi_a",
+          big2, "lo_b", "hi_b", 8.0)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"), plan)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
