@@ -661,6 +661,41 @@ object TextQueries {
         .limit(50)
     }),
 
+    // Training-order N-GRAM NOVELTY curve — the data-freshness
+    // diagnostic of a deterministic training order (t_epoch_order's
+    // epoch-0 shard assignment): processing shards 0..3 in order, what
+    // fraction of each shard's distinct word-bigrams has never
+    // appeared in an earlier shard? A flat curve says later data keeps
+    // contributing new constructions; a collapsing one says the tail
+    // re-treads the head — the signal behind dedup-then-order
+    // curation choices. Shapes: ONE corpus explode aggregated straight
+    // to the distinct (shard, bigram) relation and staged to scratch
+    // (the t_dsir shape — two consumers read the file, the explode
+    // never re-runs); first-occurrence attribution is a bigram-keyed
+    // min, per-shard totals a shard-keyed count. Integer counts plus
+    // one final rounded IEEE division, hash-exact.
+    "t_ngram_novelty" -> ((s, dir) => {
+      val staged = graft.sources.Scratch.dir("novelty", dir)
+      val shard = pmod(conv(substring(md5(concat(lit("epoch0:"),
+        col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int"),
+        lit(4))
+      docs(s, dir)
+        .select(shard.as("shard"),
+          explode(TA.wordBigrams(col("text"))).as("bg"))
+        .distinct()
+        .write.mode("overwrite").parquet(staged)
+      val g = s.read.parquet(staged)
+      val novel = g.groupBy("bg").agg(min(col("shard")).as("shard"))
+        .groupBy("shard").agg(count(lit(1)).as("n_novel"))
+      g.groupBy("shard").agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("shard"), "left")
+        .select(col("shard"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"), 6).as("novelty"))
+        .orderBy("shard")
+    }),
+
     // TF-IDF top-3 terms per document — the sparse-retrieval / keyword-
     // extraction primitive (salience = term frequency × corpus rarity).
     // idf is the RATIONAL form N/df, not log(N/df): multiplication and
@@ -1328,6 +1363,26 @@ object TextQueries {
         |FROM feats JOIN w USING (f)
         |GROUP BY doc_id
         |ORDER BY dsir_e6 DESC, doc_id LIMIT 50""".stripMargin,
+    "t_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+        |    len(string_split(text, ' ')) AS n,
+        |    CAST(('0x' || substring(md5('epoch0:'
+        |      || CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 4
+        |      AS shard
+        |  FROM documents),
+        |ix AS (SELECT shard, l,
+        |    CAST(unnest(generate_series(1, n - 1)) AS INTEGER) AS i
+        |  FROM t WHERE n >= 2),
+        |g AS (SELECT DISTINCT shard, l[i] || ' ' || l[i+1] AS bg
+        |  FROM ix),
+        |fs AS (SELECT bg, min(shard) AS shard FROM g GROUP BY 1),
+        |nv AS (SELECT shard, count(*) AS n_novel FROM fs GROUP BY 1),
+        |tot AS (SELECT shard, count(*) AS n_grams FROM g GROUP BY 1)
+        |SELECT tot.shard, tot.n_grams,
+        |  coalesce(nv.n_novel, 0) AS n_novel,
+        |  round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+        |    / CAST(tot.n_grams AS DOUBLE), 6) AS novelty
+        |FROM tot LEFT JOIN nv USING (shard) ORDER BY shard""".stripMargin,
     "t_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |    FROM documents),
