@@ -553,6 +553,19 @@ object ScaleProbe {
         SparkEntry.queries("g_triangles")(spark, sfDir).count()))
       println("predictRows=" + timed("full g_predict (warm index)")(
         SparkEntry.queries("g_predict")(spark, sfDir).count()))
+
+      // the remaining round-15 additions: cluster-balanced resampling
+      // (one corpus pass + model-state counts), bounded-state few-shot
+      // sampling (no stratum sort), two-sided binned interval overlap
+      // (one equi shuffle), staged-bigram novelty curve
+      println("cbRows=" + timed("full s_cluster_balance")(
+        SparkEntry.queries("s_cluster_balance")(spark, sfDir).count()))
+      println("evalRows=" + timed("full t_eval_sample")(
+        SparkEntry.queries("t_eval_sample")(spark, sfDir).count()))
+      println("ivRows=" + timed("full j_interval_overlap")(
+        SparkEntry.queries("j_interval_overlap")(spark, sfDir).count()))
+      println("nvRows=" + timed("full t_ngram_novelty")(
+        SparkEntry.queries("t_ngram_novelty")(spark, sfDir).count()))
     }
 
     if (what == "curate") {
