@@ -201,6 +201,34 @@ object DedupQueries {
     // within-block pairs, never |domain|². Both engines ship the
     // textbook unit-cost edit distance, so `dist` is integer-exact;
     // ties break lexicographically for a deterministic best match.
+    // Per-SOURCE duplication audit — the curation REPORT that tells a
+    // pipeline which ingestion sources are redundant: for every
+    // `source`, how many documents land in a near-dup cluster at all
+    // (n_clustered) and how many would be DROPPED by canonical-min-id
+    // dedup (n_redundant → dup_rate). Composition of oracle-checked
+    // parts: the d_minhash pair graph (band-join candidates, never
+    // corpus²) → pointer-doubling connected components → one
+    // doc-keyed left join + a map-combined rollup to the |sources|
+    // domain; the oracle replays the closure as a recursive CTE.
+    "d_source_audit" -> ((s, dir) => {
+      val pairs = defs("d_minhash")(s, dir).select(col("id_a"), col("id_b"))
+      val comp = graft.operators.Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      docs(s, dir).join(comp, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster").isNotNull, 1L).otherwise(0L))
+            .as("n_clustered"),
+          sum(when(col("cluster").isNotNull &&
+            col("cluster") =!= col("doc_id"), 1L).otherwise(0L))
+            .as("n_redundant"))
+        .select(col("source"), col("n_docs"), col("n_clustered"),
+          col("n_redundant"),
+          round(col("n_redundant").cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_rate"))
+        .orderBy("source")
+    }),
+
     "d_fuzzy_match" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val names = Sources.table(s, dir, "part")
@@ -382,6 +410,28 @@ object DedupQueries {
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin,
+    "d_source_audit" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |pr AS (SELECT j.id_a, j.id_b
+        |  FROM jac j JOIN cand USING (id_a, id_b) WHERE j.jac >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clustered,
+        |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL
+        |      AND c.cluster <> d.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_redundant,
+        |  round(CAST(sum(CASE WHEN c.doc_id IS NOT NULL
+        |        AND c.cluster <> d.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY d.source""".stripMargin,
     "d_fuzzy_match" ->
       """WITH nms AS (SELECT DISTINCT p_name AS nm FROM part),
         |blk AS (SELECT nm, split_part(nm, ' ', 2) AS noun FROM nms),
