@@ -13,6 +13,24 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String) = Sources.table(s, dir, "documents")
 
+  /** The oracle-checked d_minhash pair relation, STAGED once per JVM
+    * per dataset dir and shared by every downstream consumer (both
+    * doc-graph index builds in GraphQueries, the per-source audit):
+    * the minhash pipeline is the expensive half of each, so consumers
+    * read the staged file instead of re-running band-join + verify.
+    */
+  private val stagedPairs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def stagedMinhashPairs(s: SparkSession,
+      dir: String): String =
+    stagedPairs.computeIfAbsent(dir, { _ =>
+      val p = graft.sources.Scratch.dir("docpairs", dir)
+      defs("d_minhash")(s, dir)
+        .select(col("id_a"), col("id_b"), col("jac"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** Shared oracle CTE: word-3-gram shingle relation. */
   private[queries] def shingleCte(where: String = ""): String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -211,7 +229,8 @@ object DedupQueries {
     // doc-keyed left join + a map-combined rollup to the |sources|
     // domain; the oracle replays the closure as a recursive CTE.
     "d_source_audit" -> ((s, dir) => {
-      val pairs = defs("d_minhash")(s, dir).select(col("id_a"), col("id_b"))
+      val pairs = s.read.parquet(stagedMinhashPairs(s, dir))
+        .select(col("id_a"), col("id_b"))
       val comp = graft.operators.Dedup.connectedComponents(pairs)
         .withColumnRenamed("id", "doc_id")
       docs(s, dir).join(comp, Seq("doc_id"), "left")

@@ -69,26 +69,13 @@ object GraphQueries {
     */
   private val docIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, Graph.EdgeIndex]()
-  private val docPairs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  /** The oracle-checked d_minhash pair relation, staged ONCE per JVM
-    * per dataset dir: the minhash pipeline is the expensive half of
-    * BOTH doc-graph index builds (uniform and weighted), so each build
-    * reading the staged file instead of re-running the pipeline halves
-    * the cold cost of the second build.
-    */
-  private def stagedDocPairs(s: SparkSession, dir: String): String =
-    docPairs.computeIfAbsent(dir, { _ =>
-      val p = graft.sources.Scratch.dir("docpairs", dir)
-      DedupQueries.defs("d_minhash")(s, dir)
-        .select(col("id_a"), col("id_b"), col("jac"))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+  // the d_minhash pair relation is staged once per JVM per dataset in
+  // DedupQueries.stagedMinhashPairs and shared with the per-source
+  // audit; both index builds read that file
   private def builtDocIndex(s: SparkSession, dir: String,
       weighted: Boolean): Graph.EdgeIndex =
     docIndexes.computeIfAbsent(s"${if (weighted) "w" else "u"}:$dir", { _ =>
-      val pairs0 = s.read.parquet(stagedDocPairs(s, dir))
+      val pairs0 = s.read.parquet(DedupQueries.stagedMinhashPairs(s, dir))
       val pairs =
         if (weighted) pairs0.select(col("id_a").as("src"),
           col("id_b").as("dst"),
