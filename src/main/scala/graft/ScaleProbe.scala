@@ -597,6 +597,22 @@ object ScaleProbe {
       println(s"curateInput=${rep.input} afterQuality=${rep.afterQuality} " +
         s"afterExact=${rep.afterExactDedup} afterNearDup=${rep.afterNearDup} " +
         s"bySplit=${rep.bySplit.toSeq.sorted.mkString(",")}")
+      // canonical=rank: same pipeline with the centrality keep-choice —
+      // the pair relation stages once and feeds components + rank, so
+      // the delta over min-id is one extra rank loop, never a second
+      // minhash pipeline (scalar stage counts must be identical).
+      val outR = java.nio.file.Files
+        .createTempDirectory("curate_probe_rank").toString
+      val t1 = System.nanoTime()
+      val repR = graft.operators.Curation.curate(docs, outR, jaccard = 0.5,
+        stopwords = rotRegistry, canonical = "rank")
+      println(f"curateRankWall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      require(repR.input == rep.input &&
+        repR.afterQuality == rep.afterQuality &&
+        repR.afterExactDedup == rep.afterExactDedup &&
+        repR.afterNearDup == rep.afterNearDup,
+        "canonical choice must not change scalar audit counts")
+      println(s"curateRankCountsMatch=true")
     }
     if (what == "all" || what == "minhash") {
       val docs = Sources.table(spark, sfDir, "documents")
