@@ -9,44 +9,106 @@ import graft.sources.Sources
 
 /** Sketch/approximate operators and the as-of join.
   *
-  * `x_approx_distinct` / `x_approx_quantiles` have NO oracle entry on
-  * purpose: HLL and t-digest internals differ across engines, so the
-  * driver records the rows-only check (per the contract comment in
-  * SparkEntry); their exact twins (q_distinct_agg, a_percentile) ARE
-  * oracle-checked. `x_kmv_distinct` shows the alternative: a sketch
-  * whose hash function is engine-portable (md5) is deterministic and
-  * fully oracle-checkable, estimate and error included — and
-  * `x_rs_quantiles` closes the loop for QUANTILES: each native-sketch
-  * query now has a portable hash-checked sibling (KMV for HLL, the
-  * md5 bottom-k reservoir for the t-digest).
+  * The two NATIVE-sketch queries (`x_approx_distinct` over HLL++,
+  * `x_approx_quantiles` over the GK quantile summary) are
+  * oracle-checked via the TOLERANCE-VERDICT form: the raw estimate —
+  * whose sketch internals are not portable to DuckDB — is folded into
+  * a boolean `abs(est − exact) ≤ bound` computed ON THE SPARK SIDE,
+  * and the emitted columns (group, exact value, bound, verdict) are
+  * all engine-portable, so DuckDB hash-matches them with the exact
+  * computed natively and the verdict as the guaranteed TRUE. The
+  * bounds are real assertions: 5σ of the configured rsd for HLL (the
+  * tight per-run check lives in SketchToleranceSpec), and the GK
+  * DETERMINISTIC rank-error guarantee (±⌈n/accuracy⌉ ranks, +1 for
+  * rank conventions) for quantiles. `x_kmv_distinct` /
+  * `x_rs_quantiles` remain the fully-portable siblings where even the
+  * ESTIMATE is hash-checked (md5 hash space → both engines draw the
+  * same sketch).
   */
 object SketchQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Sources.table(s, dir, n)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // HLL approximate distinct (exact twin: q_distinct_agg).
-    "x_approx_distinct" -> ((s, dir) =>
+    // HLL++ approximate distinct (exact twin: q_distinct_agg), emitted
+    // in the tolerance-verdict form so the sketch is oracle-checkable:
+    // the estimate itself stays Spark-side (HLL internals are not
+    // portable) and what ships is the exact count, a 5σ bound from the
+    // configured rsd (σ = rsd·exact; HLL++ is deterministic given the
+    // data, and 5σ leaves the assertion real — a broken sketch or a
+    // mis-wired rsd trips it), and the boolean verdict. exact/bound are
+    // integer-exact, so DuckDB hash-matches all columns with the
+    // verdict as its guaranteed TRUE. The tight per-run tolerance check
+    // (3σ) lives in SketchToleranceSpec. Scale shape: one
+    // expand+partial-agg pass — the countDistinct twins are the
+    // expensive exact computation the sketch replaces in production,
+    // kept here because the verdict is definitionally relative to them.
+    "x_approx_distinct" -> ((s, dir) => {
+      val boundParts = ceil(col("exact_parts") * lit(0.25)).cast("long") // 5σ @ rsd .05
+      val boundSupps = ceil(col("exact_supps") * lit(0.05)).cast("long") // 5σ @ rsd .01
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"))
-        .orderBy("l_returnflag")),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("asu"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"))
+        .select(col("l_returnflag"),
+          col("exact_parts"), col("exact_supps"),
+          boundParts.as("bound_parts"), boundSupps.as("bound_supps"),
+          (abs(col("ap") - col("exact_parts")) <= boundParts)
+            .as("parts_within"),
+          (abs(col("asu") - col("exact_supps")) <= boundSupps)
+            .as("supps_within"))
+        .orderBy("l_returnflag")
+    }),
 
-    // Approximate quantiles (exact twin: a_percentile). Projected as
-    // three SCALAR double columns — the driver's rows-only harness
-    // sorts/hashes cell values, and an array cell is unhashable there.
-    "x_approx_quantiles" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99))")
-          .as("approx_p"))
-        .select(col("o_orderstatus"),
-          element_at(col("approx_p"), 1).cast("double").as("p50"),
-          element_at(col("approx_p"), 2).cast("double").as("p90"),
-          element_at(col("approx_p"), 3).cast("double").as("p99"))
-        .orderBy("o_orderstatus")),
+    // Approximate quantiles over Spark's Greenwald–Khanna summary
+    // (exact twin: a_percentile), tolerance-verdict form. GK gives a
+    // DETERMINISTIC guarantee — rank error ≤ ⌈n/accuracy⌉ — so unlike
+    // the probabilistic HLL bound this verdict can never flake: the
+    // estimate must lie between the data values at ranks
+    // ⌈q·n⌉ ∓ (⌈n/accuracy⌉+1) (the +1 absorbs rank-convention
+    // off-by-ones), both of which DuckDB reads off the same sorted
+    // data. accuracy=100 is deliberately coarse for the test corpus so
+    // the sketch genuinely approximates (default 10000 would be exact
+    // at these group sizes and the verdict vacuous). Emitted columns —
+    // group, q, exact disc quantile, the two bound values, verdict —
+    // are all portable; the estimate folds into the boolean.
+    "x_approx_quantiles" -> ((s, dir) => {
+      val acc = 100
+      val o = t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice").as("v"))
+      val qLits = array(lit(0.5), lit(0.9), lit(0.99))
+      val est = o.groupBy("o_orderstatus")
+        .agg(expr(s"approx_percentile(v, array(0.5, 0.9, 0.99), $acc)")
+          .as("ap"), count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("n"),
+          posexplode(col("ap")).as(Seq("i", "est")))
+        .select(col("o_orderstatus"), col("n"),
+          element_at(qLits, col("i") + 1).as("q"),
+          col("est").cast("double").as("est"))
+        .withColumn("rk", ceil(col("q") * col("n")).cast("long"))
+        .withColumn("slack",
+          ceil(col("n") / lit(acc.toDouble)).cast("long") + 1)
+        .withColumn("lo_rk", greatest(lit(1L), col("rk") - col("slack")))
+        .withColumn("hi_rk", least(col("n"), col("rk") + col("slack")))
+      val w = Window.partitionBy("o_orderstatus").orderBy("v")
+      val ranked = o.withColumn("rn", row_number().over(w))
+      est.join(ranked, Seq("o_orderstatus"))
+        .filter(col("rn") === col("rk") || col("rn") === col("lo_rk") ||
+          col("rn") === col("hi_rk"))
+        .groupBy("o_orderstatus", "q", "est")
+        .agg(
+          max(when(col("rn") === col("rk"), col("v"))).as("exact"),
+          max(when(col("rn") === col("lo_rk"), col("v"))).as("lo_val"),
+          max(when(col("rn") === col("hi_rk"), col("v"))).as("hi_val"))
+        .select(col("o_orderstatus"), col("q"),
+          col("exact"), col("lo_val"), col("hi_val"),
+          (col("est") >= col("lo_val") && col("est") <= col("hi_val"))
+            .as("within_bound"))
+        .orderBy("o_orderstatus", "q")
+    }),
 
     // Quantile sketch with a FULL oracle — the hash-checked sibling of
     // `x_approx_quantiles` (whose t-digest internals are not portable):
@@ -375,6 +437,45 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Tolerance-verdict form (see the class doc): exact + bound are
+    // computed natively, the verdict column is the guaranteed TRUE —
+    // the Spark side computes it for real from the HLL estimate.
+    "x_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_suppkey) AS exact_supps,
+        |  CAST(ceil(count(DISTINCT l_partkey) * 0.25) AS BIGINT)
+        |    AS bound_parts,
+        |  CAST(ceil(count(DISTINCT l_suppkey) * 0.05) AS BIGINT)
+        |    AS bound_supps,
+        |  TRUE AS parts_within, TRUE AS supps_within
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // GK rank-error window: the estimate must fall between the values
+    // at ranks ceil(q*n) -/+ (ceil(n/100)+1); DuckDB reads those values
+    // off the sorted data and asserts TRUE for the Spark-side verdict.
+    "x_approx_quantiles" ->
+      """WITH o AS (SELECT o_orderstatus, o_totalprice AS v FROM orders),
+        |r AS (SELECT o_orderstatus, v,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM o),
+        |t AS (SELECT DISTINCT o_orderstatus, n FROM r),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |rk AS (SELECT t.o_orderstatus, q.q, t.n,
+        |    CAST(ceil(q.q * t.n) AS BIGINT) AS rk,
+        |    CAST(ceil(t.n / 100.0) AS BIGINT) + 1 AS slack
+        |  FROM t, qs q),
+        |pick AS (SELECT k.o_orderstatus, k.q,
+        |    max(CASE WHEN r.rn = k.rk THEN r.v END) AS exact,
+        |    max(CASE WHEN r.rn = greatest(1, k.rk - k.slack) THEN r.v END)
+        |      AS lo_val,
+        |    max(CASE WHEN r.rn = least(k.n, k.rk + k.slack) THEN r.v END)
+        |      AS hi_val
+        |  FROM rk k JOIN r ON r.o_orderstatus = k.o_orderstatus
+        |  GROUP BY 1, 2)
+        |SELECT o_orderstatus, q, exact, lo_val, hi_val,
+        |  TRUE AS within_bound
+        |FROM pick ORDER BY o_orderstatus, q""".stripMargin,
     "j_range_binned" ->
       """WITH pts AS (SELECT o_orderkey, o_orderpriority,
         |    o_totalprice AS p FROM orders),

@@ -9,11 +9,11 @@ class SparkEntrySpec extends SparkFunSuite {
     assert(SparkEntry.queries.keySet == all.toSet)
   }
 
-  test("every query has an oracle (or is explicitly waived)") {
-    // sketch queries: engine-specific internals (HLL/t-digest) → the
-    // driver's rows-only check; exact twins are oracle-checked.
-    val waived = Set("x_approx_distinct", "x_approx_quantiles")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- waived
+  test("every query has an oracle") {
+    // As of r16 nothing is waived: the two native-sketch queries emit
+    // the tolerance-verdict form (see SketchQueries doc), so every
+    // query on the board is fully oracle-checked.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
