@@ -215,6 +215,12 @@ object Graph {
           java.util.UUID.randomUUID().toString)
       else null
     var rank: DataFrame = null
+    // Round files already landed, newest first. Only the two newest are
+    // ever read again (round i, plus i-1 solely by round i's L1 delta),
+    // so older rounds purge as soon as a new one lands — a long
+    // convergence run would otherwise accrete a |V|-sized parquet
+    // directory per round until JVM shutdown.
+    var landed = List.empty[Int]
     var i = 1
     var stop = false
     while (i <= iters && !stop) {
@@ -241,6 +247,9 @@ object Graph {
         if (tolL1 > 0 ||
             (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)) {
           next.write.mode("overwrite").parquet(s"$ck/r$i")
+          landed = i :: landed
+          landed.drop(2).foreach(j => graft.sources.Scratch.purge(s"$ck/r$j"))
+          landed = landed.take(2)
           spark.read.parquet(s"$ck/r$i")
         } else next
       if (tolL1 > 0 && i > 1) {
@@ -526,57 +535,122 @@ object Graph {
     * (default 1e6) so Σ-then-rescale stays far from long overflow at
     * any degree a cluster can hold.
     *
-    * Every half-round MATERIALIZES to scratch (|V|-bounded rows — the
-    * bfsHops shape): unlike the damped rank loops, each half-round
-    * here is consumed TWICE (its own max-normalizer plus the next
-    * half-round's join), so lazy chaining re-executes every prior
-    * round's joins once per consumer — the plan tree grows
+    * Every half-round MATERIALIZES its raw sums to scratch
+    * (|V|-bounded rows — the bfsHops shape): unlike the damped rank
+    * loops, each half-round here is consumed TWICE (its max-normalizer
+    * plus the next half-round's join), so lazy chaining re-executes
+    * every prior round's joins once per consumer — the plan tree grows
     * multiplicatively with `iters` and the first cut measured 7.5 s
     * for 3 rounds at sf0.1 where the materialized loop is ~1.5 s.
-    * Files also root the lineage, executor-loss safe.
+    * Files also root the lineage, executor-loss safe. The
+    * max-normalizer itself stays FUSED: the rescale is a lazy
+    * projection over the landed file with max(sum) folded in as a
+    * broadcast 1-row agg of that same file, so it executes inside
+    * whichever job consumes the half-round — one write job per
+    * half-round total, where the first materialized cut spent three
+    * (raw write, driver max collect, rescaled write) and local mode
+    * pays ~0.2 s launch overhead per job (12 jobs ≈ 4.5-5.6 s wall at
+    * sf0.1 measured in r15; fusing to 2·iters+1 roughly halves it).
     *
     * @return (hubs, authorities): ((src, h), (dst, a)) in `scale`
     *         units; the best hub/authority scores exactly `scale`.
     */
+  /** Exact max of an INT64 column read from parquet footer statistics —
+    * driver-side ranged reads, one per part file, no Spark job. Returns
+    * None (caller falls back to an agg job) if any footer lacks
+    * trustworthy stats; INT64 min/max stats are never truncated the way
+    * binary stats can be, so present ⇒ exact.
+    */
+  private def footerLongMax(spark: SparkSession, dir: String,
+      column: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(dir)
+      val files = p.getFileSystem(conf).listStatus(p)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      var mx = Long.MinValue
+      var sawRows = false
+      files.foreach { f =>
+        val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try rdr.getFooter.getBlocks.forEach { b =>
+          if (b.getRowCount > 0) {
+            sawRows = true
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == column) {
+                val st = c.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue)
+                  return None
+                st.genericGetMax match {
+                  case l: java.lang.Long => if (l > mx) mx = l
+                  case _ => return None
+                }
+              }
+            }
+          }
+        } finally rdr.close()
+      }
+      if (sawRows) Some(mx) else None
+    } catch { case _: Exception => None }
+  }
+
   def hits(edges: DataFrame, iters: Int = 3,
       scale: Long = 1000000L,
       broadcastScores: Boolean = false): (DataFrame, DataFrame) = {
     require(iters >= 1, "hits needs at least one iteration")
     val spark = edges.sparkSession
     val ed = edges.select("src", "dst")
+    // Mirrors pageRank's empty-graph require: on an empty edge set the
+    // max normalizer aggregates to a null row and every score divides
+    // by 0 — fail loud instead.
+    require(!ed.isEmpty, "hits over an empty edge set")
     val ck = graft.sources.Scratch.dir("hits",
       java.util.UUID.randomUUID().toString)
-    ed.select("src").distinct().select(col("src"), lit(scale).as("h"))
-      .write.mode("overwrite").parquet(s"$ck/h0")
-    var hub = spark.read.parquet(s"$ck/h0")
+    // All scratch reads pass the known schema explicitly — each bare
+    // spark.read.parquet fires a footer/schema-inference job first, and
+    // at 2 landings per round those launches are pure overhead on
+    // |V|-bounded files.
+    val h0Init = ed.select("src").distinct()
+      .select(col("src"), lit(scale).as("h"))
+    h0Init.write.mode("overwrite").parquet(s"$ck/h0")
+    var hub = spark.read.schema(h0Init.schema).parquet(s"$ck/h0")
     var auth: DataFrame = null
     // `broadcastScores` (DOMAIN-BOUNDED graphs — hub/authority tables
     // are vocabulary-sized): the |E| side then scans map-side per
     // half-round instead of being hash-exchanged 2·iters times — the
     // broadcastRanks analogue, and the same |V|-growth caveat applies.
     def side(df: DataFrame) = if (broadcastScores) broadcast(df) else df
-    // Each half-round's join+sum lands RAW in scratch first; the max
-    // normalizer (O(1) driver model state off the |V|-bounded file)
-    // and the rescale both derive from the file, so the |E|-sized
-    // join executes exactly ONCE per half-round — feeding it to the
-    // max and the rescale as one lazy plan ran it twice.
+    // Max-norm rescale as a lazy LITERAL projection over the landed raw
+    // sums: the max comes straight from the parquet FOOTER statistics of
+    // the file just written (driver-side ranged reads, one per part file
+    // — the same I/O query planning already does; no Spark job, no
+    // broadcast build), with a 1-row agg job as the fallback if any
+    // footer lacks INT64 stats. Exact and bit-identical either way.
+    def rescale(raw: DataFrame, rawCol: String, key: String,
+        out: String, path: String) = {
+      val mx = footerLongMax(spark, path, rawCol).getOrElse(
+        raw.agg(max(col(rawCol))).head().getLong(0))
+      raw.select(col(key), expr(s"($rawCol * ${scale}L) div ${mx}L").as(out))
+    }
     for (i <- 1 to iters) {
-      ed.join(side(hub), "src").groupBy("dst")
+      val a0 = ed.join(side(hub), "src").groupBy("dst")
         .agg(sum(col("h")).as("a0"))
-        .write.mode("overwrite").parquet(s"$ck/a0_$i")
-      val a0 = spark.read.parquet(s"$ck/a0_$i")
-      val am = a0.agg(max(col("a0"))).head().getLong(0)
-      a0.select(col("dst"), expr(s"(a0 * ${scale}L) div ${am}L").as("a"))
-        .write.mode("overwrite").parquet(s"$ck/a$i")
-      auth = spark.read.parquet(s"$ck/a$i")
-      ed.join(side(auth), "dst").groupBy("src")
+      a0.write.mode("overwrite").parquet(s"$ck/a0_$i")
+      auth = rescale(spark.read.schema(a0.schema).parquet(s"$ck/a0_$i"),
+        "a0", "dst", "a", s"$ck/a0_$i")
+      val h0 = ed.join(side(auth), "dst").groupBy("src")
         .agg(sum(col("a")).as("h0"))
-        .write.mode("overwrite").parquet(s"$ck/h0_$i")
-      val h0 = spark.read.parquet(s"$ck/h0_$i")
-      val hm = h0.agg(max(col("h0"))).head().getLong(0)
-      h0.select(col("src"), expr(s"(h0 * ${scale}L) div ${hm}L").as("h"))
-        .write.mode("overwrite").parquet(s"$ck/h$i")
-      hub = spark.read.parquet(s"$ck/h$i")
+      h0.write.mode("overwrite").parquet(s"$ck/h0_$i")
+      hub = rescale(spark.read.schema(h0.schema).parquet(s"$ck/h0_$i"),
+        "h0", "src", "h", s"$ck/h0_$i")
+      // Prior-round raw files have no readers left (round i's writes
+      // consumed them) — purge instead of accreting until JVM exit.
+      if (i > 1) {
+        graft.sources.Scratch.purge(s"$ck/a0_${i - 1}")
+        graft.sources.Scratch.purge(s"$ck/h0_${i - 1}")
+      }
     }
     (hub, auth)
   }

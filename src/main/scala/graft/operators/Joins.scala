@@ -106,18 +106,37 @@ object Joins {
     */
   def binnedRangeJoin(points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, maxBinsPerRow: Int = 4096): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val pb = points.withColumn("_bin",
       floor(col(ptCol) / binWidth).cast("long"))
     val ib = intervals
       .filter(col(loCol) <= col(hiCol))
-      .withColumn("_bin", explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+      .withColumn("_bin", explode(guardedBinSeq(
+        col(loCol), col(hiCol), binWidth, maxBinsPerRow)))
     pb.join(ib, Seq("_bin"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_bin")
+  }
+
+  /** Bin span of one interval, failing FAST and loud on an interval
+    * that spans vastly more bins than the `binWidth` sizing
+    * anticipated: an unguarded `sequence` would balloon the row (and
+    * past ~2³¹ elements die on Spark's array-length cap with an opaque
+    * error) — a mis-sized `binWidth` is a plan bug the caller must fix,
+    * not something to grind through. Per-row guard, codegen'd
+    * comparison, zero cost on the happy path.
+    */
+  private def guardedBinSeq(lo: Column, hi: Column, binWidth: Double,
+      maxBinsPerRow: Int): Column = {
+    val loB = floor(lo / binWidth).cast("long")
+    val hiB = floor(hi / binWidth).cast("long")
+    when(hiB - loB < lit(maxBinsPerRow.toLong), sequence(loB, hiB))
+      .otherwise(raise_error(format_string(
+        "binned join: interval [%s, %s] spans %d bins at binWidth=" +
+          s"$binWidth (cap $maxBinsPerRow): size binWidth near the " +
+          "typical interval span, or raise maxBinsPerRow deliberately",
+        lo.cast("string"), hi.cast("string"), hiB - loB + 1)))
   }
 
   /** Binned INTERVAL-OVERLAP join — interval × interval for the
@@ -139,13 +158,12 @@ object Joins {
     */
   def binnedIntervalJoin(left: DataFrame, lLo: String, lHi: String,
       right: DataFrame, rLo: String, rHi: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, maxBinsPerRow: Int = 4096): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     def binned(df: DataFrame, lo: String, hi: String) = df
       .filter(col(lo) <= col(hi))
-      .withColumn("_bin", explode(sequence(
-        floor(col(lo) / binWidth).cast("long"),
-        floor(col(hi) / binWidth).cast("long"))))
+      .withColumn("_bin", explode(guardedBinSeq(
+        col(lo), col(hi), binWidth, maxBinsPerRow)))
     binned(left, lLo, lHi).join(binned(right, rLo, rHi), Seq("_bin"))
       .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
       .filter(col("_bin") ===

@@ -542,14 +542,25 @@ object TextQueries {
     // The sketch's output array is VALUE-sorted (its quantile-reading
     // contract), so `rk` numbers the hash-chosen exemplars in id
     // order — the membership is hash-determined, the listing isn't.
+    // doc_id rides through ReservoirSketch's DOUBLE value slot, exact
+    // only up to 2^53 — ids beyond that would silently corrupt on the
+    // cast back, so the projection fails fast instead (per-row codegen
+    // guard, free on the happy path; the streaming twin
+    // DocStreams.evalSampled keeps ids as longs and needs none).
     "t_eval_sample" -> ((s, dir) => {
       val rs = udaf(new graft.functions.ReservoirSketch(3))
       val h = conv(substring(
         md5(concat(lit("ev:"), col("doc_id").cast("string"))), 1, 8),
         16, 10).cast("long")
+      val id53 = when(abs(col("doc_id")) <= lit(9007199254740992L),
+        col("doc_id").cast("double"))
+        .otherwise(raise_error(format_string(
+          "t_eval_sample: doc_id %d exceeds 2^53 and would lose " +
+            "precision in the double-valued reservoir slot",
+          col("doc_id"))))
       docs(s, dir)
         .select(col("lang"), TA.qualityBucket(col("text")).as("bucket"),
-          h.as("h"), col("doc_id").cast("double").as("v"))
+          h.as("h"), id53.as("v"))
         .groupBy("lang", "bucket").agg(rs(col("h"), col("v")).as("picks"))
         .select(col("lang"), col("bucket"),
           posexplode(col("picks")).as(Seq("p", "v")))

@@ -35,17 +35,30 @@ object Scratch {
   // accrete scratch dirs in tmp or index files in the shared warehouse.
   private val issued =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def rm(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rm)
+    f.delete(); ()
+  }
+
   private lazy val hookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       issued.forEach { p =>
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(); ()
-        }
         try rm(new java.io.File(p)) catch { case _: Exception => () }
       }))
     true
+  }
+
+  /** Recursively delete a nonce-scoped scratch path NOW. Loop hygiene
+    * for iterative operators that land per-round files: a long
+    * convergence run would otherwise accrete a |V|-sized directory per
+    * round until JVM shutdown. Only ever call with paths this JVM
+    * issued and can no longer read.
+    */
+  def purge(path: String): Unit = {
+    try rm(new java.io.File(path)) catch { case _: Exception => () }
+    issued.remove(path); ()
   }
 
   /** Register a path for recursive deletion at JVM exit. Only ever

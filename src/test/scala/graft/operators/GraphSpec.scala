@@ -322,6 +322,14 @@ class GraphSpec extends SparkFunSuite {
       "the doubly-endorsed authority must dominate")
   }
 
+  test("hits: empty edge set fails loud, mirroring pageRank") {
+    // Without the guard the max normalizer aggregates to a null row
+    // and every score divides by zero.
+    val ed = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](Graph.hits(ed))
+    assert(e.getMessage.contains("empty edge set"))
+  }
+
   test("bucketIfOver: layout choice is data-driven at build time") {
     val e0 = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
     // 2 nodes ≤ cap → plain parquet (broadcastable regime)

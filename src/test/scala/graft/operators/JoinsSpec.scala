@@ -175,4 +175,33 @@ class JoinsSpec extends SparkFunSuite {
         && !plan.contains("CartesianProduct"), plan)
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("binned joins fail fast on an interval spanning more bins than the cap") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // An interval spanning ≫ maxBinsPerRow bins means binWidth was
+    // mis-sized — the guard raises a sizing message instead of letting
+    // `sequence` balloon the row (or die on the array-length cap).
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    val iv = Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception](
+      Joins.binnedRangeJoin(pts, "p", iv, "lo", "hi",
+        binWidth = 1.0, maxBinsPerRow = 100).count())
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null) t else root(t.getCause)
+    assert((e.getMessage + root(e).getMessage).contains("size binWidth"),
+      e.getMessage)
+    val a = Seq((1L, 0.0, 1e9)).toDF("aid", "lo_a", "hi_a")
+    val b = Seq((2L, 3.0, 4.0)).toDF("bid", "lo_b", "hi_b")
+    val e2 = intercept[Exception](
+      Joins.binnedIntervalJoin(a, "lo_a", "hi_a", b, "lo_b", "hi_b",
+        binWidth = 1.0, maxBinsPerRow = 100).count())
+    assert((e2.getMessage + root(e2).getMessage).contains("size binWidth"),
+      e2.getMessage)
+    // in-cap intervals are untouched by the guard
+    val ok = Joins.binnedRangeJoin(pts, "p",
+      Seq((1L, 0.0, 50.0)).toDF("iid", "lo", "hi"), "lo", "hi",
+      binWidth = 1.0, maxBinsPerRow = 100).count()
+    assert(ok == 1L)
+  }
 }
