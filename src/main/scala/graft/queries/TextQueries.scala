@@ -58,6 +58,28 @@ object TextQueries {
       m
     })
 
+  /** Unigram-LM tokenizer hyper-parameters, shared verbatim by the
+    * Spark query and the DuckDB oracle replay: max piece length, seed
+    * top-K multi-character pieces, hard-EM rounds. Trained once per JVM
+    * per dataset (model state is chars + topK count rows — the same
+    * O(model) driver footprint as the BPE merges).
+    */
+  private val NUniMax = 4
+  private val NUniTopK = 64
+  private val NUniRounds = 3
+  private val uniModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Unigram.Model]()
+  private[queries] def trainedUnigram(s: SparkSession,
+      dir: String): graft.operators.Unigram.Model =
+    uniModels.computeIfAbsent(dir, { _ =>
+      val t0 = System.nanoTime()
+      val m = graft.operators.Unigram.train(
+        docs(s, dir), "text", NUniTopK, NUniMax, NUniRounds)
+      println(f"[graft] t_unigram_train: one-time $NUniRounds%d-round EM " +
+        f"training for $dir took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      m
+    })
+
   private val StopList = TA.Stopwords.map(w => s"'$w'").mkString(", ")
 
   /** The DuckDB replay of [[graft.operators.Bpe]] training: v0/s0 build
@@ -89,6 +111,76 @@ object TextQueries {
       |      THEN regexp_replace(acc, '[^ ]*$$', '') || bk.lft || bk.rgt
       |      ELSE acc || ' ' || x END) AS syms
       |  FROM s${k - 1}, b$k bk)""".stripMargin
+    sb.toString
+  }
+
+  /** The DuckDB replay of [[graft.operators.Unigram]] training. The
+    * Viterbi DP is a `list_reduce` fold whose accumulator is the list
+    * of per-prefix best (score, seg) structs; DuckDB 1.x's two-arg
+    * list_reduce seeds the accumulator from the FIRST element, so the
+    * folded list is `[[init]] ++ dummies` (one ignored dummy per
+    * character — the position is `len(acc)`). Candidate selection is
+    * the same replace-on-strictly-greater chain as
+    * `Unigram.viterbiSeg`, and every score is the same left-to-right
+    * chain of IEEE multiplications, so segmentations — and therefore
+    * the integer EM counts — are bit-identical across engines.
+    */
+  private def uniCand(m: Int): String =
+    s"CASE WHEN len(acc) >= $m AND " +
+      s"len(vm[substring(w, len(acc) - $m + 1, $m)]) > 0 THEN " +
+      s"{'score': acc[len(acc) - $m + 1].score * " +
+      s"vm[substring(w, len(acc) - $m + 1, $m)][1], " +
+      s"'seg': acc[len(acc) - $m + 1].seg || ' ' || " +
+      s"substring(w, len(acc) - $m + 1, $m)} END"
+
+  private val UniFold: String = {
+    val best = (2 to NUniMax).foldLeft(uniCand(1)) { (b, m) =>
+      s"CASE WHEN (${uniCand(m)}) IS NOT NULL AND " +
+        s"(${uniCand(m)}).score > ($b).score THEN ${uniCand(m)} ELSE $b END"
+    }
+    s"ltrim(list_reduce([[{'score': CAST(1 AS DOUBLE), 'seg': ''}]] || " +
+      s"list_transform(generate_series(1, length(w)), " +
+      s"i -> [{'score': CAST(0 AS DOUBLE), 'seg': ''}]), " +
+      s"(acc, x) -> list_append(acc, $best))[length(w) + 1].seg)"
+  }
+
+  /** Seed + EM-round CTEs: uwords/usubs/uvocab seed the fixed
+    * vocabulary; per round r, uvm$r smooths the previous counts into a
+    * probability map, useg$r Viterbi-segments every distinct word, and
+    * uc$r re-counts piece usage (zero-filled over the fixed vocab).
+    */
+  private val UnigramCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""uwords AS (SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 1 GROUP BY w),
+      |usubs AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT substring(w, s, m) AS piece, freq FROM (
+      |      SELECT w, freq, unnest(generate_series(1, length(w))) AS s
+      |      FROM uwords),
+      |      (SELECT unnest(generate_series(1, $NUniMax)) AS m)
+      |    WHERE s + m - 1 <= length(w))
+      |  GROUP BY piece),
+      |uvocab AS (
+      |  SELECT piece, cnt FROM usubs WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (SELECT piece, cnt FROM usubs
+      |    WHERE length(piece) >= 2 ORDER BY cnt DESC, piece
+      |    LIMIT $NUniTopK)),
+      |uc0 AS (SELECT piece, cnt FROM uvocab)""".stripMargin
+    for (r <- 1 to NUniRounds) sb ++= s""",
+      |uvm$r AS (SELECT map(list(piece ORDER BY piece),
+      |    list(p ORDER BY piece)) AS vm
+      |  FROM (SELECT piece, CAST(cnt + 1 AS DOUBLE) /
+      |      CAST(sum(cnt) OVER () + count(*) OVER () AS DOUBLE) AS p
+      |    FROM uc${r - 1})),
+      |useg$r AS (SELECT w, freq, $UniFold AS seg FROM uwords, uvm$r),
+      |uc$r AS (SELECT v.piece, CAST(coalesce(sum(u.freq), 0) AS BIGINT)
+      |    AS cnt
+      |  FROM uvocab v LEFT JOIN (SELECT
+      |      unnest(string_split(seg, ' ')) AS piece, freq FROM useg$r) u
+      |  ON v.piece = u.piece
+      |  GROUP BY v.piece)""".stripMargin
     sb.toString
   }
 
@@ -311,6 +403,44 @@ object TextQueries {
     "t_bpe_encode" -> ((s, dir) => {
       val enc = graft.operators.Bpe
         .encodeVocab(docs(s, dir), "text", trainedBpe(s, dir))
+        .select(col("w"), size(split(col("syms"), " ")).as("n_tok"))
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(enc, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tokens"))
+        .withColumn("tokens_per_word",
+          round(col("n_tokens").cast("double") / col("n_words").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Unigram-LM tokenizer training (SentencePiece's model family),
+    // the EM twin of t_bpe_train: seed with all chars + top-64
+    // substrings, then 3 hard-EM rounds — Viterbi-segment the DISTINCT
+    // vocabulary under Laplace-smoothed piece probabilities, re-count,
+    // repeat. The corpus is scanned once; every round is a vocab-sized
+    // job plus an O(model) driver collect. No transcendentals anywhere
+    // (probabilities are one division; DP scores are IEEE product
+    // chains), so the DuckDB oracle replays the SAME 3 EM rounds and
+    // hash-checks every learned count.
+    "t_unigram_train" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      trainedUnigram(s, dir).counts.toDF("piece", "cnt")
+        .select(col("piece"), length(col("piece")).as("piece_len"),
+          col("cnt"),
+          (length(col("piece")) === 1 || col("cnt") > 0).as("kept"))
+        .orderBy(col("cnt").desc, col("piece"))
+    }),
+
+    // The trained unigram model APPLIED: Viterbi-segment every document
+    // under the final smoothed probabilities and report per-doc token
+    // counts. Same economy as t_bpe_encode — the DP runs over DISTINCT
+    // words (tokenizing is explode → join the segmented vocab →
+    // re-aggregate), so cost rides on |vocab|, never corpus tokens.
+    "t_unigram_encode" -> ((s, dir) => {
+      val enc = graft.operators.Unigram
+        .encodeVocab(docs(s, dir), "text", trainedUnigram(s, dir), NUniMax)
         .select(col("w"), size(split(col("syms"), " ")).as("n_tok"))
       docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -1078,6 +1208,29 @@ object TextQueries {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS tokens_per_word
         |FROM tok JOIN enc USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_unigram_train" ->
+      s"""WITH $UnigramCtes
+        |SELECT piece, length(piece) AS piece_len, cnt,
+        |  (length(piece) = 1 OR cnt > 0) AS kept
+        |FROM uc$NUniRounds ORDER BY cnt DESC, piece""".stripMargin,
+    "t_unigram_encode" ->
+      s"""WITH $UnigramCtes,
+        |uvmf AS (SELECT map(list(piece ORDER BY piece),
+        |    list(p ORDER BY piece)) AS vm
+        |  FROM (SELECT piece, CAST(cnt + 1 AS DOUBLE) /
+        |      CAST(sum(cnt) OVER () + count(*) OVER () AS DOUBLE) AS p
+        |    FROM uc$NUniRounds)),
+        |usegf AS (SELECT w, $UniFold AS seg FROM uwords, uvmf),
+        |uenc AS (SELECT w, len(string_split(seg, ' ')) AS n_tok
+        |  FROM usegf),
+        |utok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6)
+        |    AS tokens_per_word
+        |FROM utok JOIN uenc USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_split" ->
       """WITH s AS (SELECT doc_id,

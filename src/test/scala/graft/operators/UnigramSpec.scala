@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer semantics (Kudo 2018, hard-EM variant): the
+  * Viterbi fold's max-product segmentation and tie rule, the EM
+  * count re-estimation, and the vocab-join encode economy.
+  */
+class UnigramSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  private def seg(word: String, vm: Map[String, Double]): String =
+    Seq(word).toDF("w")
+      .select(Unigram.viterbiSeg(col("w"), typedLit(vm), 4).as("s"))
+      .head().getString(0)
+
+  test("viterbiSeg picks the max-probability segmentation") {
+    // p(ab) beats p(a)p(b): one piece wins
+    assert(seg("ab", Map("a" -> 0.1, "b" -> 0.1, "ab" -> 0.5)) === "ab")
+    // p(ab) below the product: two pieces win
+    assert(seg("ab", Map("a" -> 0.3, "b" -> 0.3, "ab" -> 0.05)) === "a b")
+    // mixed: the DP finds the best split, not greedy-longest —
+    // "abc" as ab|c (0.4*0.5=0.2) beats a|bc (0.1*0.6=0.06) and
+    // a|b|c (0.005)
+    assert(seg("abc", Map("a" -> 0.1, "b" -> 0.1, "c" -> 0.5,
+      "ab" -> 0.4, "bc" -> 0.6)) === "ab c")
+  }
+
+  test("viterbiSeg breaks exact score ties toward the shorter piece") {
+    // "a a" scores 0.5*0.5 = 0.25 = p(aa): tie → the m=1 path wins
+    // (the oracle's replace-on-strictly-greater chain, mirrored by
+    // the (score, -m) array_max key)
+    assert(seg("aa", Map("a" -> 0.5, "aa" -> 0.25)) === "a a")
+    // strictly better long piece still wins
+    assert(seg("aa", Map("a" -> 0.5, "aa" -> 0.2500000001)) === "aa")
+  }
+
+  test("train runs the hand-computed EM and is deterministic") {
+    // corpus "ab"×3: seed counts a:3 b:3 ab:3; round 1 probs are all
+    // (3+1)/(9+3)=1/3, so "ab" (1/3) beats "a b" (1/9) → counts
+    // ab:3, a:0, b:0; rounds 2-3 only reinforce the winner.
+    val docs = Seq("ab ab ab").toDF("text")
+    val m = Unigram.train(docs, "text", topK = 64, maxPiece = 4, rounds = 3)
+    assert(m.counts === Seq(("ab", 3L), ("a", 0L), ("b", 0L)))
+    // final smoothed probs: (3+1)/(3+3), (0+1)/(3+3)
+    assert(m.probs.toMap === Map("ab" -> 4.0 / 6, "a" -> 1.0 / 6,
+      "b" -> 1.0 / 6))
+    // reproducible: a second training run yields the identical model
+    assert(Unigram.train(docs, "text", 64, 4, 3) === m)
+  }
+
+  test("EM reassigns mass from characters to winning multi-char pieces") {
+    val docs = Seq("abab abab abab cd cd").toDF("text")
+    val m = Unigram.train(docs, "text", 64, 4, 3)
+    val c = m.counts.toMap
+    // "abab" tokenizes through the 4-gram piece; "cd" through its own
+    assert(c("abab") === 3L && c("cd") === 2L)
+    // every single character survives in the model (coverage rule)
+    assert(Seq("a", "b", "c", "d").forall(c.contains))
+    // total piece usage equals the tokenized corpus length
+    assert(m.counts.map(_._2).sum === 5L)
+  }
+
+  test("topK caps the multi-char seed but never the characters") {
+    val docs = Seq("abc abd abe").toDF("text")
+    val m = Unigram.train(docs, "text", topK = 1, maxPiece = 4, rounds = 2)
+    val pieces = m.counts.map(_._1)
+    // only ONE multi-char piece admitted: "ab" (cnt 3 beats all others)
+    assert(pieces.filter(_.length >= 2) === Seq("ab"))
+    assert(Seq("a", "b", "c", "d", "e").forall(pieces.contains))
+  }
+
+  test("encodeVocab segments every distinct word under the final model") {
+    val docs = Seq("ab ab ab xy").toDF("text")
+    val m = Unigram.train(docs, "text", 64, 4, 3)
+    val enc = Unigram.encodeVocab(docs, "text", m, 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(enc("ab") === "ab")
+    // "xy" never won a multi-char piece against "ab"'s head start?
+    // it did seed ("xy" cnt 1) — both words segment via their pieces
+    assert(enc("xy").split(" ").forall(m.counts.toMap.contains))
+  }
+}
