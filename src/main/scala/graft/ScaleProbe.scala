@@ -262,7 +262,8 @@ object ScaleProbe {
       val idx = java.nio.file.Files
         .createTempDirectory("ivfpq_probe").toString
       timed("writeIvfPqIndex")(Similarity.writeIvfPqIndex(codes, cbooks, idx))
-      println("ivfpqTotalCodeRows=" + spark.read.parquet(s"$idx/codes").count())
+      println("ivfpqTotalCodeRows=" + spark.read.parquet(
+        graft.sources.EpochDir.live(spark, s"$idx/codes")).count())
       val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
       // probed fraction: parse the cell INSET the executed plan pruned
       // to, then count the code rows inside those cell directories
@@ -275,7 +276,8 @@ object ScaleProbe {
       val insetCells = "\\d+".r.findAllIn(
         pf.replaceAll("cell#\\d+", "cell")).map(_.toInt).toSeq.distinct
       println(s"ivfpqProbedCells=${insetCells.size}")
-      println("ivfpqProbedCodeRows=" + spark.read.parquet(s"$idx/codes")
+      println("ivfpqProbedCodeRows=" + spark.read.parquet(
+        graft.sources.EpochDir.live(spark, s"$idx/codes"))
         .filter(col("cell").isin(insetCells: _*)).count())
 
       // The r13 additions' own measures: MRL stage-1 pairs are q·(n−1)
@@ -314,7 +316,8 @@ object ScaleProbe {
       timed("writeIvfIndex(prefix16)")(
         Similarity.writeIvfIndex(prefix(emb), mrlIdx, nlist = 16))
       println("mrlCellRowsTotal=" +
-        spark.read.parquet(s"$mrlIdx/cells").count())
+        spark.read.parquet(
+          graft.sources.EpochDir.live(spark, s"$mrlIdx/cells")).count())
       val mrlQ = prefix(emb.filter(col("vec_id").isin(0L, 1L, 2L)))
       val s1 = Similarity.ivfTopKIndexed(spark, mrlIdx, mrlQ,
         k = 50, nProbe = 8)
@@ -325,7 +328,8 @@ object ScaleProbe {
       val s1cells = "\\d+".r.findAllIn(
         s1pf.replaceAll("cell#\\d+", "cell")).map(_.toInt).toSeq.distinct
       println(s"mrlProbedCells=${s1cells.size}")
-      println("mrlProbedCellRows=" + spark.read.parquet(s"$mrlIdx/cells")
+      println("mrlProbedCellRows=" + spark.read.parquet(
+        graft.sources.EpochDir.live(spark, s"$mrlIdx/cells"))
         .filter(col("cell").isin(s1cells: _*)).count())
       println("mrlFunnelRows=" + timed("full s_mrl_ivf")(
         SparkEntry.queries("s_mrl_ivf")(spark, sfDir).count()))
@@ -340,7 +344,8 @@ object ScaleProbe {
       timed("compactCellIndex(cap=2048)")(
         Similarity.compactCellIndex(spark, s"$mrlIdx/cells",
           maxRecordsPerFile = 2048L))
-      val perFile = spark.read.parquet(s"$mrlIdx/cells")
+      val perFile = spark.read.parquet(
+        graft.sources.EpochDir.live(spark, s"$mrlIdx/cells"))
         .groupBy(input_file_name().as("f")).count()
         .agg(count(lit(1)).as("files"), max(col("count")).as("maxRows"))
         .head()

@@ -286,10 +286,12 @@ object Dedup {
   def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
       table: graft.model.TableRef, bands: Int = 6, rowsPerBand: Int = 2,
       buckets: Int = 8): Unit =
-    graft.sources.CatalogOps.writeBucketed(
-      minhashBands(df, idCol, textCol, bands, rowsPerBand),
-      table, bucketCols = Seq("band", "key"), numBuckets = buckets,
-      sortCols = Seq("band", "key"))
+    graft.sources.CatalogOps.publishEpoch(df.sparkSession, table) { eRef =>
+      graft.sources.CatalogOps.writeBucketed(
+        minhashBands(df, idCol, textCol, bands, rowsPerBand),
+        eRef, bucketCols = Seq("band", "key"), numBuckets = buckets,
+        sortCols = Seq("band", "key"))
+    }
 
   /** Grow a [[writeBandIndex]] index by an ingested batch: append the
     * batch's OWN band rows (the batch-sized signature pass only — the
@@ -300,13 +302,15 @@ object Dedup {
   def appendToBandIndex(batch: DataFrame, idCol: String, textCol: String,
       table: graft.model.TableRef, bands: Int = 6, rowsPerBand: Int = 2,
       buckets: Int = 8): Unit = {
-    // heal a torn compaction swap BEFORE appending: appendBucketed
-    // CREATES a missing table, which would rebind the live name to a
-    // batch-sized index and strand the staged full copy forever
-    recoverBandIndex(batch.sparkSession, table)
+    // batches land INSIDE the live epoch table — appends never create
+    // epochs (a concurrent reader sees pre- or post-append rows, both
+    // valid corpus states); resolving the epoch also fails fast when
+    // the index was never built (appendBucketed would otherwise CREATE
+    // a batch-sized table under the epoch name)
     graft.sources.CatalogOps.appendBucketed(
       minhashBands(batch, idCol, textCol, bands, rowsPerBand),
-      table, bucketCols = Seq("band", "key"), numBuckets = buckets,
+      graft.sources.CatalogOps.liveEpochTable(batch.sparkSession, table),
+      bucketCols = Seq("band", "key"), numBuckets = buckets,
       sortCols = Seq("band", "key"))
   }
 
@@ -320,12 +324,15 @@ object Dedup {
     * each writer task holds exactly one bucket — and compaction
     * therefore changes file counts, never join partitioning: the
     * compacted index still band-joins with zero index-side exchange
-    * (spec-asserted in CompactionSpec). Write-stage-publish: the
-    * compacted copy is fully materialized in a staging table, then
-    * swapped in by rename-aside — the index data exists in at least
-    * one complete table at every instant (the live NAME may be
-    * unbound for the instant between the two renames; both copies
-    * survive any crash).
+    * (spec-asserted in CompactionSpec). Publish is a NEW EPOCH table
+    * behind the index VIEW ([[graft.sources.CatalogOps.publishEpoch]]):
+    * the compacted copy materializes fully, then the view re-points in
+    * one atomic catalog op — no table is ever renamed, so CONCURRENT
+    * READERS are safe: a probe planned against epoch N keeps its files
+    * while N+1 publishes (one superseded epoch is retained as grace)
+    * and returns the pre-compaction result; the next probe resolves
+    * N+1. Spec-asserted under a live probe loop across ≥20 compaction
+    * cycles in SoakSpec.
     */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       table: graft.model.TableRef, buckets: Int = 8): Unit =
@@ -334,70 +341,28 @@ object Dedup {
   /** The [[compactBandIndex]] mechanics for ANY bucketed standing index
     * (band index, shingle index): one file per bucket, bucket spec —
     * and therefore the exchange-free join property — preserved,
-    * write-stage-rename publish with [[recoverBandIndex]] healing.
+    * epoch-view publish (atomic, concurrent-reader-safe).
     */
   def compactBucketedIndex(spark: org.apache.spark.sql.SparkSession,
       table: graft.model.TableRef, bucketCols: Seq[String],
       buckets: Int): Unit = {
-    recoverBandIndex(spark, table)
-    val staging = graft.model.TableRef(table.db, table.table + "_compacting")
-    graft.sources.CatalogOps.dropTable(spark, staging)
-    // Repartition on the COMPUTED bucket id (pmod(murmur3, n) — the
-    // bucket formula itself), not on the raw columns: an exchange on
-    // the raw columns is ELIMINATED because the bucketed scan already
-    // satisfies that distribution, leaving the accreted file grouping
-    // in charge of output file count. The bucket-id key can't be
-    // elided, keeps every bucket whole within one writer task, and so
-    // yields exactly one file per bucket.
-    graft.sources.CatalogOps.writeBucketed(
-      spark.table(table.qualified)
-        .repartition(buckets, pmod(hash(bucketCols.map(col): _*),
+    // read the CURRENT epoch's rows, not the view: the view would
+    // re-resolve during the write and must keep serving readers anyway
+    val live = spark.table(
+      graft.sources.CatalogOps.liveEpochTable(spark, table).qualified)
+    graft.sources.CatalogOps.publishEpoch(spark, table) { eRef =>
+      // Repartition on the COMPUTED bucket id (pmod(murmur3, n) — the
+      // bucket formula itself), not on the raw columns: an exchange on
+      // the raw columns is ELIMINATED because the bucketed scan already
+      // satisfies that distribution, leaving the accreted file grouping
+      // in charge of output file count. The bucket-id key can't be
+      // elided, keeps every bucket whole within one writer task, and so
+      // yields exactly one file per bucket.
+      graft.sources.CatalogOps.writeBucketed(
+        live.repartition(buckets, pmod(hash(bucketCols.map(col): _*),
           lit(buckets))),
-      staging, bucketCols = bucketCols, numBuckets = buckets,
-      sortCols = bucketCols)
-    // Publish by rename-aside, not drop-first: the data exists in ≥1
-    // complete table at every instant (a crash between the renames can
-    // leave the live NAME briefly unbound, but both copies survive and
-    // [[recoverBandIndex]] heals the binding on the next open).
-    val old = graft.model.TableRef(table.db, table.table + "_old")
-    graft.sources.CatalogOps.dropTable(spark, old)
-    graft.sources.CatalogOps.renameTable(spark, table, old)
-    graft.sources.CatalogOps.renameTable(spark, staging, table)
-    graft.sources.CatalogOps.dropTable(spark, old)
-  }
-
-  /** Crash recovery for the [[compactBandIndex]] swap — the catalog
-    * twin of [[Similarity.recoverCellDir]]: if the live table NAME is
-    * unbound, a crash landed between the two publish renames; the
-    * staged compacted table (complete by construction — its write
-    * finishes before the first rename starts) is rolled FORWARD into
-    * the live name, or failing that `_old` is rolled back. Idempotent
-    * and O(catalog); both the compactor and the read path call it, so
-    * a crashed compaction heals on the next band join instead of
-    * requiring a manual rename.
-    */
-  private[graft] def recoverBandIndex(
-      spark: org.apache.spark.sql.SparkSession,
-      table: graft.model.TableRef): Unit = {
-    import graft.sources.CatalogOps
-    if (!CatalogOps.tableExists(spark, table)) {
-      val staging =
-        graft.model.TableRef(table.db, table.table + "_compacting")
-      val old = graft.model.TableRef(table.db, table.table + "_old")
-      // Concurrent healers race benignly: a loser's rename throws
-      // because the winner already rebound the live name — swallow the
-      // failure iff the live table exists afterwards.
-      def tryRename(from: graft.model.TableRef): Boolean =
-        try { CatalogOps.renameTable(spark, from, table); true }
-        catch {
-          case e: Exception =>
-            if (CatalogOps.tableExists(spark, table)) false else throw e
-        }
-      if (CatalogOps.tableExists(spark, staging)) {
-        if (tryRename(staging)) CatalogOps.dropTable(spark, old)
-      } else if (CatalogOps.tableExists(spark, old)) {
-        tryRename(old); ()
-      }
+        eRef, bucketCols = bucketCols, numBuckets = buckets,
+        sortCols = bucketCols)
     }
   }
 
@@ -414,7 +379,9 @@ object Dedup {
       indexTable: graft.model.TableRef,
       bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     val spark = batch.sparkSession
-    recoverBandIndex(spark, indexTable)
+    // the index name is an epoch VIEW: analysis resolves it to an
+    // immutable epoch table, so a concurrent compaction cannot tear
+    // this probe (it publishes a NEW epoch and re-points the view)
     val relB = shingleRelation(batch, idCol, textCol)
     val cand = bandsFromRelation(relB, bands, rowsPerBand).as("x")
       .join(spark.table(indexTable.qualified).as("y"),
@@ -437,10 +404,14 @@ object Dedup {
     */
   def writeShingleIndex(train: DataFrame, idCol: String, textCol: String,
       table: graft.model.TableRef, buckets: Int = 8): Unit =
-    graft.sources.CatalogOps.writeBucketed(
-      shingleRelation(train, idCol, textCol).select("shingle").distinct(),
-      table, bucketCols = Seq("shingle"), numBuckets = buckets,
-      sortCols = Seq("shingle"))
+    graft.sources.CatalogOps.publishEpoch(train.sparkSession, table) {
+      eRef =>
+        graft.sources.CatalogOps.writeBucketed(
+          shingleRelation(train, idCol, textCol)
+            .select("shingle").distinct(),
+          eRef, bucketCols = Seq("shingle"), numBuckets = buckets,
+          sortCols = Seq("shingle"))
+    }
 
   /** Grow a [[writeShingleIndex]] index by newly-admitted train
     * documents: append the batch's own distinct shingles with the same
@@ -452,12 +423,12 @@ object Dedup {
   def appendToShingleIndex(batch: DataFrame, idCol: String,
       textCol: String, table: graft.model.TableRef,
       buckets: Int = 8): Unit = {
-    // same torn-swap healing as the band index: appendBucketed would
-    // CREATE the missing live name batch-sized otherwise
-    recoverBandIndex(batch.sparkSession, table)
+    // batches land INSIDE the live epoch table (same contract as the
+    // band index; resolution fails fast if the index was never built)
     graft.sources.CatalogOps.appendBucketed(
       shingleRelation(batch, idCol, textCol).select("shingle").distinct(),
-      table, bucketCols = Seq("shingle"), numBuckets = buckets,
+      graft.sources.CatalogOps.liveEpochTable(batch.sparkSession, table),
+      bucketCols = Seq("shingle"), numBuckets = buckets,
       sortCols = Seq("shingle"))
   }
 
@@ -475,7 +446,6 @@ object Dedup {
   def contaminationAgainstIndex(batch: DataFrame, idCol: String,
       textCol: String, table: graft.model.TableRef): DataFrame = {
     val spark = batch.sparkSession
-    recoverBandIndex(spark, table)
     // ONE pass over the batch shingles: the left join carries a hit
     // marker for the misses, so total and shared come out of the same
     // rollup (the shape the streaming twin uses) instead of scanning
@@ -863,7 +833,8 @@ object Dedup {
     val bAss = Similarity.assignCells(batch, cents, idCol, vecCol)
     val cells = bAss.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cAss = spark.read.parquet(s"$path/cells")
+    val cAss = spark.read.parquet(
+      graft.sources.EpochDir.live(spark, s"$path/cells"))
       .filter(col("cell").isin(cells: _*))
     semanticWitness(cAss, bAss, tau)
   }

@@ -502,8 +502,11 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val cents = seedCentroids(corpus, nlist, idCol, vecCol)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    assignCells(corpus, cents, idCol, vecCol)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    graft.sources.EpochDir.publish(corpus.sparkSession, s"$path/cells") {
+      target =>
+        assignCells(corpus, cents, idCol, vecCol)
+          .write.mode("overwrite").partitionBy("cell").parquet(target)
+    }
   }
 
   /** Grow a [[writeIvfIndex]] index by an ingested batch: assign the
@@ -516,14 +519,14 @@ object Similarity {
     */
   def appendToIvfIndex(batch: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    // heal a torn compaction swap BEFORE appending: an append into the
-    // missing live dir would recreate it batch-sized and strand the
-    // staged full copy forever (recoverCellDir would then see the live
-    // dir present and never roll forward)
-    recoverCellDir(batch.sparkSession, s"$path/cells")
-    val cents = batch.sparkSession.read.parquet(s"$path/centroids")
+    val spark = batch.sparkSession
+    // batches land INSIDE the live epoch — appends never create epochs
+    // (a concurrent reader sees pre- or post-append listing, both
+    // valid corpus states)
+    val live = graft.sources.EpochDir.live(spark, s"$path/cells")
+    val cents = spark.read.parquet(s"$path/centroids")
     assignCells(batch, cents, idCol, vecCol)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("append").partitionBy("cell").parquet(live)
   }
 
   /** ANN over a PERSISTED [[writeIvfIndex]] index: probe cells come
@@ -536,12 +539,15 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    recoverCellDir(spark, s"$path/cells")
+    // resolve the live epoch ONCE: the whole search plans against its
+    // immutable file paths, so a concurrent compaction (which publishes
+    // a NEW epoch and never touches this one) cannot tear the read
+    val live = graft.sources.EpochDir.live(spark, s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
     val qprobes = probeCells(queries, cents, nProbe, idCol, vecCol)
     val cells = qprobes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = spark.read.parquet(s"$path/cells")
+    val assigned = spark.read.parquet(live)
       .filter(col("cell").isin(cells: _*))
     rerankCells(assigned, qprobes, k)
   }
@@ -762,10 +768,12 @@ object Similarity {
     // (see [[appendToIvfPqIndex]]). The second partition level changes
     // directory depth only — cell pruning is untouched (cell stays the
     // first level) and search reads ignore the column.
-    staged.join(assigned, "vid")
-      .withColumn("_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("cell", "_batch")
-      .parquet(s"$path/codes")
+    graft.sources.EpochDir.publish(spark, s"$path/codes") { target =>
+      staged.join(assigned, "vid")
+        .withColumn("_batch", lit(-1L))
+        .write.mode("overwrite").partitionBy("cell", "_batch")
+        .parquet(target)
+    }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes_staging"), true)
@@ -814,10 +822,8 @@ object Similarity {
       batchId: Option[Long] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
-    // same torn-swap healing as the search path: appending into a
-    // missing live dir would recreate it batch-sized and permanently
-    // strand the staged full copy
-    recoverCellDir(spark, s"$path/codes")
+    // batches land INSIDE the live epoch (appends never create epochs)
+    val live = graft.sources.EpochDir.live(spark, s"$path/codes")
     val coarse = spark.read.parquet(s"$path/coarse")
     val cbooks = spark.read.parquet(s"$path/codebooks")
     val (mm, dd) = pqGeometryOf(cbooks)
@@ -840,10 +846,10 @@ object Similarity {
       case Some(_) =>
         rows.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell", "_batch").parquet(s"$path/codes")
+          .partitionBy("cell", "_batch").parquet(live)
       case None =>
         rows.write.mode("append")
-          .partitionBy("cell", "_batch").parquet(s"$path/codes")
+          .partitionBy("cell", "_batch").parquet(live)
     }
   }
 
@@ -866,26 +872,21 @@ object Similarity {
     * compaction is the batch-history horizon, so it requires quiesced
     * WRITERS as well as readers.
     *
-    * Publish is write-stage-rename: the compacted copy is fully
-    * written beside the live directory, then swapped with two renames.
-    * A crash between the renames leaves the live path unbound with the
-    * data intact in `._old` (and complete in `._compacting`);
-    * [[recoverCellDir]] — called by every open (search, compact) —
-    * rolls such a crash FORWARD to the staged copy automatically, so
-    * the index never needs a manual rename to come back. Concurrent
-    * readers during the swap window can still observe the unbound
-    * path: compaction is an OPTIMIZE maintenance action — run it
-    * against a quiesced reader set, like the band-index twin. (On
-    * object stores where rename is copy — raw S3A — the swap costs one
-    * extra copy of the compacted data, or point the index at a
-    * rename-capable layer; the staging write itself is the safety.)
+    * Publish is a NEW EPOCH ([[graft.sources.EpochDir]]): the
+    * compacted copy lands beside the live epoch and commits via its
+    * `_SUCCESS` marker; no live file ever moves, so CONCURRENT READERS
+    * are safe — a search planned against epoch N keeps its files while
+    * N+1 publishes (one superseded epoch is retained as grace) and
+    * returns the pre-compaction result; the next open resolves N+1.
+    * Spec-asserted under a live search loop across ≥20 compaction
+    * cycles in SoakSpec. A crash mid-write leaves an uncommitted epoch
+    * the resolver never sees and the next publish overwrites. (On
+    * object stores this is also rename-free — pure write + delete —
+    * so raw S3A needs no rename-capable layer anymore.)
     */
   def compactCellIndex(spark: SparkSession, dir: String,
       maxRecordsPerFile: Long = 4L * 1024 * 1024): Unit = {
-    import org.apache.hadoop.fs.Path
-    recoverCellDir(spark, dir)
-    val staging = s"${dir}._compacting"
-    val live = spark.read.parquet(dir)
+    val live = spark.read.parquet(graft.sources.EpochDir.live(spark, dir))
     val total = live.count()
     val nParts = math.max(1L,
       math.ceil(total.toDouble / maxRecordsPerFile).toLong).toInt
@@ -895,48 +896,10 @@ object Similarity {
       if (hasBatch) (ranged.withColumn("_batch", lit(-1L)),
         Seq("cell", "_batch"))
       else (ranged, Seq("cell"))
-    out.write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partCols: _*).parquet(staging)
-    val fs = new Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(s"${dir}._old")
-    fs.delete(old, true)
-    require(fs.rename(new Path(dir), old),
-      s"compactCellIndex: could not stage out live dir $dir")
-    require(fs.rename(new Path(staging), new Path(dir)),
-      s"compactCellIndex: could not publish compacted dir into $dir " +
-        s"(original preserved at $old)")
-    fs.delete(old, true)
-  }
-
-  /** Crash recovery for the [[compactCellIndex]] swap: if the live dir
-    * is missing, a crash landed between the two publish renames — the
-    * staged compacted copy (complete by construction: staging finishes
-    * before the first rename starts) is rolled FORWARD into the live
-    * path, or failing that the `._old` copy is rolled back. Idempotent
-    * and O(metadata); every index open calls it, so a crashed
-    * compaction heals on the next search instead of requiring a manual
-    * rename.
-    */
-  private[graft] def recoverCellDir(spark: SparkSession, dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val livePath = new Path(dir)
-    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(livePath)) {
-      val staging = new Path(s"${dir}._compacting")
-      val old = new Path(s"${dir}._old")
-      // Concurrent healers race benignly: each rename is attempted
-      // only while the live path is absent, and a loser's failed
-      // rename just means the winner already rebound it — re-check
-      // liveness instead of asserting the rename.
-      if (fs.exists(staging) && fs.rename(staging, livePath)) {
-        fs.delete(old, true)
-      } else if (!fs.exists(livePath) && fs.exists(old)) {
-        val renamed = fs.rename(old, livePath)
-        require(renamed || fs.exists(livePath),
-          s"recoverCellDir: live $dir missing and ._old unrenamable")
-      }
+    graft.sources.EpochDir.publish(spark, dir) { target =>
+      out.write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(partCols: _*).parquet(target)
     }
   }
 
@@ -964,7 +927,10 @@ object Similarity {
   def adcIvfTopKIndexed(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    recoverCellDir(spark, s"$path/codes")
+    // resolve the live epoch ONCE: the whole search plans against its
+    // immutable file paths, so a concurrent compaction (which publishes
+    // a NEW epoch and never touches this one) cannot tear the read
+    val liveCodes = graft.sources.EpochDir.live(spark, s"$path/codes")
     val coarse = spark.read.parquet(s"$path/coarse")
     val cbooks = spark.read.parquet(s"$path/codebooks")
     val (mm, dd) = pqGeometryOf(cbooks)
@@ -975,7 +941,7 @@ object Similarity {
     val lut = pqLut(queries, cbooks, mm, dd, idCol, vecCol)
     val qn = queries.select(col(idCol).as("qid"),
       sqrt(norm2Exact(col(vecCol))).as("qnrm"))
-    val scored = spark.read.parquet(s"$path/codes")
+    val scored = spark.read.parquet(liveCodes)
       .filter(col("cell").isin(cells: _*))
       .join(broadcast(qprobes), Seq("cell"))
       .filter(col("qid") =!= col("vid"))

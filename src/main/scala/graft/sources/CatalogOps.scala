@@ -26,6 +26,82 @@ object CatalogOps {
   def tableExists(spark: SparkSession, ref: TableRef): Boolean =
     spark.catalog.tableExists(s"${ref.db}.${ref.table}")
 
+  // --- Epoch views: the catalog twin of [[EpochDir]] ------------------
+  //
+  // A standing bucketed index (band index, shingle index) is published
+  // as a VIEW named `ref` over an immutable epoch TABLE `ref__e<N>`.
+  // Readers keep using `spark.table(ref)` — view resolution happens at
+  // analysis time, so every query plans against an epoch table whose
+  // files never move; compaction writes `__e<N+1>` and atomically
+  // re-points the view (CREATE OR REPLACE VIEW is one catalog op),
+  // which can never strand an in-flight reader the way the previous
+  // rename-aside table swap could (a swap moves the files a planned
+  // query is about to open). One superseded epoch is retained as grace
+  // for readers that resolved just before the flip; crash mid-write
+  // leaves an unreferenced epoch table the next publish overwrites.
+
+  // matches the epoch table in the view's authored `FROM db.name__eN`
+  // (the base index name never carries the `__e` infix)
+  private val EpochSuffix = "__e(\\d+)".r
+
+  def epochRef(ref: TableRef, n: Long): TableRef =
+    TableRef(ref.db, s"${ref.table}__e$n")
+
+  /** The epoch number the index view currently points at (None if the
+    * view does not exist — index never built).
+    */
+  def currentEpoch(spark: SparkSession, ref: TableRef): Option[Long] =
+    if (!tableExists(spark, ref)) None
+    else {
+      val ddl = spark.sql(s"SHOW CREATE TABLE ${ref.qualified}")
+        .head().getString(0)
+      EpochSuffix.findFirstMatchIn(ddl).map(_.group(1).toLong)
+    }
+
+  /** The live epoch TABLE behind the index view — for writers
+    * (appends go INSIDE the live epoch) and for metadata introspection
+    * (views have no location).
+    */
+  def liveEpochTable(spark: SparkSession, ref: TableRef): TableRef = {
+    val n = currentEpoch(spark, ref).getOrElse(
+      throw new IllegalStateException(
+        s"liveEpochTable: index view ${ref.qualified} does not exist"))
+    epochRef(ref, n)
+  }
+
+  /** Publish a new epoch: `write` materializes the epoch table, then
+    * the view flips to it atomically and epochs older than the one
+    * just superseded are dropped. Used by both the initial build
+    * (epoch 0) and every rebuild/compaction.
+    */
+  def publishEpoch(spark: SparkSession, ref: TableRef)
+      (write: TableRef => Unit): Unit = {
+    val next = currentEpoch(spark, ref).map(_ + 1).getOrElse(0L)
+    write(epochRef(ref, next))
+    spark.sql(s"CREATE OR REPLACE VIEW ${ref.qualified} AS " +
+      s"SELECT * FROM ${epochRef(ref, next).qualified}")
+    // grace: keep epoch next-1 for in-flight readers; drop older ones
+    // (plus any crashed-write debris below the live epoch)
+    val prefix = s"${ref.table}__e"
+    spark.catalog.listTables(ref.db).collect()
+      .filter(t => t.name.startsWith(prefix) && t.tableType != "VIEW")
+      .foreach { t =>
+        val n = t.name.stripPrefix(prefix)
+        if (n.forall(_.isDigit) && n.toLong < next - 1)
+          dropTable(spark, TableRef(ref.db, t.name))
+      }
+  }
+
+  /** Tear down an epoch-view index: the view and every epoch table. */
+  def dropEpochIndex(spark: SparkSession, ref: TableRef): Unit = {
+    spark.sql(s"DROP VIEW IF EXISTS ${ref.qualified}")
+    val prefix = s"${ref.table}__e"
+    spark.catalog.listTables(ref.db).collect()
+      .filter(t => t.name.startsWith(prefix) &&
+        t.name.stripPrefix(prefix).forall(_.isDigit))
+      .foreach(t => dropTable(spark, TableRef(ref.db, t.name)))
+  }
+
   /** All non-view tables in a database (A9). */
   def listDataTables(spark: SparkSession, db: String): Seq[String] =
     spark.catalog.listTables(db).collect()

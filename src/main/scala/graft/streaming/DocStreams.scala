@@ -92,7 +92,8 @@ object DocStreams {
     val arriving = Similarity.assignCellsMapOnly(stream, cents)
       .select(col("vid"), col("cell"), col("cvec").as("vb"),
         sqrt(floatNorm2(col("cvec"))).as("nb"))
-    val corpus = spark.read.parquet(s"$indexPath/cells")
+    val corpus = spark.read.parquet(
+      graft.sources.EpochDir.live(spark, s"$indexPath/cells"))
       .select(col("cell"), col("vid").as("witness"), col("cvec").as("va"),
         sqrt(floatNorm2(col("cvec"))).as("na"))
     val cheap = round(floatDot(col("va"), col("vb")) / (col("na") * col("nb")), 8)
@@ -184,9 +185,9 @@ object DocStreams {
   def contaminationCandidates(stream: DataFrame,
       indexTable: graft.model.TableRef): DataFrame = {
     val spark = stream.sparkSession
-    // the batch read paths heal a torn compaction swap; the streaming
-    // gate must too, or its first micro-batch dies on table-not-found
-    Dedup.recoverBandIndex(spark, indexTable)
+    // the index name is an epoch VIEW (CatalogOps.publishEpoch):
+    // resolution pins an immutable epoch table, so a compaction during
+    // the stream can never tear a micro-batch's read
     val train = spark.table(indexTable.qualified)
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1))

@@ -673,6 +673,53 @@ object EventStreams {
     }
   }
 
+  /** Measured evidence for the bounded-state claim of the watermarked
+    * operators: slice a batch `events` frame into `slices` time-ordered
+    * files, replay them one file per micro-batch through `xform`, and
+    * return the per-batch (numInputRows, state numRowsTotal) read off
+    * the streaming progress. Because the watermark advances between
+    * slices, a state-BOUNDED operator's numRowsTotal plateaus at the
+    * rows inside its time window while ingested rows grow linearly —
+    * the difference between "state ∝ watermark window" (deployable at
+    * 100 TB/day) and "state ∝ stream history" (an eventual OOM).
+    * Spec-asserted for the stream-stream join under RocksDB
+    * (EventStreamsSpec); probed at 10× in SCALING.md (ScaleProbe
+    * r16adds).
+    */
+  def stateSizeProfile(spark: SparkSession, events: DataFrame, slices: Int,
+      workDir: String, xform: DataFrame => DataFrame): Seq[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val b = events.agg(min(col("ts")).cast("long").as("lo"),
+      max(col("ts")).cast("long").as("hi")).head()
+    val (lo, span) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0) + 1))
+    val inDir = s"$workDir/in"
+    val fs = new Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(inDir))
+    (0 until slices).foreach { k =>
+      // one data file per slice, named+written in time order so the
+      // file source replays history chronologically
+      val tmp = s"$workDir/tmp_$k"
+      events.filter(
+        floor((col("ts").cast("long") - lo) * slices / span) === k)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      fs.listStatus(new Path(tmp)).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .foreach(p => fs.rename(p, new Path(f"$inDir/slice_$k%04d.parquet")))
+      fs.delete(new Path(tmp), true)
+    }
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = xform(stream).writeStream.format("noop")
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+      .map(p => (p.numInputRows,
+        p.stateOperators.map(_.numRowsTotal).sum))
+  }
+
   /** Run any of the above to a named in-memory sink synchronously
     * (test/demo harness; production sinks swap the format).
     */

@@ -3,12 +3,16 @@ package graft.operators
 import org.apache.spark.sql.functions.col
 
 import graft.SparkFunSuite
+import graft.sources.{CatalogOps, EpochDir}
 
 /** OPTIMIZE for the standing indexes: compaction must cut file counts
   * to one-per-bucket / one-per-cell while PRESERVING the layout that
   * makes the index an index — the bucket spec (zero index-side
   * exchange in the band join) and the cell partitioning (partition
   * pruning in the probed search) — and must not change any result.
+  * Publish is epoch-based (EpochDir / CatalogOps.publishEpoch): new
+  * epochs appear beside the live one and the pointer flips atomically,
+  * so crash states are stale-but-complete epochs, never torn swaps.
   */
 class CompactionSpec extends SparkFunSuite {
 
@@ -24,6 +28,18 @@ class CompactionSpec extends SparkFunSuite {
         f.getName.startsWith("part-")) Seq(f)
       else Nil
     walk(dir)
+  }
+
+  // EpochDir paths come back with the fs scheme (file:/…) — go
+  // through URI for local File assertions
+  private def localFile(p: String): java.io.File =
+    new java.io.File(new java.net.URI(p))
+
+  private def epochLoc(t: graft.model.TableRef): java.io.File = {
+    val s = spark
+    new java.io.File(new java.net.URI(
+      s.sql(s"DESC FORMATTED ${CatalogOps.liveEpochTable(s, t).qualified}")
+        .filter(col("col_name") === "Location").head().getString(1)))
   }
 
   test("compactBandIndex: one file per bucket, same pairs, still exchange-free") {
@@ -43,19 +59,12 @@ class CompactionSpec extends SparkFunSuite {
         batch, grown, "doc_id", "text", 0.5, idxT)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-      val loc = new java.io.File(new java.net.URI(
-        s.sql(s"DESC FORMATTED ${idxT.qualified}")
-          .filter(col("col_name") === "Location")
-          .head().getString(1)))
-      val filesBefore = dataFiles(loc).size
+      val filesBefore = dataFiles(epochLoc(idxT)).size
       assert(filesBefore > 8,
         s"appends should have accreted >8 files, found $filesBefore")
 
       Dedup.compactBandIndex(s, idxT, buckets = 8)
-      val filesAfter = dataFiles(new java.io.File(new java.net.URI(
-        s.sql(s"DESC FORMATTED ${idxT.qualified}")
-          .filter(col("col_name") === "Location")
-          .head().getString(1)))).size
+      val filesAfter = dataFiles(epochLoc(idxT)).size
       assert(filesAfter == 8, s"expected 8 bucket files, got $filesAfter")
 
       val after = Dedup.minhashNearDupsAgainstIndex(
@@ -63,9 +72,10 @@ class CompactionSpec extends SparkFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(after.nonEmpty && after == before)
 
-      // bucket spec preserved: with broadcast disabled the band join
-      // still reads the index side straight off its bucketed scan —
-      // exactly ONE (band, key) exchange in the plan (the batch's)
+      // bucket spec preserved THROUGH THE EPOCH VIEW: with broadcast
+      // disabled the band join still reads the index side straight off
+      // its bucketed scan — exactly ONE (band, key) exchange in the
+      // plan (the batch's)
       val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -80,7 +90,7 @@ class CompactionSpec extends SparkFunSuite {
         assert("hashpartitioning\\(band".r.findAllMatchIn(plan).length == 1,
           s"compacted index must still join without its own exchange:\n$plan")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    } finally graft.sources.CatalogOps.dropTable(s, idxT)
+    } finally CatalogOps.dropEpochIndex(s, idxT)
   }
 
   test("compactIvfIndex: one file per cell, same search, still pruned") {
@@ -91,10 +101,10 @@ class CompactionSpec extends SparkFunSuite {
     Similarity.writeIvfIndex(corpus, path, nlist = 16)
     Similarity.appendToIvfIndex(wave, path)
 
-    val cellsDir = new java.io.File(s"$path/cells")
-    val cellCount = cellsDir.listFiles()
+    def liveDir = localFile(EpochDir.live(spark, s"$path/cells"))
+    val cellCount = liveDir.listFiles()
       .count(_.getName.startsWith("cell="))
-    val filesBefore = dataFiles(cellsDir).size
+    val filesBefore = dataFiles(liveDir).size
     assert(filesBefore > cellCount,
       s"append should leave >1 file in some cell ($filesBefore/$cellCount)")
     val before = Similarity.ivfTopKIndexed(spark, path, queries, k = 5)
@@ -102,7 +112,7 @@ class CompactionSpec extends SparkFunSuite {
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
 
     Similarity.compactIvfIndex(spark, path)
-    val filesAfter = dataFiles(new java.io.File(s"$path/cells")).size
+    val filesAfter = dataFiles(liveDir).size
     assert(filesAfter == cellCount,
       s"expected one file per cell ($cellCount), got $filesAfter")
 
@@ -134,10 +144,10 @@ class CompactionSpec extends SparkFunSuite {
       .collect().map(r =>
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     Similarity.compactIvfPqIndex(spark, path)
-    val codesDir = new java.io.File(s"$path/codes")
-    val cellCount = codesDir.listFiles().count(_.getName.startsWith("cell="))
-    assert(dataFiles(codesDir).size == cellCount,
-      s"expected one file per cell ($cellCount), got ${dataFiles(codesDir).size}")
+    val liveDir = localFile(EpochDir.live(spark, s"$path/codes"))
+    val cellCount = liveDir.listFiles().count(_.getName.startsWith("cell="))
+    assert(dataFiles(liveDir).size == cellCount,
+      s"expected one file per cell ($cellCount), got ${dataFiles(liveDir).size}")
     val after = Similarity.adcIvfTopKIndexed(spark, path, queries, k = 5)
       .collect().map(r =>
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
@@ -159,14 +169,21 @@ class CompactionSpec extends SparkFunSuite {
     val cold = (5000L until 5400L).map(v => (v, 1 + (v % 4).toInt))
     def rows(chunk: Seq[(Long, Int)]) =
       chunk.toDF("vid", "cell").withColumn("_batch", lit(-1L))
-    Seq(hot.take(2000), hot.slice(2000, 4000), hot.drop(4000) ++ cold)
+    // initial epoch, then appends INSIDE the live epoch (the layout
+    // the write/append APIs produce)
+    EpochDir.publish(s, dir) { target =>
+      rows(hot.take(2000)).write.mode("overwrite")
+        .partitionBy("cell", "_batch").parquet(target)
+    }
+    Seq(hot.slice(2000, 4000), hot.drop(4000) ++ cold)
       .foreach(c => rows(c).write.mode("append")
-        .partitionBy("cell", "_batch").parquet(dir))
-    assert(dataFiles(new java.io.File(dir)).size > 5)
+        .partitionBy("cell", "_batch").parquet(EpochDir.live(s, dir)))
+    assert(dataFiles(localFile(EpochDir.live(s, dir))).size > 5)
 
     Similarity.compactCellIndex(s, dir, maxRecordsPerFile = 500L)
 
-    val perFile = s.read.parquet(dir)
+    val live = EpochDir.live(s, dir)
+    val perFile = s.read.parquet(live)
       .groupBy(input_file_name().as("f")).count().collect()
     assert(perFile.forall(_.getLong(1) <= 500L),
       s"files over the 500-row cap: ${perFile.filter(_.getLong(1) > 500L).mkString(", ")}")
@@ -174,21 +191,22 @@ class CompactionSpec extends SparkFunSuite {
     val hotFiles = perFile.count(_.getString(0).contains("cell=0/"))
     assert(hotFiles >= 10, s"hot cell should span >=10 capped files, got $hotFiles")
     // pruning survives the rewrite
-    val pruned = s.read.parquet(dir).filter(col("cell") === 1)
+    val pruned = s.read.parquet(live).filter(col("cell") === 1)
     pruned.collect()
     val plan = pruned.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert("PartitionFilters: \\[.*cell".r.findFirstIn(plan).isDefined, plan)
-    assert(s.read.parquet(dir).count() == 5400L)
+    assert(s.read.parquet(live).count() == 5400L)
   }
 
-  test("recoverBandIndex: an unbound live table heals on the next band join") {
-    // Catalog twin of the cell-dir recovery: crash mid-swap leaves the
-    // live NAME unbound with the compacted staging table complete; the
-    // next read must roll forward transparently.
+  test("band index: a crashed epoch publish is invisible and self-heals") {
+    // Crash model: the compacted epoch TABLE materialized fully but the
+    // view flip never ran. Readers must keep answering from the still-
+    // referenced epoch; the next compaction must republish over the
+    // debris and advance the view.
     val s = spark
     s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
-    val idxT = graft.model.TableRef("graft_test", "band_idx_recover")
+    val idxT = graft.model.TableRef("graft_test", "band_idx_crash")
     val corpus = docs.filter(col("doc_id") < 300)
     val batch = docs.filter(col("doc_id") >= 400)
     try {
@@ -196,88 +214,64 @@ class CompactionSpec extends SparkFunSuite {
       val before = Dedup.minhashNearDupsAgainstIndex(
         batch, corpus, "doc_id", "text", 0.5, idxT)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      // stage a compacted copy, then crash between the renames
-      val staging = graft.model.TableRef(idxT.db, idxT.table + "_compacting")
-      graft.sources.CatalogOps.writeBucketed(
-        s.table(idxT.qualified), staging,
+      assert(before.nonEmpty)
+      // simulate the crash: epoch 1 table complete, view still at e0
+      CatalogOps.writeBucketed(
+        s.table(idxT.qualified), CatalogOps.epochRef(idxT, 1),
         bucketCols = Seq("band", "key"), numBuckets = 8,
         sortCols = Seq("band", "key"))
-      graft.sources.CatalogOps.renameTable(s,
-        idxT, graft.model.TableRef(idxT.db, idxT.table + "_old"))
-      assert(!graft.sources.CatalogOps.tableExists(s, idxT))
+      assert(CatalogOps.currentEpoch(s, idxT).contains(0L))
+      val during = Dedup.minhashNearDupsAgainstIndex(
+        batch, corpus, "doc_id", "text", 0.5, idxT)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(during == before, "debris epoch must be invisible to readers")
+      // the next OPTIMIZE republishes over the debris and flips
+      Dedup.compactBandIndex(s, idxT, buckets = 8)
+      assert(CatalogOps.currentEpoch(s, idxT).contains(1L))
       val healed = Dedup.minhashNearDupsAgainstIndex(
         batch, corpus, "doc_id", "text", 0.5, idxT)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(healed == before && healed.nonEmpty)
-      assert(graft.sources.CatalogOps.tableExists(s, idxT))
-      assert(!graft.sources.CatalogOps.tableExists(s,
-        graft.model.TableRef(idxT.db, idxT.table + "_old")))
-      assert(!graft.sources.CatalogOps.tableExists(s,
-        graft.model.TableRef(idxT.db, idxT.table + "_compacting")))
-    } finally {
-      Seq("", "_old", "_compacting").foreach(sfx =>
-        graft.sources.CatalogOps.dropTable(s,
-          graft.model.TableRef(idxT.db, idxT.table + sfx)))
-    }
+      assert(healed == before)
+    } finally CatalogOps.dropEpochIndex(s, idxT)
   }
 
-  test("append after a torn swap heals first instead of stranding the full index") {
-    // The review-flagged failure class: an append landing while the
-    // live dir is unbound (crash between the publish renames) must NOT
-    // recreate the dir batch-sized — it must roll the staged full copy
-    // forward first, then append into it.
+  test("cell index: an uncommitted epoch is invisible; appends land in the live one") {
+    // Crash model: a compaction died mid-write, leaving an epoch dir
+    // WITHOUT _SUCCESS. The resolver must ignore it, appends must land
+    // in the committed epoch, and the next compaction must publish
+    // cleanly over the debris.
     val s = spark
-    val path = tmpDir("ivf_append_heal")
+    val path = tmpDir("ivf_epoch_debris")
     val base = emb.filter(col("vec_id") < 400)
     val wave = emb.filter(col("vec_id") >= 400)
     Similarity.writeIvfIndex(base, path, nlist = 16)
+    val live0 = EpochDir.live(s, s"$path/cells")
+    assert(live0.endsWith("/e0"))
+    // debris: an uncommitted e1 (partial write — no _SUCCESS)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    // stage a complete compacted copy, crash mid-swap
-    s.read.parquet(s"$path/cells").repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/cells._compacting")
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells"),
-      new org.apache.hadoop.fs.Path(s"$path/cells._old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/cells/e1/cell=0"))
+    assert(EpochDir.live(s, s"$path/cells") == live0,
+      "uncommitted epoch must be invisible")
 
     Similarity.appendToIvfIndex(wave, path)
-
-    // the healed-and-grown index holds base AND wave, not wave alone
-    val vids = s.read.parquet(s"$path/cells").select("vid").distinct().count()
+    assert(EpochDir.live(s, s"$path/cells") == live0)
+    val vids = s.read.parquet(EpochDir.live(s, s"$path/cells"))
+      .select("vid").distinct().count()
     assert(vids == emb.count(), s"index holds $vids of ${emb.count()} vids")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells._old")))
-    assert(!fs.exists(
-      new org.apache.hadoop.fs.Path(s"$path/cells._compacting")))
-  }
 
-  test("recoverCellDir: a crash between the publish renames heals on next open") {
-    // Simulate the torn-swap window: live dir renamed aside (first
-    // rename done), staged copy present, second rename never ran. The
-    // next search must roll FORWARD to the staged copy transparently.
-    val s = spark
-    val path = tmpDir("ivf_recover")
-    val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
-    Similarity.writeIvfIndex(emb, path, nlist = 16)
-    val before = Similarity.ivfTopKIndexed(s, path, queries, k = 5)
-      .collect().map(r =>
-        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
-
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
-    // stage a complete compacted copy, then crash mid-swap
-    s.read.parquet(s"$path/cells").repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/cells._compacting")
-    assert(fs.rename(cells, new org.apache.hadoop.fs.Path(s"$path/cells._old")))
-    assert(!fs.exists(cells))
-
-    val healed = Similarity.ivfTopKIndexed(s, path, queries, k = 5)
-      .collect().map(r =>
-        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
-    assert(healed == before)
-    assert(fs.exists(cells) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells._old")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells._compacting")))
+    // next OPTIMIZE publishes e1 over the debris and retains e0 as grace
+    Similarity.compactIvfIndex(s, path)
+    assert(EpochDir.live(s, s"$path/cells").endsWith("/e1"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells/e0")),
+      "the superseded epoch must be retained as reader grace")
+    // and the one after that purges e0
+    Similarity.compactIvfIndex(s, path)
+    assert(EpochDir.live(s, s"$path/cells").endsWith("/e2"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells/e0")),
+      "epochs older than the grace window must be purged")
+    val after = s.read.parquet(EpochDir.live(s, s"$path/cells"))
+      .select("vid").distinct().count()
+    assert(after == emb.count())
   }
 }

@@ -56,7 +56,8 @@ class IvfIndexSpec extends SparkFunSuite {
 
     // the persisted layout is codes-only: no float arrays in the cells
     // (`_batch` is the ingest-idempotence partition level, not data)
-    val stored = spark.read.parquet(s"$path/codes")
+    val stored = spark.read.parquet(
+      graft.sources.EpochDir.live(spark, s"$path/codes"))
     assert(stored.schema.fieldNames.toSet ==
       Set("vid", "m", "cid", "cell", "_batch"),
       s"code files must hold only code rows: ${stored.schema}")
@@ -98,7 +99,8 @@ class IvfIndexSpec extends SparkFunSuite {
     val b = Similarity.adcIvfTopKIndexed(spark, rebuilt, queries, k = 5)
     assert(rows(a).nonEmpty && rows(a) == rows(b))
     // the grown index must actually contain the appended wave
-    val grownVids = spark.read.parquet(s"$grown/codes")
+    val grownVids = spark.read.parquet(
+      graft.sources.EpochDir.live(spark, s"$grown/codes"))
       .select("vid").distinct().count()
     assert(grownVids == emb.count(), s"grown index holds $grownVids vids")
   }

@@ -109,7 +109,7 @@ class LlmOpsSpec extends SparkFunSuite {
         assert("hashpartitioning\\(band".r.findAllMatchIn(plan).length == 1,
           s"grown index must still join without its own exchange:\n$plan")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    } finally graft.sources.CatalogOps.dropTable(s, idxT)
+    } finally graft.sources.CatalogOps.dropEpochIndex(s, idxT)
   }
 
   test("persisted band index: same near-dups, index side never shuffles") {
@@ -149,7 +149,7 @@ class LlmOpsSpec extends SparkFunSuite {
           .findAllMatchIn(plan).length
         assert(exchanges == 1, s"expected 1 band exchange, plan:\n$plan")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    } finally graft.sources.CatalogOps.dropTable(s, idxT)
+    } finally graft.sources.CatalogOps.dropEpochIndex(s, idxT)
   }
 
   test("connectedComponents: chain + separate pair + symmetry, min-id labels") {

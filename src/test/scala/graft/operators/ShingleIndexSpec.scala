@@ -47,7 +47,7 @@ class ShingleIndexSpec extends SparkFunSuite {
         assert("hashpartitioning\\(shingle".r.findAllMatchIn(plan).length == 1,
           s"index must join and distinct without its own exchange:\n$plan")
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    } finally graft.sources.CatalogOps.dropTable(s, idxT)
+    } finally graft.sources.CatalogOps.dropEpochIndex(s, idxT)
   }
 
   test("appendToShingleIndex: grown index == rebuild, duplicates across batches tolerated") {
@@ -71,8 +71,8 @@ class ShingleIndexSpec extends SparkFunSuite {
         split("test"), "doc_id", "text", rebuiltT)
       assert(rows(a).nonEmpty && rows(a) == rows(b))
     } finally {
-      graft.sources.CatalogOps.dropTable(spark, grownT)
-      graft.sources.CatalogOps.dropTable(spark, rebuiltT)
+      graft.sources.CatalogOps.dropEpochIndex(spark, grownT)
+      graft.sources.CatalogOps.dropEpochIndex(spark, rebuiltT)
     }
   }
 
@@ -91,7 +91,8 @@ class ShingleIndexSpec extends SparkFunSuite {
       val want = rows(before)
       Dedup.compactBucketedIndex(s, idxT, Seq("shingle"), buckets = 8)
       val loc = new java.io.File(new java.net.URI(
-        s.sql(s"DESC FORMATTED ${idxT.qualified}")
+        s.sql(s"DESC FORMATTED ${graft.sources.CatalogOps
+            .liveEpochTable(s, idxT).qualified}")
           .filter(col("col_name") === "Location")
           .head().getString(1)))
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -101,6 +102,6 @@ class ShingleIndexSpec extends SparkFunSuite {
       val after = Dedup.contaminationAgainstIndex(
         split("test"), "doc_id", "text", idxT)
       assert(rows(after) == want)
-    } finally graft.sources.CatalogOps.dropTable(spark, idxT)
+    } finally graft.sources.CatalogOps.dropEpochIndex(spark, idxT)
   }
 }

@@ -82,4 +82,65 @@ class SkewSpec extends SparkFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("AQE skew-join splits the hot partition — and where the manual salt still rules") {
+    // The division of labor this library documents (Skew scaladoc):
+    // AQE's OptimizeSkewedJoin handles a HIGH-CARDINALITY key domain
+    // with heavy hitters — it splits an oversized shuffle partition
+    // into several tasks at runtime, replicating the other side's
+    // matching partition, with no plan changes needed. The manual
+    // saltedAgg/saltedJoin remain necessary when the LOGICAL key
+    // domain is tiny (6-value event_type): a hash exchange on the raw
+    // key can use at most |domain| reducers no matter how AQE splits
+    // partitions, and AQE never splits HashAggregate partitions at
+    // all. This case proves the AQE half actually fires on this
+    // session's config so the boundary is measured, not assumed.
+    val s = spark
+    val keep = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k =>
+      k -> util.Try(s.conf.get(k)).toOption.flatMap(Option(_))).toMap
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scale the detector to test-sized data: a partition is skewed if
+      // > 32 KB and > 2x the median; split targets ~16 KB
+      s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "32768")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      // force a sort-merge join: broadcasting the dim would dissolve
+      // the shuffle AQE is supposed to repair
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      // one heavy hitter inside a wide domain: 90% of 200k fact rows
+      // share key 0, the rest spread over 1000 keys
+      val fact = s.range(200000L).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 1000L).as("k"),
+        col("id").as("payload"))
+      val dim = s.range(1000L).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("name"))
+      val joined = fact.join(dim, "k")
+      // execute THIS df's own plan (count() would build a separate
+      // aggregate execution and leave joined's AQE plan unfinalized)
+      assert(joined.queryExecution.toRdd.count() === 200000L)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire on the hot partition:\n${plan.take(4000)}")
+    } finally keep.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions.col
 
 import graft.SparkFunSuite
+import graft.sources.{CatalogOps, EpochDir}
 
 /** Standing-index SOAK: the small-files spiral, the compaction rewrite,
   * and the probed search exercised TOGETHER on one index instance —
@@ -11,6 +12,15 @@ import graft.SparkFunSuite
   * After every cycle the index must answer exactly like a fresh full
   * rebuild over the same content, and every compaction must leave the
   * bounded file layout the OPTIMIZE contract promises.
+  *
+  * The CONCURRENT cases drive the epoch-publish safety claim: a search
+  * loop runs in its own thread WHILE ≥20 compaction cycles rewrite the
+  * index, and every single search must return the exact reference
+  * result — never an error, never a torn read. The compactor paces
+  * itself by the production contract (each OPTIMIZE waits for the
+  * searches in flight at its start to finish — i.e. the OPTIMIZE
+  * cadence exceeds the slowest query), which is precisely what the
+  * one-epoch grace window guarantees safety for.
   */
 class SoakSpec extends SparkFunSuite {
 
@@ -25,6 +35,9 @@ class SoakSpec extends SparkFunSuite {
       else Nil
     walk(dir)
   }
+
+  private def localFile(p: String): java.io.File =
+    new java.io.File(new java.net.URI(p))
 
   test("IVFPQ index: interleaved append x compact x search stays rebuild-exact") {
     val cbooks = Similarity
@@ -46,11 +59,12 @@ class SoakSpec extends SparkFunSuite {
         emb.filter(col("vec_id") >= lo && col("vec_id") < hi), path)
       if (i % 2 == 1) {
         // every other cycle: compact mid-life, not just at the end
-        val codesDir = new java.io.File(s"$path/codes")
-        val before = dataFiles(codesDir).size
+        val before =
+          dataFiles(localFile(EpochDir.live(spark, s"$path/codes"))).size
         Similarity.compactIvfPqIndex(spark, path)
-        val cells = codesDir.listFiles().count(_.getName.startsWith("cell="))
-        val after = dataFiles(codesDir).size
+        val liveDir = localFile(EpochDir.live(spark, s"$path/codes"))
+        val cells = liveDir.listFiles().count(_.getName.startsWith("cell="))
+        val after = dataFiles(liveDir).size
         assert(after == cells,
           s"cycle $i: expected one file per cell ($cells), got $after")
         assert(after < before,
@@ -86,9 +100,10 @@ class SoakSpec extends SparkFunSuite {
           "doc_id", "text", idxT)
         if (i % 2 == 1) {
           Dedup.compactBandIndex(s, idxT, buckets = 8)
-          val loc = new java.io.File(new java.net.URI(
-            s.sql(s"DESC FORMATTED ${idxT.qualified}")
-              .filter(col("col_name") === "Location").head().getString(1)))
+          val loc = localFile(
+            s.sql(s"DESC FORMATTED ${CatalogOps
+                .liveEpochTable(s, idxT).qualified}")
+              .filter(col("col_name") === "Location").head().getString(1))
           assert(dataFiles(loc).size == 8,
             s"cycle $i: expected 8 bucket files, got ${dataFiles(loc).size}")
         }
@@ -105,8 +120,103 @@ class SoakSpec extends SparkFunSuite {
       }
       assert(anyPair, "soak must exercise at least one real near-dup pair")
     } finally {
-      graft.sources.CatalogOps.dropTable(s, idxT)
-      refTs.foreach(graft.sources.CatalogOps.dropTable(s, _))
+      CatalogOps.dropEpochIndex(s, idxT)
+      refTs.foreach(CatalogOps.dropEpochIndex(s, _))
     }
+  }
+
+  /** Drive `cycles` compactions while `search()` loops in another
+    * thread; every search result must equal `want` and no search may
+    * error. The compactor waits, before each cycle, for every search
+    * in flight at that moment to finish — the production OPTIMIZE
+    * cadence the one-epoch grace window is sized for (a reader is only
+    * ever one epoch behind). Returns the number of completed searches.
+    */
+  private def concurrentSoak[T](want: T, search: () => T,
+      compactOnce: () => Unit, cycles: Int): Int = {
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val started = new java.util.concurrent.atomic.AtomicLong
+    val finished = new java.util.concurrent.atomic.AtomicLong
+    @volatile var stop = false
+    val searcher = new Thread(() => {
+      while (!stop) {
+        started.incrementAndGet()
+        try {
+          val got = search()
+          if (got != want) failures.add(s"torn read: $got != $want")
+        } catch {
+          case e: Throwable =>
+            failures.add(s"search error: ${e.getClass.getName}: " +
+              s"${String.valueOf(e.getMessage).take(300)}")
+        }
+        finished.incrementAndGet()
+      }
+    }, "soak-searcher")
+    searcher.setDaemon(true)
+    searcher.start()
+    try {
+      (1 to cycles).foreach { _ =>
+        // read barrier: all searches in flight now must finish before
+        // this compaction may retire the epoch they could be holding
+        val inFlightHorizon = started.get()
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (finished.get() < inFlightHorizon &&
+            System.nanoTime() < deadline) Thread.sleep(5)
+        assert(finished.get() >= inFlightHorizon,
+          "searcher stalled — cannot safely compact")
+        compactOnce()
+      }
+    } finally {
+      stop = true
+      searcher.join(120000)
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} bad searches: ${failures.peek()}")
+    finished.get().toInt
+  }
+
+  test("IVFPQ index: live search loop across 20 compaction cycles — no errors, no torn reads") {
+    val cbooks = Similarity
+      .pqSubvecs(emb.filter(col("vec_id") < 16), 8, 8, "vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("cid"), col("m"),
+        col("sv").as("cv"))
+    val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+    val path = tmpDir("ivfpq_live_soak")
+    Similarity.writeIvfPqIndex(Similarity.pqEncode(emb, cbooks), cbooks, path)
+    def search() = Similarity.adcIvfTopKIndexed(spark, path, queries, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = search()
+    assert(want.nonEmpty)
+    val n = concurrentSoak(want, () => search(),
+      () => Similarity.compactIvfPqIndex(spark, path), cycles = 20)
+    // the loop genuinely overlapped the rewrites (not one search at
+    // the end): the barrier alone forces ≥1 search per cycle
+    assert(n >= 20, s"only $n searches across 20 compactions")
+    // content-addressed end state: still the reference result, live
+    // epoch advanced past the initial build
+    assert(search() == want)
+    assert(!EpochDir.live(spark, s"$path/codes").endsWith("/e0"))
+  }
+
+  test("band index: live probe loop across 20 compaction cycles — no errors, no torn reads") {
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val idxT = graft.model.TableRef("graft_test", "band_idx_live_soak")
+    val corpus = docs.filter(col("doc_id") < 450)
+    val batch = docs.filter(col("doc_id") >= 450)
+    try {
+      Dedup.writeBandIndex(corpus, "doc_id", "text", idxT)
+      def probe() = Dedup.minhashNearDupsAgainstIndex(
+        batch, corpus, "doc_id", "text", 0.5, idxT)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = probe()
+      assert(want.nonEmpty)
+      val n = concurrentSoak(want, () => probe(),
+        () => Dedup.compactBandIndex(s, idxT, buckets = 8), cycles = 20)
+      assert(n >= 20, s"only $n probes across 20 compactions")
+      assert(probe() == want)
+      assert(CatalogOps.currentEpoch(s, idxT).exists(_ >= 20L))
+    } finally CatalogOps.dropEpochIndex(s, idxT)
   }
 }

@@ -125,7 +125,8 @@ class DocStreamsSpec extends SparkFunSuite {
     val viaStream = topk(streamIdx)
     assert(viaStream.nonEmpty && viaStream == topk(batchIdx))
     // the stream actually grew the index
-    assert(s.read.parquet(s"$streamIdx/codes")
+    assert(s.read.parquet(
+      graft.sources.EpochDir.live(s, s"$streamIdx/codes"))
       .select("vid").distinct().count() == emb.count())
 
     // EXACTLY-ONCE under replay: crash between the parquet write and
@@ -145,7 +146,8 @@ class DocStreamsSpec extends SparkFunSuite {
     assert(ckptFs.delete(commit0, false))
     DocStreams.ingestIvfPq(DocStreams.readEmbeddings(s, streamDir),
       streamIdx, ckptPath)
-    val codeRows = s.read.parquet(s"$streamIdx/codes")
+    val codeRows = s.read.parquet(
+      graft.sources.EpochDir.live(s, s"$streamIdx/codes"))
     val dups = codeRows.groupBy("vid", "m")
       .count().filter(col("count") > 1).count()
     assert(dups == 0L, s"replayed batch left $dups duplicate (vid, m) rows")
@@ -181,7 +183,7 @@ class DocStreamsSpec extends SparkFunSuite {
         batch, corpus, "doc_id", "text", 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got.nonEmpty && got == want)
-    } finally CatalogOps.dropTable(s, idxT)
+    } finally CatalogOps.dropEpochIndex(s, idxT)
   }
 
   test("streaming contamination gate against the shingle index == batch operator") {
@@ -214,7 +216,7 @@ class DocStreamsSpec extends SparkFunSuite {
       assert(got.nonEmpty && got == want)
       // the gate actually discriminates: some docs share train shingles
       assert(got.exists(_._3 > 0L))
-    } finally CatalogOps.dropTable(s, idxT)
+    } finally CatalogOps.dropEpochIndex(s, idxT)
   }
 
   test("streaming quality gate keeps exactly the batch query's rows") {

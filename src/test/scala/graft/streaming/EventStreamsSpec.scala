@@ -619,4 +619,50 @@ class EventStreamsSpec extends SparkFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("stream-stream join state is watermark-bounded, not history-bounded (RocksDB)") {
+    // The deployability claim behind clickPurchaseJoin's two-sided time
+    // bound: replay 30 days of events as 24 time-ordered micro-batches
+    // under the RocksDB provider and read numRowsTotal off the state
+    // metrics per batch. A join whose state tracked STREAM HISTORY
+    // would grow linearly with ingested rows; the watermark-bounded
+    // join must plateau at the rows inside its ~40-minute window —
+    // i.e. state stays O(one slice's join-side rows) with a one-batch
+    // eviction lag, regardless of how much history has flowed through.
+    val slices = 24
+    val profile = EventStreams.withRocksDbStateStore(spark) {
+      EventStreams.stateSizeProfile(spark, batchEvents, slices,
+        tmpDir("state_profile"), s => EventStreams.clickPurchaseJoin(s))
+    }
+    // AvailableNow appends one zero-input watermark-flush batch after
+    // the data — keep the data batches (slice k ↔ batch k) for the
+    // per-slice bounds
+    val data = profile.filter(_._1 > 0)
+    assert(data.size == slices, s"expected $slices data batches in $profile")
+    // the join subscribes to the event source TWICE (click and purchase
+    // branches), so progress input rows are 2× the file rows
+    val ingested = data.map(_._1).sum
+    assert(ingested == 2 * batchEvents.count())
+    // per-slice join-input rows (clicks+purchases), same slice formula
+    val b = batchEvents.agg(min(col("ts")).cast("long").as("lo"),
+      max(col("ts")).cast("long").as("hi")).head()
+    val (lo, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val cp = batchEvents
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(floor((col("ts").cast("long") - lo) * slices / span)
+        .as("slice"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    data.zipWithIndex.drop(1).foreach { case ((_, state), k) =>
+      val window = cp.getOrElse(k.toLong, 0L) + cp.getOrElse(k - 1L, 0L)
+      // factor 3 covers the join's dual state representation plus
+      // boundary rows still inside the watermark+bound window
+      assert(state <= 3 * window + 20,
+        s"batch $k state $state exceeds the watermark window bound " +
+          s"(${3 * window + 20}) — state is growing with history")
+    }
+    // headline: after 30 days of history the state holds a small
+    // fraction of what was ingested
+    assert(profile.last._2 * 4 < ingested,
+      s"final state ${profile.last._2} vs ingested $ingested")
+  }
 }
