@@ -573,6 +573,69 @@ object ScaleProbe {
         SparkEntry.queries("t_ngram_novelty")(spark, sfDir).count()))
     }
 
+    if (what == "r16adds") {
+      // Round-16 additions + the 100× probe set (VERDICT r15 items 5,
+      // 7, 8). Run at sf0.1 AND at the factor-10 ScaleData blow-up of
+      // sf0.1 (~sf1, i.e. 100× the sf0.01 verify scale): counts must
+      // track the data ratio; walls must stay near-linear.
+      val docsT = Sources.table(spark, sfDir, "documents")
+      val emb = Sources.table(spark, sfDir, "embeddings")
+
+      // unigram tokenizer: the corpus pays ONE distinct-word scan for
+      // training (EM rounds ride |vocab|) and one explode+join encode.
+      println("unigramVocabWords=" + graft.operators.Bpe
+        .vocab(docsT, "text").count())
+      println("unigramTrainRows=" + timed("t_unigram_train cold (3-round EM)")(
+        SparkEntry.queries("t_unigram_train")(spark, sfDir).count()))
+      timed("t_unigram_train warm (cached model)")(
+        SparkEntry.queries("t_unigram_train")(spark, sfDir).count())
+      val uniEnc = SparkEntry.queries("t_unigram_encode")(spark, sfDir)
+        .agg(count(lit(1)).as("docs"), sum("n_tokens").as("toks")).head()
+      println(s"unigramEncodeDocs=${uniEnc.getLong(0)} " +
+        s"unigramTotalTokens=${uniEnc.getLong(1)}")
+
+      // IVFPQ standing index: build once; a probed search reads only
+      // the probed cells' code rows (partition-pruned epoch scan).
+      import graft.sources.EpochDir
+      val cbooks = Similarity.pqSubvecs(
+        emb.filter(col("vec_id") < 16), 8, 8, "vec_id", "embedding")
+        .select(col("vec_id").cast("int").as("cid"), col("m"),
+          col("sv").as("cv"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("ivfpq_r16").toString
+      timed("writeIvfPqIndex")(Similarity.writeIvfPqIndex(
+        Similarity.pqEncode(emb, cbooks), cbooks, idx))
+      println("ivfpqTotalCodeRows=" + spark.read.parquet(
+        EpochDir.live(spark, s"$idx/codes")).count())
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      val searched = Similarity.adcIvfTopKIndexed(spark, idx, queries, k = 5)
+      timed("adcIvfTopKIndexed cold")(searched.count())
+      timed("adcIvfTopKIndexed warm")(
+        Similarity.adcIvfTopKIndexed(spark, idx, queries, k = 5).count())
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(searched.queryExecution.executedPlan.toString)
+        .map(_.group(1)).getOrElse("")
+      val insetCells = "\\d+".r.findAllIn(
+        pf.replaceAll("cell#\\d+", "cell")).map(_.toInt).toSeq.distinct
+      println(s"ivfpqProbedCells=${insetCells.size}")
+      println("ivfpqProbedCodeRows=" + spark.read.parquet(
+        EpochDir.live(spark, s"$idx/codes"))
+        .filter(col("cell").isin(insetCells: _*)).count())
+
+      // stream-stream join state plateau (RocksDB): events replayed as
+      // 24 time-ordered micro-batches; state must plateau at the
+      // watermark window while ingested rows grow with the SF.
+      val ev = Sources.table(spark, sfDir, "events")
+      val prof = graft.streaming.EventStreams.withRocksDbStateStore(spark) {
+        graft.streaming.EventStreams.stateSizeProfile(spark, ev, 24,
+          java.nio.file.Files.createTempDirectory("state_prof").toString,
+          st => graft.streaming.EventStreams.clickPurchaseJoin(st))
+      }
+      val dataBatches = prof.filter(_._1 > 0)
+      println(s"ssJoinIngestedRows=${dataBatches.map(_._1).sum} " +
+        s"ssJoinStateMax=${dataBatches.map(_._2).max} " +
+        s"ssJoinStateLast=${dataBatches.last._2}")
+    }
     if (what == "curate") {
       // Factor-10 protocol for the curation pipeline: stage counts are
       // the evidence (each stage reuses a measured primitive — gopher
