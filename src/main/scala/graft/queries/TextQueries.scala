@@ -456,6 +456,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The Viterbi segmentations THEMSELVES: every distinct word with
+    // its max-probability piece sequence under the final model — the
+    // strongest check on the DP (t_unigram_encode only aggregates
+    // token counts; a wrong-but-count-preserving segmentation would
+    // slip through it). |vocab| rows at any corpus size.
+    "t_unigram_segments" -> ((s, dir) => {
+      graft.operators.Unigram
+        .encodeVocab(docs(s, dir), "text", trainedUnigram(s, dir), NUniMax)
+        .select(col("w").as("word"), col("syms").as("seg"),
+          size(split(col("syms"), " ")).as("n_pieces"))
+        .orderBy("word")
+    }),
+
     // Deterministic train/val/test split by salted-md5 id bands: a
     // document's split never changes as the corpus grows (no RNG, no
     // sampling shuffle — the contamination-safety property a training
@@ -1236,6 +1249,17 @@ object TextQueries {
         |    AS tokens_per_word
         |FROM utok JOIN uenc USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_unigram_segments" ->
+      s"""WITH $UnigramCtes,
+        |uvmf AS (SELECT map(list(piece ORDER BY piece),
+        |    list(p ORDER BY piece)) AS vm
+        |  FROM (SELECT piece, CAST(cnt + 1 AS DOUBLE) /
+        |      CAST(sum(cnt) OVER () + count(*) OVER () AS DOUBLE) AS p
+        |    FROM uc$NUniRounds))
+        |SELECT w AS word, $UniFold AS seg,
+        |  len(string_split($UniFold, ' ')) AS n_pieces
+        |FROM uwords, uvmf
+        |ORDER BY word""".stripMargin,
     "t_split" ->
       """WITH s AS (SELECT doc_id,
         |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
