@@ -412,6 +412,36 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic 16-bit PCM mono WAV: a square wave with the given
+    * half-period (samples alternate ±8192 = ±0.25 normalized), written
+    * by the JDK's own `javax.sound.sampled` container writer — the
+    * audio twin of [[syntheticAvi]]. Every decode feature is
+    * closed-form from (period, nSamples): the samples are exact binary
+    * fractions, so the decoder's mean/RMS/peak accumulate exactly and
+    * reproduce in SQL with IEEE arithmetic alone (sqrt is a
+    * correctly-rounded IEEE op, like +,−,×,÷).
+    */
+  def syntheticWav(period: Int, nSamples: Int,
+      sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false) // PCM LE
+    val pcm = java.nio.ByteBuffer.allocate(nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nSamples) {
+      pcm.putShort(if ((i / period) % 2 == 0) 8192.toShort
+        else (-8192).toShort)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array()), fmt,
+        nSamples.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   def syntheticAvi(nFrames: Int, w: Int, h: Int,
       microPerFrame: Long): Array[Byte] = {
     val frameBytes: Seq[Array[Byte]] =

@@ -1019,6 +1019,47 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // REAL audio decode end-to-end — the audio leg of the multimodal
+    // family (mm_video's shape): per document a deterministic 16-bit
+    // PCM square-wave WAV is synthesized (half-period (n_chars%4)+2,
+    // 8·((n_chars%50)+25) samples at 8 kHz; docs with n_chars%7==0
+    // instead carry raw text bytes — a non-WAV payload exercising the
+    // corrupt-is-data path), then decoded by the real
+    // javax.sound.sampled PCM reader. Every feature is closed-form:
+    // the samples are ±0.25 (exact binary fractions), so the decoder's
+    // accumulations are EXACT — mean = 0.25·(2·nPlus−n)/n with nPlus a
+    // pure integer cycle count, RMS = peak = 0.25, duration = n/8 ms —
+    // and DuckDB verifies the whole decode chain with integer
+    // arithmetic plus two correctly-rounded IEEE ops (one ×, one ÷),
+    // never decoding a byte itself.
+    "mm_audio" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+        .map { r =>
+          val id = r.getLong(0)
+          val nc = r.getLong(1)
+          val payload =
+            if (nc % 7 == 0) r.getString(2).getBytes("UTF-8")
+            else Multimodal.syntheticWav(
+              ((nc % 4) + 2).toInt, (8L * ((nc % 50) + 25)).toInt)
+          (id, payload)
+        }.toDF("media_id", "payload")
+      Multimodal.decodeFeatures(
+        Multimodal.packBinary(media, "media_id", "payload", "audio/wav"))
+        .toDF()
+        .select(col("media_id"),
+          col("feature")(0).cast("int").as("sample_rate"),
+          col("feature")(1).cast("int").as("channels"),
+          col("feature")(2).cast("long").as("n_frames"),
+          col("feature")(3).cast("long").as("duration_ms"),
+          round(col("feature")(4).cast("double"), 6).as("mean_ch0"),
+          round(col("feature")(6).cast("double"), 6).as("rms"),
+          round(col("feature")(7).cast("double"), 6).as("peak"))
+        .orderBy("media_id")
+    }),
+
     // The LANGUAGE-AWARE Gopher gate, rule by rule — the multilingual
     // twin of t_gopher (and the oracle check for gopherRulesLang's
     // single-pass bitmask fold): odd doc_ids are rot13'd, the registry
@@ -1658,6 +1699,31 @@ object TextQueries {
         |  'text/plain' AS kind,
         |  ascii(substring(text, 1, 1)) AS first_byte
         |FROM documents ORDER BY media_id""".stripMargin,
+    // nPlus counts the +0.25 samples of the square wave in closed form
+    // (full cycles of 2·prd contribute prd each, plus the remainder's
+    // positive prefix); the mean replays the decoder's exact-double
+    // accumulation as one × and one ÷, narrowed through FLOAT the way
+    // the 8-float feature vector narrows it.
+    "mm_audio" ->
+      """WITH p AS (SELECT doc_id AS media_id, n_chars % 7 = 0 AS corrupt,
+        |    CAST(n_chars % 4 + 2 AS BIGINT) AS prd,
+        |    CAST(8 * (n_chars % 50 + 25) AS BIGINT) AS n
+        |  FROM documents),
+        |q AS (SELECT media_id, corrupt, n,
+        |    (n // (2 * prd)) * prd + least(n % (2 * prd), prd) AS np
+        |  FROM p)
+        |SELECT media_id,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE 8000 END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INT) AS channels,
+        |  CASE WHEN corrupt THEN 0 ELSE n END AS n_frames,
+        |  CASE WHEN corrupt THEN 0 ELSE n // 8 END AS duration_ms,
+        |  CASE WHEN corrupt THEN 0.0 ELSE round(CAST(CAST(
+        |      (0.25 * CAST(2 * np - n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      AS FLOAT) AS DOUBLE), 6) END AS mean_ch0,
+        |  CASE WHEN corrupt THEN 0.0 ELSE 0.25 END AS rms,
+        |  CASE WHEN corrupt THEN 0.0 ELSE 0.25 END AS peak
+        |FROM q ORDER BY media_id""".stripMargin,
     "mm_video" ->
       """SELECT doc_id AS media_id,
         |  CAST(CASE WHEN n_chars % 7 = 0 THEN 0

@@ -573,6 +573,20 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(f.feature(7) == 0.5f, "peak")
   }
 
+  test("syntheticWav: the decoder recovers the closed-form square-wave stats") {
+    implicit val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // period 3, 40 samples at 8 kHz: cycles of 6 → nPlus = 6·3 + min(4,3)
+    // = 21, mean = 0.25·(42−40)/40 = 0.0125 exactly; RMS = peak = 0.25
+    // (every sample is ±0.25); duration = 40/8 = 5 ms.
+    val media = Multimodal.packBinary(
+      Seq((7L, Multimodal.syntheticWav(3, 40))).toDF("id", "bytes"),
+      "id", "bytes", "audio/wav")
+    val f = Multimodal.decodeFeatures(media).collect().head.feature
+    assert(f.sameElements(
+      Array(8000f, 1f, 40f, 5f, 0.0125f, 0f, 0.25f, 0.25f)), f.toSeq)
+  }
+
   test("decodeFeatures: mono 8-bit WAV (unsigned PCM) + corrupt audio → zero vector") {
     implicit val s = graft.SparkTestBase.spark
     import s.implicits._
