@@ -80,6 +80,77 @@ object Joins {
     unpacked.filter(col("_tag") === 0).drop("_t", "_tag", "_tie", "_payload")
   }
 
+  /** NEAREST as-of join (pandas `merge_asof(direction='nearest')`):
+    * for each left row, attach the payload of the right row whose
+    * `rightTs` is CLOSEST to `leftTs` within the key group — before or
+    * after; exact-distance ties prefer the earlier (backward) right
+    * row. LEFT semantics: keys with no right rows keep null payloads.
+    *
+    * Same linear discipline as [[asofJoin]] — tag-and-union, ONE
+    * shuffle on the keys, then TWO per-key sorted passes over the same
+    * partitioning (the ascending scan carries the latest right ≤ t
+    * forward, the descending scan carries the earliest right ≥ t
+    * backward); the winner is a map-side distance comparison of the
+    * two candidates. Never a pairwise range join.
+    */
+  def asofNearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightTieBreak: Option[String] = None,
+      suffix: String = "_near"): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name ≥1 column")
+    val payloadOut = rightPayload.map(_ + suffix)
+    val leftCols = left.columns.toSeq
+    // the payload rides with its own event time (for the distance
+    // compare) as ONE struct, so each candidate row wins atomically
+    val r2base = right.select(
+      (keys.map(col) :+ col(rightTs).as("_t")) :+
+        struct((rightPayload.map(col) :+
+          col(rightTs).cast("double").as("__rt")): _*).as("_payload") :+
+        rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tie"): _*)
+      .withColumn("_tag", lit(1))
+    val payloadType = r2base.schema("_payload").dataType
+    val l3 = left
+      .withColumn("_t", col(leftTs))
+      .withColumn("_tag", lit(0))
+      .withColumn("_tie", lit(null).cast("long"))
+      .withColumn("_payload", lit(null).cast(payloadType))
+    val r3 = leftCols.filterNot(keys.contains).foldLeft(r2base)((df, c) =>
+      df.withColumn(c, lit(null)))
+    val unionCols = keys ++ leftCols.filterNot(keys.contains) ++
+      Seq("_t", "_tag", "_tie", "_payload")
+    val unioned = l3.select(unionCols.map(col): _*)
+      .unionByName(r3.select(unionCols.map(col): _*))
+    // right rows sort BEFORE left rows at equal ts in BOTH scans, so a
+    // simultaneous right matches either way; among simultaneous right
+    // rows the tie-break MAX wins in both scans (last() of `_tie` asc)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_tag").desc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_tag").desc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_bwd", last(col("_payload"), ignoreNulls = true).over(wB))
+      .withColumn("_fwd", last(col("_payload"), ignoreNulls = true).over(wF))
+    val lt = col("_t").cast("double")
+    val winner = when(col("_fwd").isNull, col("_bwd"))
+      .when(col("_bwd").isNull, col("_fwd"))
+      .when(lt - col("_bwd").getField("__rt") <=
+        col("_fwd").getField("__rt") - lt, col("_bwd"))
+      .otherwise(col("_fwd"))
+    val withWin = carried.withColumn("_win", winner)
+    val unpacked = rightPayload.zip(payloadOut).foldLeft(withWin) {
+      case (df, (src, out)) => df.withColumn(out, col("_win").getField(src))
+    }
+    unpacked.filter(col("_tag") === 0)
+      .drop("_t", "_tag", "_tie", "_payload", "_bwd", "_fwd", "_win")
+  }
+
   /** Binned RANGE JOIN — point-in-interval containment for the
     * BIG × BIG case neither side can broadcast.
     *

@@ -375,6 +375,34 @@ object SketchQueries {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of join (merge_asof direction='nearest'): every event
+    // picks up the user's CLOSEST signup — before or after — with
+    // exact-distance ties to the earlier one. Spark runs the
+    // two-directional union-window composition (one key shuffle, two
+    // per-key sorted carries, a map-side distance argmin —
+    // Joins.asofNearestJoin); the oracle is the naive per-event argmin
+    // over a LEFT join: same semantics, hash-checked, the |L|·|R|
+    // plan this operator exists to avoid.
+    "j_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("event_id")) // dedupe simultaneous
+      Joins.asofNearestJoin(
+        left = ev.select("event_id", "user_id", "ts"),
+        right = signups,
+        keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id", "ts"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          coalesce(col("event_id_near"), lit(-1L)).as("signup_id"),
+          coalesce(date_format(col("ts_near"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            lit("none")).as("signup_ts_s"))
+        .orderBy("event_id")
+    }),
+
     // Binned RANGE JOIN, the big×big interval-containment case: which
     // customers' entry-price bands ([cheapest order, +1000]) contain
     // each order's price — BOTH sides grow with the corpus, so neither
@@ -671,5 +699,22 @@ object SketchQueries {
         |FROM events e
         |ASOF LEFT JOIN su ON e.user_id = su.user_id AND e.ts >= su.ts
         |ORDER BY e.event_id""".stripMargin,
+    // epoch() and Spark's timestamp→double cast both compute
+    // micros/1e6 — one correctly-rounded division — so the distance
+    // doubles match bit-for-bit; ties order (distance, signup ts),
+    // the operator's backward preference.
+    "j_asof_nearest" ->
+      """WITH su AS (SELECT user_id, ts, max(event_id) AS sid
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |j AS (SELECT e.event_id, e.user_id, e.ts, su.sid, su.ts AS sts,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(epoch(e.ts) - epoch(su.ts)), su.ts) AS rn
+        |  FROM events e LEFT JOIN su ON e.user_id = su.user_id)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  COALESCE(sid, -1) AS signup_id,
+        |  COALESCE(strftime(sts, '%Y-%m-%d %H:%M:%S.%f'), 'none')
+        |    AS signup_ts_s
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
   )
 }

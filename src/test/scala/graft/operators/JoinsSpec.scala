@@ -204,4 +204,48 @@ class JoinsSpec extends SparkFunSuite {
       binWidth = 1.0, maxBinsPerRow = 100).count()
     assert(ok == 1L)
   }
+
+  test("asofNearestJoin: closest right row either direction, ties backward") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // key 1 rights at t=10 and t=20; key 2 has none
+    val right = Seq((1L, ts(10), 100L), (1L, ts(20), 200L))
+      .toDF("k", "rts", "rid")
+    val left = Seq(
+      (1L, ts(8), "before-all"),     // only forward exists → 100
+      (1L, ts(12), "nearer-bwd"),    // d(10)=2 < d(20)=8 → 100
+      (1L, ts(15), "exact-tie"),     // d=5 both → backward → 100
+      (1L, ts(16), "nearer-fwd"),    // d(20)=4 < d(10)=6 → 200
+      (1L, ts(20), "simultaneous"),  // d=0 → 200
+      (1L, ts(99), "after-all"),     // only backward-ish → 200
+      (2L, ts(12), "no-rights")      // null payload
+    ).toDF("k", "lts", "tag")
+    val got = Joins.asofNearestJoin(left, right, Seq("k"),
+      "lts", "rts", Seq("rid"))
+      .select("tag", "rid_near").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(
+      "before-all" -> 100L, "nearer-bwd" -> 100L, "exact-tie" -> 100L,
+      "nearer-fwd" -> 200L, "simultaneous" -> 200L, "after-all" -> 200L,
+      "no-rights" -> -1L), got)
+  }
+
+  test("asofNearestJoin: simultaneous right rows resolve by the tie-break, both directions") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // two rights at the SAME instant: the tie-break MAX must win
+    // whether matched from before or after
+    val right = Seq((1L, ts(10), 7L), (1L, ts(10), 9L))
+      .toDF("k", "rts", "rid")
+    val left = Seq((1L, ts(5), "fwd"), (1L, ts(15), "bwd"))
+      .toDF("k", "lts", "tag")
+    val got = Joins.asofNearestJoin(left, right, Seq("k"),
+      "lts", "rts", Seq("rid"), rightTieBreak = Some("rid"))
+      .select("tag", "rid_near").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("fwd" -> 9L, "bwd" -> 9L), got)
+  }
 }
