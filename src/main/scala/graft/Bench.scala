@@ -85,10 +85,24 @@ object Bench {
       .map(v => v.split(",").toSet: String => Boolean)
       .getOrElse(_ => true)
     val names = SparkEntry.queries.keys.toSeq.filter(filter).sorted
+    // Execute each query's OWN plan (toRdd.count): `df.count()` builds a
+    // separate count aggregate over the query, and Catalyst's column
+    // pruning then deletes any operator whose outputs the count never
+    // references — a window-carrying query like j_asof_nearest benched
+    // as scan+filter only (measured flat at 10× data, the tell). Running
+    // the query's executed plan materializes every output column, which
+    // is what a caller consuming the result pays. The legacy count
+    // protocol stays selectable for cross-round bridging
+    // (SPARK_GRAFT_ACTION=count; BASELINE.md records the bridge totals).
+    val legacyCount = sys.env.get("SPARK_GRAFT_ACTION").contains("count")
     def pass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        if (legacyCount) { df.count(); () }
+        else { df.queryExecution.toRdd.count(); () }
+      }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val p1 = pass()

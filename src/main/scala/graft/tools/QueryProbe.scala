@@ -27,7 +27,9 @@ object QueryProbe {
     names.foreach { name =>
       (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        // the query's own plan, all columns materialized (Bench's protocol)
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.toRdd.count()
         println(f"PROBE $name run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
