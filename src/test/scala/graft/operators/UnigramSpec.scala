@@ -71,6 +71,38 @@ class UnigramSpec extends SparkFunSuite {
     assert(Seq("a", "b", "c", "d", "e").forall(pieces.contains))
   }
 
+  test("EM on a morphology-rich corpus concentrates mass on real morphemes") {
+    // 5 stems × 4 suffixes, 20 distinct words with skewed frequencies —
+    // the shape tokenizer training exists for. After 3 EM rounds the
+    // model must carve words at the stem/suffix seam: the stems and
+    // productive suffixes hold the mass, not arbitrary crossings.
+    val stems = Seq("walk", "talk", "jump", "lift", "push")
+    val sufs = Seq("s", "ed", "ing", "er")
+    val words = for { (st, i) <- stems.zipWithIndex; (su, j) <- sufs.zipWithIndex }
+      yield Seq.fill(1 + (i + j) % 3)(st + su).mkString(" ")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val m = Unigram.train(docs, "text", topK = 64, maxPiece = 4, rounds = 3)
+    val c = m.counts.toMap
+    // every stem survives as a piece with positive usage
+    stems.foreach(st => assert(c.getOrElse(st, 0L) > 0L, s"stem $st lost"))
+    // the productive multi-char suffixes hold mass too
+    Seq("ed", "ing", "er").foreach(su =>
+      assert(c.getOrElse(su, 0L) > 0L, s"suffix $su lost"))
+    // segmentation audit: every word splits exactly at the seam
+    val enc = Unigram.encodeVocab(docs, "text", m, 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (st <- stems; su <- Seq("ed", "ing", "er"))
+      assert(enc(st + su) == s"$st $su", s"${st + su} → ${enc(st + su)}")
+    // mass concentrates on multi-char pieces; the only single-char
+    // usage left is the legitimate "-s" suffix (one per stem's plural)
+    val multiMass = m.counts.collect { case (p, n) if p.length >= 2 => n }.sum
+    val charMass = m.counts.collect { case (p, n) if p.length == 1 => n }.sum
+    assert(multiMass > 5 * math.max(charMass, 1L),
+      s"multi-char mass $multiMass vs char mass $charMass")
+    assert(c.getOrElse("s", 0L) == charMass,
+      s"all residual char mass should be the -s suffix, got ${m.counts.filter(t => t._1.length == 1 && t._2 > 0)}")
+  }
+
   test("encodeVocab segments every distinct word under the final model") {
     val docs = Seq("ab ab ab xy").toDF("text")
     val m = Unigram.train(docs, "text", 64, 4, 3)

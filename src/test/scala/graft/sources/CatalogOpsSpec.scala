@@ -78,4 +78,39 @@ class CatalogOpsSpec extends SparkFunSuite {
       ("note", "added", "string", ""),
       ("qty", "changed", "double", "decimal(18,2)")))
   }
+
+  test("epoch views: publish/resolve/advance/grace-purge/drop lifecycle") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val ref = TableRef("graft_test", "epoch_unit")
+    try {
+      assert(CatalogOps.currentEpoch(s, ref).isEmpty)
+      // epoch 0: readers resolve the view; the live epoch table is e0
+      CatalogOps.publishEpoch(s, ref)(e =>
+        Seq((1L, "a")).toDF("k", "v").write.saveAsTable(e.qualified))
+      assert(CatalogOps.currentEpoch(s, ref).contains(0L))
+      assert(CatalogOps.liveEpochTable(s, ref) == CatalogOps.epochRef(ref, 0))
+      assert(s.table(ref.qualified).count() == 1)
+      // epoch 1: the view flips atomically; e0 is retained as grace
+      CatalogOps.publishEpoch(s, ref)(e =>
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+          .write.saveAsTable(e.qualified))
+      assert(CatalogOps.currentEpoch(s, ref).contains(1L))
+      assert(s.table(ref.qualified).count() == 2)
+      assert(CatalogOps.tableExists(s, CatalogOps.epochRef(ref, 0)),
+        "the superseded epoch must survive one publish as reader grace")
+      // epoch 2: e0 falls out of the grace window
+      CatalogOps.publishEpoch(s, ref)(e =>
+        Seq((3L, "c")).toDF("k", "v").write.saveAsTable(e.qualified))
+      assert(CatalogOps.currentEpoch(s, ref).contains(2L))
+      assert(!CatalogOps.tableExists(s, CatalogOps.epochRef(ref, 0)))
+      assert(CatalogOps.tableExists(s, CatalogOps.epochRef(ref, 1)))
+      // teardown removes the view and every epoch table
+      CatalogOps.dropEpochIndex(s, ref)
+      assert(!CatalogOps.tableExists(s, ref))
+      (0 to 2).foreach(n => assert(
+        !CatalogOps.tableExists(s, CatalogOps.epochRef(ref, n))))
+    } finally CatalogOps.dropEpochIndex(s, ref)
+  }
 }
