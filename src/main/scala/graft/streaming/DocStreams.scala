@@ -325,6 +325,37 @@ object DocStreams {
         expr("sw div nf").as("dsir_e6"))
       .filter(col("dsir_e6") >= threshold)
 
+  /** CONTINUOUS tokenization: arriving documents tokenize themselves
+    * against a TRAINED unigram model
+    * ([[graft.operators.Unigram.viterbiSeg]] over the model's literal
+    * probability map), emitting the batch `t_unigram_encode` row shape
+    * per document. Stateless map-only: the per-document token count is
+    * a PER-ROW fold over the document's own words — no explode, no
+    * aggregation, no state — so delivery is row-level exactly-once
+    * under replay with no watermark or state store (the qualitySampled
+    * shape). The offline/online split mirrors the DSIR and CUSUM
+    * streams: training (EM over the distinct-word table) happens in
+    * batch; the stream pays per-token Viterbi compute in exchange for
+    * statelessness, where the batch twin amortizes the fold over
+    * DISTINCT words. Spec-proven equal to the oracle-checked batch
+    * query across arrival waves (DocStreamsSpec).
+    */
+  def tokenized(stream: DataFrame,
+      model: graft.operators.Unigram.Model, maxPiece: Int): DataFrame = {
+    val vm = typedLit(model.probs.toMap)
+    val toks = split(col("text"), " ")
+    val nTok = aggregate(
+      transform(toks, w =>
+        size(split(graft.operators.Unigram.viterbiSeg(w, vm, maxPiece),
+          " ")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    stream.select(col("doc_id"),
+      size(toks).cast("long").as("n_words"), nTok.as("n_tokens"))
+      .withColumn("tokens_per_word",
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6))
+  }
+
   /** Stage 3: per-micro-batch candidate dedup + exact-Jaccard
     * verification against the static `docStore` (which must contain
     * both the corpus and the arriving documents' text — in production,

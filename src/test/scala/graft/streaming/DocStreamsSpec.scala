@@ -384,4 +384,43 @@ class DocStreamsSpec extends SparkFunSuite {
     // long docs really split: at least one doc yields multiple chunks
     assert(got.groupBy(_._1).exists(_._2.size > 1))
   }
+
+  test("streaming unigram tokenization == the oracle-checked batch encode") {
+    // The tokenizer's stream twin: train offline (the same 64/4/3
+    // hyper-parameters the t_unigram_* queries publish), then arriving
+    // docs tokenize themselves with a PER-ROW Viterbi fold — stateless
+    // map-only, so two arrival waves must reproduce the batch query's
+    // per-document token accounting row for row.
+    val s = spark
+    val model = graft.operators.Unigram.train(docs, "text",
+      topK = 64, maxPiece = 4, rounds = 3)
+    val streamDir = tmpDir("tok_stream")
+    val outDir = tmpDir("tok_out")
+    for ((lo, hi, name) <- Seq((0L, 250L, "wave1"), (250L, 500L, "wave2"))) {
+      val staged = tmpDir(s"tok_stage_$name")
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(streamDir, s"$name.parquet"))
+    }
+    val q = DocStreams.tokenized(DocStreams.readDocs(s, streamDir),
+        model, maxPiece = 4)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tok_ckpt"))
+      .format("parquet").option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_words", "n_tokens", "tokens_per_word")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val got = asSet(s.read.parquet(outDir))
+    val want = asSet(graft.SparkEntry.queries("t_unigram_encode")(s, sf0001))
+    assert(got.size == 500 && got == want)
+  }
 }
