@@ -95,14 +95,29 @@ object Bench {
     // protocol stays selectable for cross-round bridging
     // (SPARK_GRAFT_ACTION=count; BASELINE.md records the bridge totals).
     val legacyCount = sys.env.get("SPARK_GRAFT_ACTION").contains("count")
+    // A query that throws is a BENCH FAILURE, not a fast sample: its
+    // error is recorded per-query in the artifact and the run exits
+    // nonzero (the silent-catch version recorded time-to-fail as a
+    // legitimate timing, so a bench-only breakage — e.g. an OOM at
+    // sf0.1 that sf0.01 verify never sees — read as a fast query).
+    // Timing still records so the artifact stays complete.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // test hook (BenchErrorSpec): deliberately fail the named queries
+    // so the rc/err contract is provable in a spec-level dry run
+    val injectFail: Set[String] = sys.env.get("SPARK_GRAFT_INJECT_FAIL")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
     def pass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try {
+        if (injectFail(name))
+          throw new RuntimeException("injected failure (test hook)")
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (legacyCount) { df.count(); () }
         else { df.queryExecution.toRdd.count(); () }
       }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(name, e.toString.take(300))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val p1 = pass()
@@ -151,8 +166,17 @@ object Bench {
     // rounds/environments (see BASELINE.md's noise note).
     val iso = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + jesc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val rc = if (errors.nonEmpty) 1 else 0
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"errors":$errs,"rc":$rc,"sf":"$sfDir"}"""
     // The result line goes to a FILE first (truncation-proof — a capture
     // of the process tail once lost the round's total), then stdout
     // BEFORE spark.stop() so no shutdown logging can interleave after it.
@@ -170,7 +194,10 @@ object Bench {
     // so the driver can recover the round total even when the full line
     // above is clipped. Printed AFTER spark.stop() so no executor-shutdown
     // logging can interleave into it.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"nerr":${errors.size},"sf":"$sfDir"}""")
     System.out.flush()
+    // nonzero exit when any query threw — the artifact above still
+    // carries the timings and the per-query errors
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

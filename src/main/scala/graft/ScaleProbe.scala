@@ -636,6 +636,55 @@ object ScaleProbe {
         s"ssJoinStateMax=${dataBatches.map(_._2).max} " +
         s"ssJoinStateLast=${dataBatches.last._2}")
     }
+    if (what == "r17graph") {
+      // Factor-10 protocol for the GRAPH family (VERDICT r16 #6): the
+      // fixed-point loops had only 10× evidence. Build the standing
+      // part–supplier edge index with the bucketed layout FORCED
+      // (bucketIfOver = 0 — the 100 TB layout, which the data-driven
+      // cap would bypass at probe |V|), then run 3 rank rounds under a
+      // shuffle-records listener: the law is that each round exchanges
+      // only |V|-bounded rank/agg rows — the |E| edge table is never
+      // re-shuffled after its one build write — so total shuffled
+      // records across the loop must stay well under iters·|E|.
+      import graft.operators.Graph
+      val li = Sources.table(spark, sfDir, "lineitem")
+      val pairs = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      val idx = timed("edge index build (bucketed, symmetrized)")(
+        Graph.materializeEdges(pairs, s"r17graph:$sfDir",
+          validateDangling = false, symmetrize = true, bucketIfOver = 0L))
+      val nV = idx.nodes(spark).count()
+      val nE = idx.edges(spark).count()
+      println(s"grNodes=$nV grEdges=$nE")
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val lsn = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            recs.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(lsn)
+      val iters = 3
+      println("grRankRows=" + timed(s"$iters rank rounds (standing index)")(
+        Graph.pageRankIndexed(spark, idx, iters = iters).count()))
+      Thread.sleep(3000) // listener bus drains async
+      spark.sparkContext.removeSparkListener(lsn)
+      val shuffled = recs.get()
+      println(f"grShuffledRecords=$shuffled%d " +
+        f"perRoundPerV=${shuffled.toDouble / (iters * nV)}%.2f " +
+        f"vsItersE=${shuffled.toDouble / (iters.toDouble * nE)}%.3f")
+      require(shuffled < iters.toLong * nE,
+        s"rank loop re-exchanged the edge table: $shuffled records >= " +
+          s"${iters} * |E| (${iters.toLong * nE})")
+
+      // the rest of the fixed-point family, full query walls
+      println("hitsRows=" + timed("full g_hits (3 mutual rounds)")(
+        SparkEntry.queries("g_hits")(spark, sfDir).count()))
+      println("trustRows=" + timed("full g_trustrank (5 rounds)")(
+        SparkEntry.queries("g_trustrank")(spark, sfDir).count()))
+      println("componentsRows=" + timed("full d_components (iterated min)")(
+        SparkEntry.queries("d_components")(spark, sfDir).count()))
+    }
     if (what == "curate") {
       // Factor-10 protocol for the curation pipeline: stage counts are
       // the evidence (each stage reuses a measured primitive — gopher

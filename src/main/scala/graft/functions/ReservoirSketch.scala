@@ -100,3 +100,81 @@ class ReservoirSketch(k: Int)
   override def outputEncoder: Encoder[Array[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
 }
+
+/** One (hash, value) observation feeding [[ReservoirSketchLong]]. */
+final case class RsPairL(h: Long, v: Long)
+
+/** Long-sketch state: parallel arrays sorted by (h, v), ≤ k entries. */
+final case class RsBufferL(hs: Array[Long], vs: Array[Long])
+
+/** LONG-valued twin of [[ReservoirSketch]] — identical selection
+  * (k smallest (hash, value) pairs, duplicates kept, bounded mergeable
+  * state) and identical value-sorted output, but the value slot is an
+  * exact Long instead of a Double. This is the variant for sampling
+  * IDENTIFIERS: the double-valued original is exact only to 2^53, so
+  * its id-sampling caller needed a fail-fast precision guard; the long
+  * slot removes that failure mode entirely (any 64-bit id round-trips
+  * bit-exactly). Ordering is unchanged for the ids both variants can
+  * represent — longs and their exact double images sort identically —
+  * so the hash-determined membership, and therefore the DuckDB oracle
+  * replay, is the same sample.
+  */
+class ReservoirSketchLong(k: Int)
+    extends Aggregator[RsPairL, RsBufferL, Array[Long]] {
+
+  private def cmp(h1: Long, v1: Long, h2: Long, v2: Long): Int =
+    if (h1 != h2) java.lang.Long.compare(h1, h2)
+    else java.lang.Long.compare(v1, v2)
+
+  override def zero: RsBufferL = RsBufferL(Array.empty, Array.empty)
+
+  override def reduce(b: RsBufferL, p: RsPairL): RsBufferL = {
+    val n = b.hs.length
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmp(b.hs(mid), b.vs(mid), p.h, p.v) <= 0) lo = mid + 1 else hi = mid
+    }
+    if (n >= k && lo >= k) b
+    else {
+      val m = math.min(n + 1, k)
+      val hs = new Array[Long](m)
+      val vs = new Array[Long](m)
+      System.arraycopy(b.hs, 0, hs, 0, lo)
+      System.arraycopy(b.vs, 0, vs, 0, lo)
+      hs(lo) = p.h
+      vs(lo) = p.v
+      System.arraycopy(b.hs, lo, hs, lo + 1, m - lo - 1)
+      System.arraycopy(b.vs, lo, vs, lo + 1, m - lo - 1)
+      RsBufferL(hs, vs)
+    }
+  }
+
+  override def merge(a: RsBufferL, b: RsBufferL): RsBufferL = {
+    val m = math.min(a.hs.length + b.hs.length, k)
+    val hs = new Array[Long](m)
+    val vs = new Array[Long](m)
+    var i = 0
+    var j = 0
+    var n = 0
+    while (n < m) {
+      val takeA = j >= b.hs.length ||
+        (i < a.hs.length && cmp(a.hs(i), a.vs(i), b.hs(j), b.vs(j)) <= 0)
+      if (takeA) { hs(n) = a.hs(i); vs(n) = a.vs(i); i += 1 }
+      else { hs(n) = b.hs(j); vs(n) = b.vs(j); j += 1 }
+      n += 1
+    }
+    RsBufferL(hs, vs)
+  }
+
+  override def finish(b: RsBufferL): Array[Long] = {
+    val out = b.vs.clone()
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  override def bufferEncoder: Encoder[RsBufferL] = Encoders.product[RsBufferL]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

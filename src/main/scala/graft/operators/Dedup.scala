@@ -335,22 +335,27 @@ object Dedup {
     * cycles in SoakSpec.
     */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
-      table: graft.model.TableRef, buckets: Int = 8): Unit =
-    compactBucketedIndex(spark, table, Seq("band", "key"), buckets)
+      table: graft.model.TableRef, buckets: Int = 8,
+      retain: Int = 1): Unit =
+    compactBucketedIndex(spark, table, Seq("band", "key"), buckets, retain)
 
   /** The [[compactBandIndex]] mechanics for ANY bucketed standing index
     * (band index, shingle index): one file per bucket, bucket spec —
     * and therefore the exchange-free join property — preserved,
-    * epoch-view publish (atomic, concurrent-reader-safe).
+    * epoch-view publish (atomic, concurrent-reader-safe). `retain`
+    * sizes the grace window: the number of superseded epochs kept for
+    * in-flight readers (choose ≥ ceil(slowest-query / OPTIMIZE
+    * cadence); default 1 — a reader strands only if it lags two
+    * publishes).
     */
   def compactBucketedIndex(spark: org.apache.spark.sql.SparkSession,
       table: graft.model.TableRef, bucketCols: Seq[String],
-      buckets: Int): Unit = {
+      buckets: Int, retain: Int = 1): Unit = {
     // read the CURRENT epoch's rows, not the view: the view would
     // re-resolve during the write and must keep serving readers anyway
     val live = spark.table(
       graft.sources.CatalogOps.liveEpochTable(spark, table).qualified)
-    graft.sources.CatalogOps.publishEpoch(spark, table) { eRef =>
+    graft.sources.CatalogOps.publishEpoch(spark, table, retain) { eRef =>
       // Repartition on the COMPUTED bucket id (pmod(murmur3, n) — the
       // bucket formula itself), not on the raw columns: an exchange on
       // the raw columns is ELIMINATED because the bucketed scan already

@@ -885,7 +885,8 @@ object Similarity {
     * so raw S3A needs no rename-capable layer anymore.)
     */
   def compactCellIndex(spark: SparkSession, dir: String,
-      maxRecordsPerFile: Long = 4L * 1024 * 1024): Unit = {
+      maxRecordsPerFile: Long = 4L * 1024 * 1024,
+      retain: Int = 1): Unit = {
     val live = spark.read.parquet(graft.sources.EpochDir.live(spark, dir))
     val total = live.count()
     val nParts = math.max(1L,
@@ -896,20 +897,25 @@ object Similarity {
       if (hasBatch) (ranged.withColumn("_batch", lit(-1L)),
         Seq("cell", "_batch"))
       else (ranged, Seq("cell"))
-    graft.sources.EpochDir.publish(spark, dir) { target =>
+    graft.sources.EpochDir.publish(spark, dir, retain) { target =>
       out.write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy(partCols: _*).parquet(target)
     }
   }
 
-  /** [[compactCellIndex]] over a [[writeIvfIndex]] index. */
-  def compactIvfIndex(spark: SparkSession, path: String): Unit =
-    compactCellIndex(spark, s"$path/cells")
+  /** [[compactCellIndex]] over a [[writeIvfIndex]] index. `retain`
+    * sizes the grace window (superseded epochs kept for in-flight
+    * readers; default 1).
+    */
+  def compactIvfIndex(spark: SparkSession, path: String,
+      retain: Int = 1): Unit =
+    compactCellIndex(spark, s"$path/cells", retain = retain)
 
   /** [[compactCellIndex]] over a [[writeIvfPqIndex]] index. */
-  def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
-    compactCellIndex(spark, s"$path/codes")
+  def compactIvfPqIndex(spark: SparkSession, path: String,
+      retain: Int = 1): Unit =
+    compactCellIndex(spark, s"$path/codes", retain = retain)
 
   /** ANN over a PERSISTED [[writeIvfPqIndex]] index — the full FAISS
     * IndexIVFPQ read path: probe cells come from the stored coarse

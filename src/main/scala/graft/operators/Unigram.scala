@@ -45,7 +45,20 @@ object Unigram {
   /** Trained model: final EM piece counts plus the smoothed
     * probabilities they imply (both in (count desc, piece) order).
     */
-  case class Model(counts: Seq[(String, Long)], probs: Seq[(String, Double)])
+  case class Model(counts: Seq[(String, Long)], probs: Seq[(String, Double)]) {
+    /** The Laplace floor of this model's smoothing — the probability a
+      * zero-count piece would have received: 1 / (Σcnt + |vocab|).
+      * [[viterbiSeg]] scores OUT-OF-VOCABULARY single characters at
+      * this floor (SentencePiece's UNK/character-coverage behavior), so
+      * applying the model to text containing characters the training
+      * corpus never saw still segments (OOV chars become their own
+      * floor-scored pieces) instead of poisoning the DP with nulls.
+      */
+    def unkProb: Double = {
+      val t = counts.map(_._2).sum + counts.size
+      1.0 / t.toDouble
+    }
+  }
 
   /** Frequency-weighted counts of every substring of length
     * 1..maxPiece across the distinct-word table — the seed statistics.
@@ -88,15 +101,27 @@ object Unigram {
     * field never decides). Words are bounded (whitespace splitting),
     * so the DP state — an array of (double, string) structs — is a
     * few hundred bytes.
+    *
+    * `unk` is the score for an OUT-OF-VOCABULARY single character (the
+    * model's Laplace floor, [[Model.unkProb]]): training always seeds
+    * every length-1 substring of its own corpus, so `unk` never fires
+    * during training or same-corpus encoding — it exists so APPLYING a
+    * trained model to unseen text (the streaming twin) segments OOV
+    * characters as floor-scored singletons instead of folding the
+    * whole word to null (all candidates null at the OOV position, and
+    * a null prev poisons the rest of the DP).
     */
-  def viterbiSeg(word: Column, vm: Column, maxPiece: Int): Column = {
+  def viterbiSeg(word: Column, vm: Column, maxPiece: Int,
+      unk: Column = lit(null)): Column = {
     val folded = aggregate(
       sequence(lit(1), length(word)),
       array(struct(lit(1.0).as("score"), lit("").as("seg"))),
       (acc, i) => {
         def cand(m: Int): Column = {
           val piece = word.substr(i - m + 1, lit(m))
-          val p = try_element_at(vm, piece)
+          val p =
+            if (m == 1) coalesce(try_element_at(vm, piece), unk)
+            else try_element_at(vm, piece)
           val prev = element_at(acc, greatest(i - m + 1, lit(1)))
           when(i >= m && p.isNotNull,
             struct((prev.getField("score") * p).as("score"),
@@ -152,6 +177,6 @@ object Unigram {
     val vm = probMap(model.probs)
     Bpe.vocab(docs, textCol)
       .select(col("w"),
-        viterbiSeg(col("w"), vm, maxPiece).as("syms"))
+        viterbiSeg(col("w"), vm, maxPiece, lit(model.unkProb)).as("syms"))
   }
 }

@@ -39,20 +39,30 @@ object SketchQueries {
     // mis-wired rsd trips it), and the boolean verdict. exact/bound are
     // integer-exact, so DuckDB hash-matches all columns with the
     // verdict as its guaranteed TRUE. The tight per-run tolerance check
-    // (3σ) lives in SketchToleranceSpec. Scale shape: one
-    // expand+partial-agg pass — the countDistinct twins are the
-    // expensive exact computation the sketch replaces in production,
-    // kept here because the verdict is definitionally relative to them.
+    // (3σ) lives in SketchToleranceSpec. Scale shape: THREE linear
+    // map-side-combined passes joined on the |groups|-sized results —
+    // the two exact distincts run as two-level aggregations
+    // (distinct(group, key) → count per group) in SIBLING passes
+    // instead of multi-distinct columns in one agg, because Spark
+    // plans 2+ exact distincts via Expand (~4× row replication of
+    // lineitem, measured as the most expensive query on the r16
+    // board); PlanShapeSpec asserts the Expand-free plan. The
+    // countDistinct twins are the expensive exact computation the
+    // sketch replaces in production, kept because the verdict is
+    // definitionally relative to them.
     "x_approx_distinct" -> ((s, dir) => {
       val boundParts = ceil(col("exact_parts") * lit(0.25)).cast("long") // 5σ @ rsd .05
       val boundSupps = ceil(col("exact_supps") * lit(0.05)).cast("long") // 5σ @ rsd .01
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("ap"),
-          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("asu"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_suppkey")).as("exact_supps"))
+      val li = t(s, dir, "lineitem")
+      val approx = li.groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("asu"))
+      def exactDistinct(key: String, as: String) =
+        li.select(col("l_returnflag"), col(key)).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+      approx
+        .join(exactDistinct("l_partkey", "exact_parts"), Seq("l_returnflag"))
+        .join(exactDistinct("l_suppkey", "exact_supps"), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           col("exact_parts"), col("exact_supps"),
           boundParts.as("bound_parts"), boundSupps.as("bound_supps"),

@@ -680,39 +680,32 @@ object TextQueries {
     // md5 hash so the draw is a pure function of the data (no RNG, no
     // seed to checkpoint, same exemplars on any cluster at any
     // parallelism, stable as long as the stratum membership is).
-    // EXECUTION is the bounded-state [[graft.functions.ReservoirSketch]]
-    // aggregator — 3 (hash, id) pairs of mergeable map-side-combined
-    // state per stratum, so at 100 TB this is one map-combined shuffle
-    // of k rows per stratum, never a per-stratum sort of corpus-sized
-    // partitions (the x_rs_quantiles convention; the ORACLE stays the
-    // row_number formulation ReservoirSketchSpec proves bit-identical).
-    // The sketch's output array is VALUE-sorted (its quantile-reading
+    // EXECUTION is the bounded-state
+    // [[graft.functions.ReservoirSketchLong]] aggregator — 3 (hash,
+    // id) pairs of mergeable map-side-combined state per stratum, so
+    // at 100 TB this is one map-combined shuffle of k rows per
+    // stratum, never a per-stratum sort of corpus-sized partitions
+    // (the x_rs_quantiles convention; the ORACLE stays the row_number
+    // formulation ReservoirSketchSpec proves bit-identical). The
+    // sketch's output array is VALUE-sorted (its quantile-reading
     // contract), so `rk` numbers the hash-chosen exemplars in id
     // order — the membership is hash-determined, the listing isn't.
-    // doc_id rides through ReservoirSketch's DOUBLE value slot, exact
-    // only up to 2^53 — ids beyond that would silently corrupt on the
-    // cast back, so the projection fails fast instead (per-row codegen
-    // guard, free on the happy path; the streaming twin
-    // DocStreams.evalSampled keeps ids as longs and needs none).
+    // doc_id rides the LONG value slot, so ANY 64-bit id round-trips
+    // exactly (the double-valued ReservoirSketch is exact only to
+    // 2^53 and used to need a fail-fast guard here).
     "t_eval_sample" -> ((s, dir) => {
-      val rs = udaf(new graft.functions.ReservoirSketch(3))
+      val rs = udaf(new graft.functions.ReservoirSketchLong(3))
       val h = conv(substring(
         md5(concat(lit("ev:"), col("doc_id").cast("string"))), 1, 8),
         16, 10).cast("long")
-      val id53 = when(abs(col("doc_id")) <= lit(9007199254740992L),
-        col("doc_id").cast("double"))
-        .otherwise(raise_error(format_string(
-          "t_eval_sample: doc_id %d exceeds 2^53 and would lose " +
-            "precision in the double-valued reservoir slot",
-          col("doc_id"))))
       docs(s, dir)
         .select(col("lang"), TA.qualityBucket(col("text")).as("bucket"),
-          h.as("h"), id53.as("v"))
+          h.as("h"), col("doc_id").as("v"))
         .groupBy("lang", "bucket").agg(rs(col("h"), col("v")).as("picks"))
         .select(col("lang"), col("bucket"),
           posexplode(col("picks")).as(Seq("p", "v")))
         .select(col("lang"), col("bucket"), (col("p") + 1).as("rk"),
-          col("v").cast("long").as("doc_id"))
+          col("v").as("doc_id"))
         .orderBy("lang", "bucket", "rk")
     }),
 

@@ -40,22 +40,49 @@ object CatalogOps {
   // for readers that resolved just before the flip; crash mid-write
   // leaves an unreferenced epoch table the next publish overwrites.
 
-  // matches the epoch table in the view's authored `FROM db.name__eN`
-  // (the base index name never carries the `__e` infix)
+  // matches the epoch table in the view's authored `FROM db.name__eN`.
+  // The base index name must never carry the `__e<digits>` infix —
+  // [[publishEpoch]] enforces it, because a base named `foo__e2` would
+  // make the DDL-text epoch resolution ambiguous.
   private val EpochSuffix = "__e(\\d+)".r
+
+  private def requireEpochSafeName(ref: TableRef): Unit =
+    require(EpochSuffix.findFirstIn(ref.table).isEmpty,
+      s"epoch index name '${ref.table}' contains the reserved " +
+        "'__e<digits>' infix — epoch resolution would be ambiguous; " +
+        "pick a different index name")
 
   def epochRef(ref: TableRef, n: Long): TableRef =
     TableRef(ref.db, s"${ref.table}__e$n")
 
+  /** True iff `ref` is bound to a plain TABLE (not the epoch VIEW) —
+    * an index persisted under the pre-epoch rename-swap layout.
+    */
+  private def isLegacyTable(spark: SparkSession, ref: TableRef): Boolean =
+    tableExists(spark, ref) &&
+      spark.catalog.getTable(ref.db, ref.table).tableType != "VIEW"
+
   /** The epoch number the index view currently points at (None if the
-    * view does not exist — index never built).
+    * view does not exist — index never built). A name bound to a plain
+    * TABLE is the pre-epoch layout: fail with an explicit migration
+    * message instead of the misleading "view does not exist"
+    * ([[publishEpoch]] adopts it automatically).
     */
   def currentEpoch(spark: SparkSession, ref: TableRef): Option[Long] =
     if (!tableExists(spark, ref)) None
+    else if (isLegacyTable(spark, ref))
+      throw new IllegalStateException(
+        s"index ${ref.qualified} exists as a plain TABLE — the " +
+          "pre-epoch layout. Run a publish (publishEpoch adopts it as " +
+          "epoch 0) or rebuild the index under the epoch-view layout.")
     else {
       val ddl = spark.sql(s"SHOW CREATE TABLE ${ref.qualified}")
         .head().getString(0)
-      EpochSuffix.findFirstMatchIn(ddl).map(_.group(1).toLong)
+      // LAST match: the view body's `FROM db.name__eN` trails the view
+      // name in the DDL text, so even a (rejected going forward, but
+      // possibly pre-existing) base name containing `__e<digits>`
+      // resolves to the referenced epoch table, not itself.
+      EpochSuffix.findAllMatchIn(ddl).toSeq.lastOption.map(_.group(1).toLong)
     }
 
   /** The live epoch TABLE behind the index view — for writers
@@ -70,24 +97,39 @@ object CatalogOps {
   }
 
   /** Publish a new epoch: `write` materializes the epoch table, then
-    * the view flips to it atomically and epochs older than the one
-    * just superseded are dropped. Used by both the initial build
-    * (epoch 0) and every rebuild/compaction.
+    * the view flips to it atomically and epochs older than the
+    * `retain` just-superseded ones are dropped (size `retain` to the
+    * slowest concurrent reader; default ONE superseded epoch of
+    * grace). Used by both the initial build (epoch 0) and every
+    * rebuild/compaction. An index persisted under the pre-epoch layout
+    * (the name bound to a plain TABLE) is ADOPTED first: the legacy
+    * table renames to `__e0` and the view is created over it, after
+    * which the new epoch publishes as `__e1` and the adopted table
+    * serves as the grace epoch. The adoption rename is the one-time
+    * migration move — run it quiesced like any OPTIMIZE.
     */
-  def publishEpoch(spark: SparkSession, ref: TableRef)
+  def publishEpoch(spark: SparkSession, ref: TableRef, retain: Int = 1)
       (write: TableRef => Unit): Unit = {
+    require(retain >= 1, s"publishEpoch: retain must be >= 1 ($retain)")
+    requireEpochSafeName(ref)
+    if (isLegacyTable(spark, ref)) {
+      renameTable(spark, ref, epochRef(ref, 0))
+      spark.sql(s"CREATE VIEW ${ref.qualified} AS " +
+        s"SELECT * FROM ${epochRef(ref, 0).qualified}")
+    }
     val next = currentEpoch(spark, ref).map(_ + 1).getOrElse(0L)
     write(epochRef(ref, next))
     spark.sql(s"CREATE OR REPLACE VIEW ${ref.qualified} AS " +
       s"SELECT * FROM ${epochRef(ref, next).qualified}")
-    // grace: keep epoch next-1 for in-flight readers; drop older ones
-    // (plus any crashed-write debris below the live epoch)
+    // grace: keep `retain` superseded epochs for in-flight readers;
+    // drop older ones (plus any crashed-write debris below the live
+    // epoch)
     val prefix = s"${ref.table}__e"
     spark.catalog.listTables(ref.db).collect()
       .filter(t => t.name.startsWith(prefix) && t.tableType != "VIEW")
       .foreach { t =>
         val n = t.name.stripPrefix(prefix)
-        if (n.forall(_.isDigit) && n.toLong < next - 1)
+        if (n.forall(_.isDigit) && n.toLong < next - retain)
           dropTable(spark, TableRef(ref.db, t.name))
       }
   }

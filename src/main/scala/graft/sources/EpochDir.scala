@@ -17,13 +17,25 @@ import org.apache.spark.sql.SparkSession
   * Visibility contract: a search that opened epoch N keeps reading
   * epoch N's files even while epoch N+1 publishes — it returns the
   * pre-compaction result; the next open resolves N+1. [[publish]]
-  * retains ONE superseded epoch as grace (deletes only ≤ N−1), so a
-  * reader is stranded only if it lags TWO publishes — at 100 TB run an
-  * OPTIMIZE cadence longer than your slowest query, or raise the
-  * retention. Crash safety is free: an epoch missing `_SUCCESS` (died
-  * mid-write) is invisible to the resolver and overwritten by the next
-  * publish; there is no pointer file to tear because the commit marker
-  * lives inside the epoch itself.
+  * retains `retain` superseded epochs as grace (default ONE — deletes
+  * only ≤ N−retain−1), so a reader is stranded only if it lags
+  * retain+1 publishes — at 100 TB run an OPTIMIZE cadence longer than
+  * your slowest query, or size `retain` to the slowest query instead
+  * (retain ≥ ceil(slowest-query / OPTIMIZE-cadence)). Crash safety is
+  * free: an epoch missing `_SUCCESS` (died mid-write) is invisible to
+  * the resolver and overwritten by the next publish; there is no
+  * pointer file to tear because the commit marker lives inside the
+  * epoch itself.
+  *
+  * Legacy layout: indexes persisted under the pre-epoch flat layout
+  * (parquet files + `_SUCCESS` directly under `base`, no `e<N>`
+  * subdirectory) stay READABLE — [[live]] resolves the base dir itself
+  * when no epoch exists but the flat commit marker does — and the
+  * first [[publish]] ADOPTS them: the flat files move into `e0`
+  * (same-filesystem renames) before the new epoch writes as `e1`, so
+  * the adopted content serves as the grace epoch exactly like a
+  * normally-published predecessor. The one-time adoption move is the
+  * only rename in the lifecycle; run it quiesced like any OPTIMIZE.
   *
   * Appends do NOT create epochs: batch growth lands new files inside
   * the live epoch (an append is already reader-safe — a concurrent
@@ -55,33 +67,78 @@ object EpochDir {
     }.flatten.sortBy(_._1)
   }
 
+  /** True iff `base` holds a committed PRE-EPOCH flat index: a
+    * `_SUCCESS` marker directly under base and no epoch subdirectory.
+    */
+  private def legacyFlat(spark: SparkSession, base: String): Boolean = {
+    val f = fs(spark, base)
+    f.exists(new Path(base, "_SUCCESS")) &&
+      committed(spark, base).isEmpty
+  }
+
   /** The live (highest committed) epoch path — what every reader and
-    * every in-place append opens.
+    * every in-place append opens. A committed legacy flat layout (no
+    * epoch yet) resolves to `base` itself, so pre-epoch indexes stay
+    * readable without migration.
     */
   def live(spark: SparkSession, base: String): String = {
     val cs = committed(spark, base)
-    require(cs.nonEmpty, s"EpochDir: no committed epoch under $base " +
-      "(index missing or its initial write never finished)")
-    cs.last._2.toString
+    if (cs.nonEmpty) cs.last._2.toString
+    else if (legacyFlat(spark, base)) base
+    else throw new IllegalArgumentException(
+      s"EpochDir: no committed epoch under $base " +
+        "(index missing or its initial write never finished)")
+  }
+
+  /** One-time adoption of a legacy flat index as epoch 0: every entry
+    * directly under base (files and non-epoch dirs, `_SUCCESS`
+    * included) moves into `base/e0` via same-filesystem renames, after
+    * which the normal resolver sees a committed epoch 0.
+    */
+  private def adoptLegacy(spark: SparkSession, base: String): Unit = {
+    val f = fs(spark, base)
+    val e0 = new Path(base, "e0")
+    f.mkdirs(e0)
+    f.listStatus(new Path(base)).foreach { st =>
+      if (st.getPath.getName != "e0")
+        f.rename(st.getPath, new Path(e0, st.getPath.getName))
+    }
   }
 
   /** Write a new epoch via `write(targetPath)` (the write must finish
-    * with a `_SUCCESS` marker — every Spark parquet save does), then
-    * purge epochs older than the one just superseded. Used by both the
-    * initial build (epoch 0) and every rebuild/compaction.
+    * with a `_SUCCESS` marker — every Spark parquet save does; the
+    * publish VERIFIES the marker landed before purging anything, so a
+    * cluster running with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` fails
+    * loud instead of silently publishing invisible epochs), then purge
+    * epochs older than the `retain` just-superseded ones. Used by both
+    * the initial build (epoch 0) and every rebuild/compaction; a
+    * legacy flat index is adopted as epoch 0 first (see class doc).
     */
-  def publish(spark: SparkSession, base: String)
+  def publish(spark: SparkSession, base: String, retain: Int = 1)
       (write: String => Unit): Unit = {
+    require(retain >= 1, s"EpochDir.publish: retain must be >= 1 ($retain)")
+    if (legacyFlat(spark, base)) adoptLegacy(spark, base)
     val before = committed(spark, base)
     val next = before.lastOption.map(_._1 + 1).getOrElse(0L)
     write(s"$base/e$next")
-    // grace: keep the superseded epoch for in-flight readers; drop
-    // everything older (plus any uncommitted debris below `next`)
+    // commit check BEFORE the purge: if the writer is configured to
+    // skip _SUCCESS markers, the new epoch is invisible to every
+    // reader — deleting the old ones now would destroy the live index.
+    if (!committed(spark, base).exists(_._1 == next))
+      throw new IllegalStateException(
+        s"EpochDir.publish: epoch $base/e$next wrote but never " +
+          "committed — no _SUCCESS marker found. Is " +
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs=false set? " +
+          "Epoch publishes require the marker as the commit record; " +
+          "nothing was purged.")
+    // grace: keep the `retain` superseded epochs for in-flight
+    // readers; drop everything older (plus uncommitted debris below)
     val f = fs(spark, base)
-    val keep = Set(next, next - 1)
     f.listStatus(new Path(base)).foreach { st =>
       st.getPath.getName match {
-        case EpochName(n) if !keep(n.toLong) => f.delete(st.getPath, true)
+        case EpochName(n) if n.toLong < next - retain =>
+          f.delete(st.getPath, true)
         case _ => ()
       }
     }

@@ -346,8 +346,8 @@ object DocStreams {
     val toks = split(col("text"), " ")
     val nTok = aggregate(
       transform(toks, w =>
-        size(split(graft.operators.Unigram.viterbiSeg(w, vm, maxPiece),
-          " ")).cast("long")),
+        size(split(graft.operators.Unigram.viterbiSeg(w, vm, maxPiece,
+          lit(model.unkProb)), " ")).cast("long")),
       lit(0L), (acc, x) => acc + x)
     stream.select(col("doc_id"),
       size(toks).cast("long").as("n_words"), nTok.as("n_tokens"))

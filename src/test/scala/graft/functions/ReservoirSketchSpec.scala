@@ -84,4 +84,35 @@ class ReservoirSketchSpec extends SparkFunSuite {
     assert(math.abs(trueRank - 0.5) < 0.18,
       s"sampled p50 $est has true rank $trueRank")
   }
+
+  test("long variant draws the same sample as the double variant on small ids") {
+    val dAgg = new ReservoirSketch(8)
+    val lAgg = new ReservoirSketchLong(8)
+    val ids = (1L to 200L).map(i => (i * 7919 % 101, i))
+    val viaD = dAgg.finish(ids.foldLeft(dAgg.zero)((b, p) =>
+      dAgg.reduce(b, RsPair(p._1, p._2.toDouble)))).toSeq.map(_.toLong)
+    val viaL = lAgg.finish(ids.foldLeft(lAgg.zero)((b, p) =>
+      lAgg.reduce(b, RsPairL(p._1, p._2)))).toSeq
+    assert(viaD == viaL && viaL.size == 8)
+  }
+
+  test("long variant round-trips ids beyond 2^53 exactly") {
+    // the double slot is exact only to 2^53: these three ids collapse
+    // to the SAME double, so the double variant cannot distinguish
+    // them — the long variant must keep all three bit-exact
+    val big = 9007199254740992L // 2^53
+    val ids = Seq(big, big + 1, big + 3)
+    assert(ids.map(_.toDouble).distinct.size < ids.size,
+      "test premise: the ids must collide as doubles")
+    val agg = new ReservoirSketchLong(8)
+    val out = agg.finish(ids.zipWithIndex.foldLeft(agg.zero)((b, p) =>
+      agg.reduce(b, RsPairL(p._2.toLong, p._1)))).toSeq
+    assert(out == Seq(big, big + 1, big + 3))
+    // merge path preserves them too
+    val (a, b) = ids.splitAt(1)
+    val merged = agg.merge(
+      a.foldLeft(agg.zero)((s, v) => agg.reduce(s, RsPairL(0L, v))),
+      b.foldLeft(agg.zero)((s, v) => agg.reduce(s, RsPairL(1L, v))))
+    assert(agg.finish(merged).toSeq == Seq(big, big + 1, big + 3))
+  }
 }

@@ -113,4 +113,34 @@ class UnigramSpec extends SparkFunSuite {
     // it did seed ("xy" cnt 1) — both words segment via their pieces
     assert(enc("xy").split(" ").forall(m.counts.toMap.contains))
   }
+
+  test("OOV characters segment at the Laplace floor instead of nulling the DP") {
+    val docs = Seq("ab ab ab").toDF("text")
+    val m = Unigram.train(docs, "text", 64, 4, 3)
+    // without the fallback, any word containing a char the training
+    // corpus never saw folded to null (all candidates null at that
+    // position; the null prev poisons the rest of the DP)
+    def segWith(word: String, unk: org.apache.spark.sql.Column): Option[String] =
+      Option(Seq(word).toDF("w")
+        .select(Unigram.viterbiSeg(col("w"), typedLit(m.probs.toMap), 4,
+          unk).as("s"))
+        .head().getString(0))
+    assert(segWith("azb", lit(null)) === None) // the pre-fix behavior
+    // with the model floor: OOV chars become their own floor-scored
+    // pieces and the in-vocab neighbors still segment normally
+    assert(segWith("azb", lit(m.unkProb)) === Some("a z b"))
+    assert(segWith("zzab", lit(m.unkProb)) === Some("z z ab"))
+    // the floor is the Laplace zero-count probability of this model:
+    // counts (ab:3, a:0, b:0) → 1 / (3 + 3)
+    assert(m.unkProb === 1.0 / 6)
+    // encodeVocab applies the model WITH the floor — a corpus with
+    // unseen characters tokenizes end-to-end
+    val enc = Unigram.encodeVocab(Seq("ab qab").toDF("text"), "text", m, 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(enc("ab") === "ab" && enc("qab") === "q ab")
+    // in-vocab segmentation is untouched by the fallback (coalesce
+    // only fires where try_element_at was null)
+    assert(segWith("abab", lit(m.unkProb)) ===
+      Some(seg("abab", m.probs.toMap)))
+  }
 }

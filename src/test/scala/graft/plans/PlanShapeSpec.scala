@@ -253,4 +253,14 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(hashEx <= 6, s"expected ≤2 hash exchanges per rank round:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x_approx_distinct: no multi-distinct Expand; linear sibling passes") {
+    // two exact countDistinct columns in ONE agg plan via Expand
+    // (~4× row replication of lineitem — measured as the most
+    // expensive query on the r16 board); the two-level sibling-pass
+    // form must keep every pass linear
+    val p = plan("x_approx_distinct")
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

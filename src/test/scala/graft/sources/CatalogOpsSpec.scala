@@ -113,4 +113,62 @@ class CatalogOpsSpec extends SparkFunSuite {
         !CatalogOps.tableExists(s, CatalogOps.epochRef(ref, n))))
     } finally CatalogOps.dropEpochIndex(s, ref)
   }
+
+  test("epoch views: a legacy plain-table index is adopted on first publish") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val ref = TableRef("graft_test", "epoch_legacy")
+    try {
+      // pre-epoch layout: the index name bound to a plain TABLE
+      CatalogOps.dropEpochIndex(s, ref)
+      Seq((1L, "old")).toDF("k", "v").write.saveAsTable(ref.qualified)
+      // reads through currentEpoch/liveEpochTable fail with an explicit
+      // migration message, not a misleading "view does not exist"
+      val e = intercept[IllegalStateException](CatalogOps.currentEpoch(s, ref))
+      assert(e.getMessage.contains("pre-epoch layout"))
+      // publish adopts: legacy table becomes __e0 (grace), new epoch
+      // publishes as __e1 and the view serves it
+      CatalogOps.publishEpoch(s, ref)(t =>
+        Seq((2L, "new")).toDF("k", "v").write.saveAsTable(t.qualified))
+      assert(CatalogOps.currentEpoch(s, ref).contains(1L))
+      assert(s.table(ref.qualified).as[(Long, String)].collect().toSeq ==
+        Seq((2L, "new")))
+      assert(s.table(CatalogOps.epochRef(ref, 0).qualified)
+        .as[(Long, String)].collect().toSeq == Seq((1L, "old")),
+        "the adopted legacy table must survive as the grace epoch")
+    } finally CatalogOps.dropEpochIndex(s, ref)
+  }
+
+  test("epoch views: base names carrying the reserved __e infix are rejected") {
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val bad = TableRef("graft_test", "idx__e2")
+    val e = intercept[IllegalArgumentException] {
+      CatalogOps.publishEpoch(s, bad)(_ => ())
+    }
+    assert(e.getMessage.contains("__e<digits>"))
+    assert(!CatalogOps.tableExists(s, bad))
+  }
+
+  test("epoch views: retain widens the grace window") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val ref = TableRef("graft_test", "epoch_retain")
+    try {
+      CatalogOps.dropEpochIndex(s, ref)
+      for (i <- 0 to 3)
+        CatalogOps.publishEpoch(s, ref, retain = 2)(t =>
+          Seq(i.toLong).toDF("k").write.saveAsTable(t.qualified))
+      // retain=2: epochs 1 and 2 survive as grace beside live e3
+      assert(CatalogOps.currentEpoch(s, ref).contains(3L))
+      assert(!CatalogOps.tableExists(s, CatalogOps.epochRef(ref, 0)))
+      assert(CatalogOps.tableExists(s, CatalogOps.epochRef(ref, 1)))
+      assert(CatalogOps.tableExists(s, CatalogOps.epochRef(ref, 2)))
+      // a reader lagging two publishes still resolves its epoch table
+      assert(s.table(CatalogOps.epochRef(ref, 1).qualified)
+        .as[Long].head() == 1L)
+    } finally CatalogOps.dropEpochIndex(s, ref)
+  }
 }

@@ -77,4 +77,99 @@ class JdbcSourceSpec extends SparkFunSuite {
     assert(back.count() == 500L)
     assert(back.groupBy("grp").count().count() == 7L)
   }
+
+  // ---- dialect dispatch-by-URL through the stub ClickHouse driver ----
+  // Everything above runs the fan-out mechanics against a Derby URL;
+  // these two run Spark's JDBC relation against a `jdbc:clickhouse:`
+  // URL answered by StubClickHouseJdbcDriver, so ClickHouseDialect is
+  // resolved by the REAL registry URL match and its type mapping runs
+  // in both directions inside the relation (not as direct unit calls).
+
+  private val chUrl = "jdbc:clickhouse://localhost:8123/default"
+  private val chDriver = "graft.sources.StubClickHouseJdbcDriver"
+
+  private def chProps = Map("driver" -> chDriver)
+
+  test("clickhouse URL dispatch: CH-typed columns resolve through the dialect on read") {
+    StubClickHouseJdbcDriver.ensureRegistered
+    import org.apache.spark.sql.types._
+    val conn = DriverManager.getConnection(chUrl)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE ch_types")
+      catch { case _: java.sql.SQLException => () }
+      // CH DDL through the stub: types recorded, storage is Derby
+      st.executeUpdate("CREATE TABLE ch_types (" +
+        "`u` UInt64 NOT NULL, `s` Nullable(String), " +
+        "`emb` Array(Float32), `t` Tuple(a Int64, b String))")
+      val ps = conn.prepareStatement(
+        "INSERT INTO ch_types VALUES (?, ?, ?, ?)")
+      // 2^64-1: the value LongType cannot hold — the reason the
+      // dialect maps UInt64 to Decimal(20,0)
+      ps.setBigDecimal(1, new java.math.BigDecimal("18446744073709551615"))
+      ps.setString(2, "hello")
+      // array write through the same createArrayOf/setArray path
+      // Spark's writer uses
+      ps.setArray(3, conn.createArrayOf("float32",
+        Array[AnyRef](java.lang.Float.valueOf(1.5f),
+          java.lang.Float.valueOf(2.5f))))
+      ps.setString(4, "unused")
+      ps.executeUpdate()
+      ps.setBigDecimal(1, java.math.BigDecimal.ONE)
+      ps.setNull(2, java.sql.Types.VARCHAR)
+      ps.setArray(3, conn.createArrayOf("float32", Array.empty[AnyRef]))
+      ps.setString(4, "unused")
+      ps.executeUpdate()
+    } finally conn.close()
+
+    val df = Sources.clickhouseJdbc(spark, chUrl, "ch_types", props = chProps)
+    // schema resolved through dialect dispatch: URL → ClickHouseDialect
+    // → name-driven getCatalystType over the stub's CH type names
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    // (nullability not asserted: Spark's JDBC relation resolves every
+    // column nullable regardless of ResultSetMetaData)
+    assert(byName("u").dataType == DecimalType(20, 0))
+    assert(byName("s").dataType == StringType && byName("s").nullable)
+    assert(byName("emb").dataType == ArrayType(FloatType, containsNull = false))
+    // tuple fields carry no Nullable(...) wrapper → non-nullable
+    assert(byName("t").dataType ==
+      StructType(Seq(StructField("a", LongType, nullable = false),
+        StructField("b", StringType, nullable = false))))
+    // values round-trip (t excluded: Spark's JDBC reader has no struct
+    // getter — the struct mapping is a schema-level contract)
+    val rows = df.select("u", "s", "emb").orderBy(col("u").desc).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDecimal(0) ==
+      new java.math.BigDecimal("18446744073709551615"))
+    assert(rows(0).getString(1) == "hello")
+    assert(rows(0).getSeq[Float](2) == Seq(1.5f, 2.5f))
+    assert(rows(1).isNullAt(1) && rows(1).getSeq[Float](2).isEmpty)
+  }
+
+  test("clickhouse URL dispatch: Spark write emits CH DDL and the data reads back") {
+    StubClickHouseJdbcDriver.ensureRegistered
+    ClickHouseDialect.ensureRegistered()
+    val out = spark.range(4).select(col("id"),
+      concat(lit("n"), col("id")).as("name"),
+      array(col("id").cast("float"), lit(0.5f)).as("emb"))
+    out.write.mode("overwrite").format("jdbc")
+      .option("url", chUrl).option("dbtable", "roundtrip_ch")
+      .option("driver", chDriver).save()
+    // the CREATE TABLE that reached the driver used the dialect's
+    // ClickHouse types — proof the write path dispatched by URL
+    import scala.jdk.CollectionConverters._
+    val ddl = StubClickHouseRegistry.ddlLog.asScala
+      .filter(_.toUpperCase.contains("ROUNDTRIP_CH")).last
+    assert(ddl.contains("`id` Int64 NOT NULL"), ddl)
+    assert(ddl.contains("`name` String"), ddl)
+    assert(ddl.contains("`emb` Array(Float32)"), ddl)
+    // and the rows read back through the same dispatch
+    val back = Sources.clickhouseJdbc(spark, chUrl, "roundtrip_ch",
+      props = chProps)
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(back.map(_.getString(1)).toSeq == Seq("n0", "n1", "n2", "n3"))
+    assert(back.map(_.getSeq[Float](2)).toSeq ==
+      Seq(Seq(0f, 0.5f), Seq(1f, 0.5f), Seq(2f, 0.5f), Seq(3f, 0.5f)))
+  }
 }
