@@ -92,14 +92,21 @@ object DedupQueries {
       |WHERE j.jac >= 0.5
       |ORDER BY c.id_a, c.id_b""".stripMargin
 
-  /** Shared oracle CTE: word-3-gram shingle relation. */
+  /** Shared oracle CTE: word-3-gram shingle relation. The series bound
+    * derives from each document's own word count — a fixed-cap cross
+    * join (the pre-r17 `generate_series(1, 97)`) silently truncated
+    * the shingle set of any document past 99 words, which the sf0.1
+    * sweep exposed (sf0.01 maxes at exactly 99 words; sf0.1 has
+    * 100-word documents).
+    */
   private[queries] def shingleCte(where: String = ""): String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w
        |  FROM documents $where),
        |sh AS (SELECT DISTINCT doc_id,
        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-       |  FROM toks, generate_series(1, 97) AS t(i)
-       |  WHERE i + 2 <= len(w))""".stripMargin
+       |  FROM (SELECT doc_id, w,
+       |      unnest(generate_series(1, len(w) - 2)) AS i
+       |    FROM toks))""".stripMargin
 
   private[queries] val jaccardCte: String =
     """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -1434,8 +1434,9 @@ object TextQueries {
         |    FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |  FROM toks, generate_series(1, 97) AS t(i)
-        |  WHERE i + 2 <= len(w)),
+        |  FROM (SELECT doc_id, w,
+        |      unnest(generate_series(1, len(w) - 2)) AS i
+        |    FROM toks)),
         |sp AS (SELECT doc_id,
         |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
         |        < 'cd' THEN 'train'
@@ -1665,8 +1666,9 @@ object TextQueries {
         |    FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |  FROM toks, generate_series(1, 97) AS t(i)
-        |  WHERE i + 2 <= len(w)),
+        |  FROM (SELECT doc_id, w,
+        |      unnest(generate_series(1, len(w) - 2)) AS i
+        |    FROM toks)),
         |sp AS (SELECT doc_id,
         |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
         |        < 'cd' THEN 'train'
