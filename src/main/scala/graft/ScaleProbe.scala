@@ -636,6 +636,24 @@ object ScaleProbe {
         s"ssJoinStateMax=${dataBatches.map(_._2).max} " +
         s"ssJoinStateLast=${dataBatches.last._2}")
     }
+    if (what == "lsncheck") {
+      // sanity check of the shuffle-records listener against a job
+      // with a KNOWN exchange row count (1M rows into a 97-key agg:
+      // partial-agg shuffle writes ≤ tasks·97 records, ≥ 97)
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val lsn = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            recs.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(lsn)
+      spark.range(1000000).selectExpr("id % 97 AS k", "id")
+        .groupBy("k").agg(sum("id")).count()
+      Thread.sleep(3000)
+      spark.sparkContext.removeSparkListener(lsn)
+      println(s"lsnRecords=${recs.get()}")
+    }
     if (what == "r17graph") {
       // Factor-10 protocol for the GRAPH family (VERDICT r16 #6): the
       // fixed-point loops had only 10× evidence. Build the standing
@@ -665,8 +683,14 @@ object ScaleProbe {
       }
       spark.sparkContext.addSparkListener(lsn)
       val iters = 3
+      // FULL materialization (toRdd.count, the Bench protocol): a bare
+      // count() lets Catalyst eliminate the per-round left-join+agg
+      // chain entirely (row count = |nodes| is statically derivable),
+      // so the loop never executes — measured 2 shuffle records and
+      // 0.58 s before this fix caught it.
       println("grRankRows=" + timed(s"$iters rank rounds (standing index)")(
-        Graph.pageRankIndexed(spark, idx, iters = iters).count()))
+        Graph.pageRankIndexed(spark, idx, iters = iters)
+          .queryExecution.toRdd.count()))
       Thread.sleep(3000) // listener bus drains async
       spark.sparkContext.removeSparkListener(lsn)
       val shuffled = recs.get()
@@ -676,6 +700,37 @@ object ScaleProbe {
       require(shuffled < iters.toLong * nE,
         s"rank loop re-exchanged the edge table: $shuffled records >= " +
           s"${iters} * |E| (${iters.toLong * nE})")
+
+      // The part–supplier graph's |V|/|E| SATURATE under the scale
+      // generator (dimension keys stay put by design — SCALING.md's
+      // broadcast-ability axiom), so the axis where the GRAPH itself
+      // grows 10× is the document near-dup graph: doc ids shift per
+      // copy and each copy contributes its own isomorphic pair set.
+      // Same law, growing |V|: rank rounds exchange |V|-bounded rows.
+      val docPairs = spark.read
+        .parquet(graft.queries.DedupQueries.stagedMinhashPairs(spark, sfDir))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val dIdx = timed("doc edge index build (bucketed, symmetrized)")(
+        Graph.materializeEdges(docPairs, s"r17graphdoc:$sfDir",
+          validateDangling = false, symmetrize = true, bucketIfOver = 0L))
+      val dV = dIdx.nodes(spark).count()
+      val dE = dIdx.edges(spark).count()
+      println(s"docNodes=$dV docEdges=$dE")
+      val dRecs = new java.util.concurrent.atomic.AtomicLong
+      val dLsn = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            dRecs.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(dLsn)
+      println("docRankRows=" + timed(s"$iters doc rank rounds (standing index)")(
+        Graph.pageRankIndexed(spark, dIdx, iters = iters,
+          allNodesReceive = true).queryExecution.toRdd.count()))
+      Thread.sleep(3000)
+      spark.sparkContext.removeSparkListener(dLsn)
+      println(f"docShuffledRecords=${dRecs.get()}%d " +
+        f"docPerRoundPerV=${dRecs.get().toDouble / (iters * dV)}%.2f")
 
       // the rest of the fixed-point family, full query walls
       println("hitsRows=" + timed("full g_hits (3 mutual rounds)")(

@@ -21,7 +21,7 @@ object DedupQueries {
     */
   private val stagedPairs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[queries] def stagedMinhashPairs(s: SparkSession,
+  private[graft] def stagedMinhashPairs(s: SparkSession,
       dir: String): String =
     stagedPairs.computeIfAbsent(dir, { _ =>
       val p = graft.sources.Scratch.dir("docpairs", dir)
