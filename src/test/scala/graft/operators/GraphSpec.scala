@@ -347,4 +347,27 @@ class GraphSpec extends SparkFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("bucketed build lands exactly one file per bucket, however the input splits") {
+    // The standing-index compactness contract (SCALING.md r17): the
+    // per-round task count of every rank loop rides files-per-bucket,
+    // so the build must pin it to the bucket count — a write straight
+    // off the staged join leaves files ∝ input partitions (measured
+    // 10× the loop tasks at the sf1 probe on an identical table).
+    val e0 = spark.range(2000).selectExpr(
+      "id % 50 AS src", "(id * 7) % 50 AS dst")
+      .filter($"src" =!= $"dst")
+      .repartition(13) // deliberately awkward input split
+    val idx = Graph.materializeEdges(e0, "bucketfile-spec",
+      validateDangling = false, symmetrize = true,
+      bucketIfOver = 0L, buckets = 4)
+    assert(idx.bucketed)
+    val loc = spark.sql(s"DESC FORMATTED ${idx.edgesRef}")
+      .filter($"col_name" === "Location").head().getString(1)
+    val dataFiles = new java.io.File(new java.net.URI(loc).getPath)
+      .listFiles().filter(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles.length == 4,
+      s"expected one file per bucket (4), got ${dataFiles.length}: " +
+        dataFiles.map(_.getName).mkString(", "))
+  }
 }
