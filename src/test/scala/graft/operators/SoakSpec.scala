@@ -219,4 +219,35 @@ class SoakSpec extends SparkFunSuite {
       assert(CatalogOps.currentEpoch(s, idxT).exists(_ >= 20L))
     } finally CatalogOps.dropEpochIndex(s, idxT)
   }
+
+  test("retain=3 keeps a reader lagging THREE publishes alive; the fourth retires it") {
+    // The retention knob sized to a deliberately-lagged reader: a
+    // query that resolved its epoch path long ago (planned, then
+    // stalled) must still find every file through `retain` subsequent
+    // publishes — and strand only at retain+1, the documented edge of
+    // the widened grace window.
+    val cbooks = Similarity
+      .pqSubvecs(emb.filter(col("vec_id") < 16), 8, 8, "vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("cid"), col("m"),
+        col("sv").as("cv"))
+    val path = tmpDir("ivfpq_retain_soak")
+    Similarity.writeIvfPqIndex(Similarity.pqEncode(emb, cbooks), cbooks, path)
+    // the lagged reader resolves its epoch NOW (e0)...
+    val laggedPath = EpochDir.live(spark, s"$path/codes")
+    val want = spark.read.parquet(laggedPath).count()
+    assert(want > 0)
+    // ...then THREE compactions publish past it with retain=3
+    (1 to 3).foreach(_ =>
+      Similarity.compactIvfPqIndex(spark, path, retain = 3))
+    assert(EpochDir.live(spark, s"$path/codes").endsWith("/e3"))
+    // the stalled reader's planned file paths still resolve, in full
+    assert(spark.read.parquet(laggedPath).count() == want,
+      "a reader inside the retain=3 grace window lost its files")
+    // the FOURTH publish retires e0 — the reader is now past the edge
+    Similarity.compactIvfPqIndex(spark, path, retain = 3)
+    assert(!localFile(laggedPath).exists(),
+      "epoch e0 must fall out of the retain=3 window at the 4th publish")
+    assert(spark.read.parquet(EpochDir.live(spark, s"$path/codes"))
+      .count() == want)
+  }
 }

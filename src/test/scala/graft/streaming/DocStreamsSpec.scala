@@ -423,4 +423,47 @@ class DocStreamsSpec extends SparkFunSuite {
     val want = asSet(graft.SparkEntry.queries("t_unigram_encode")(s, sf0001))
     assert(got.size == 500 && got == want)
   }
+
+  test("streaming tokenization of OOV text: floor-scored singles, never null rows") {
+    // The stream applies a TRAINED model to ARRIVING text, where
+    // characters the training corpus never saw are plausible. Before
+    // the Laplace-floor fallback, an OOV character nulled the whole
+    // word's DP and the stream silently emitted null n_words/n_tokens
+    // rows; now OOV chars segment as their own floor-scored pieces.
+    val s = spark
+    import s.implicits._
+    val model = graft.operators.Unigram.train(
+      Seq("ab ab ab").toDF("text"), "text", topK = 64, maxPiece = 4,
+      rounds = 3) // vocabulary: {ab, a, b} — anything else is OOV
+    val streamDir = tmpDir("tok_oov_stream")
+    val staged = tmpDir("tok_oov_stage")
+    Seq(
+      (1L, "ab ab", "en", "s", 5L),     // fully in-vocab: 2 words, 2 pieces
+      (2L, "axb zz ab", "en", "s", 9L), // OOV x and z: a|x|b, z|z, ab
+      (3L, "qqq", "en", "s", 3L))       // entirely OOV: q|q|q
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+      .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    java.nio.file.Files.move(java.nio.file.Paths.get(part),
+      java.nio.file.Paths.get(streamDir, "wave.parquet"))
+    val outDir = tmpDir("tok_oov_out")
+    val q = DocStreams.tokenized(DocStreams.readDocs(s, streamDir),
+        model, maxPiece = 4)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tok_oov_ckpt"))
+      .format("parquet").option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = s.read.parquet(outDir)
+      .select("doc_id", "n_words", "n_tokens")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 2L)),   // ab, ab
+      2L -> ((3L, 6L)),   // a x b | z z | ab
+      3L -> ((1L, 3L))),  // q q q
+      s"OOV docs must tokenize, not null out: $got")
+  }
 }
