@@ -254,6 +254,15 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("j_range_binned: no multi-distinct Expand over the 4.5M-pair join output") {
+    // two exact distincts over different keys would triple the binned
+    // join's output through one shuffle; the two-level chain + sibling
+    // distinct must keep the plan Expand-free
+    val p = plan("j_range_binned")
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_approx_distinct: no multi-distinct Expand; linear sibling passes") {
     // two exact countDistinct columns in ONE agg plan via Expand
     // (~4× row replication of lineitem — measured as the most
