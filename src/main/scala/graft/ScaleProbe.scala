@@ -636,6 +636,28 @@ object ScaleProbe {
         s"ssJoinStateMax=${dataBatches.map(_._2).max} " +
         s"ssJoinStateLast=${dataBatches.last._2}")
     }
+    if (what == "planscan") {
+      // Static sweep: render every query's pre-execution physical plan
+      // and flag scale-killer shapes (Expand from multi-distinct,
+      // CartesianProduct). Plan-only — nothing executes — so the whole
+      // board scans in seconds. Expand is LEGITIMATE under rollup/
+      // cube/grouping-sets; those hits are listed for eyeballing, not
+      // failed.
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        try {
+          val p = SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.sparkPlan.toString
+          val flags = Seq(
+            if (p.contains("Expand")) Some("Expand") else None,
+            if (p.contains("CartesianProduct")) Some("Cartesian") else None
+          ).flatten
+          if (flags.nonEmpty) println(s"planscan $name: ${flags.mkString(",")}")
+        } catch { case e: Exception =>
+          println(s"planscan $name: ERROR ${e.toString.take(120)}")
+        }
+      }
+      println("planscan done")
+    }
     if (what == "lsncheck") {
       // sanity check of the shuffle-records listener against a job
       // with a KNOWN exchange row count (1M rows into a 97-key agg:
