@@ -35,7 +35,39 @@ object Joins {
       rightTs: String,
       rightPayload: Seq[String],
       rightTieBreak: Option[String] = None,
-      suffix: String = "_asof"): DataFrame = {
+      suffix: String = "_asof"): DataFrame =
+    asofDirectional(left, right, keys, leftTs, rightTs, rightPayload,
+      rightTieBreak, suffix, backward = true)
+
+  /** FORWARD as-of join (pandas `merge_asof(direction='forward')`):
+    * for each left row, attach the payload of the EARLIEST right row
+    * with `right.ts >= left.ts` within the key group (exact-time
+    * matches included). Same linear union-window shape as [[asofJoin]]
+    * — the scan simply runs time-DESCENDING, so the carried payload at
+    * each left row is the smallest right ts at-or-after it.
+    */
+  def asofForwardJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightTieBreak: Option[String] = None,
+      suffix: String = "_fwd"): DataFrame =
+    asofDirectional(left, right, keys, leftTs, rightTs, rightPayload,
+      rightTieBreak, suffix, backward = false)
+
+  private def asofDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      rightTieBreak: Option[String],
+      suffix: String,
+      backward: Boolean): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name ≥1 column")
     val payloadOut = rightPayload.map(_ + suffix)
     val leftCols = left.columns.toSeq
@@ -65,10 +97,15 @@ object Joins {
     val unioned = l3.select(unionCols.map(col): _*)
       .unionByName(r3.select(unionCols.map(col): _*))
 
-    // right rows sort BEFORE left rows at equal ts (tag desc) so an
-    // exactly-simultaneous right row matches (ts <= ts).
+    // right rows sort BEFORE left rows at equal ts (tag desc) in BOTH
+    // directions, so an exactly-simultaneous right row matches
+    // (backward: ts <= ts; forward: ts >= ts). Backward scans time
+    // ascending (carry = latest right ≤ t); forward scans descending
+    // (carry = earliest right ≥ t). Among simultaneous right rows the
+    // tie-break MAX wins either way (last() of `_tie` asc).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_tag").desc, col("_tie").asc)
+      .orderBy(if (backward) col("_t").asc else col("_t").desc,
+        col("_tag").desc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = unioned.withColumn("_payload",

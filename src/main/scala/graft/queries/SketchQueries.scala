@@ -385,6 +385,33 @@ object SketchQueries {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of join (merge_asof direction='forward'): every event
+    // picks up the user's EARLIEST signup at-or-after it — the
+    // "time-to-next-conversion" shape (backward = j_asof_signup,
+    // nearest = j_asof_nearest complete the direction family). Spark
+    // runs the same linear union-window composition with the per-key
+    // scan reversed; the oracle is the naive per-event argmin over a
+    // conditioned LEFT join — the |L|·|R| plan the operator avoids.
+    "j_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("event_id")) // dedupe simultaneous
+      Joins.asofForwardJoin(
+        left = ev.select("event_id", "user_id", "ts"),
+        right = signups,
+        keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id", "ts"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          coalesce(col("event_id_fwd"), lit(-1L)).as("signup_id"),
+          coalesce(date_format(col("ts_fwd"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            lit("none")).as("signup_ts_s"))
+        .orderBy("event_id")
+    }),
+
     // NEAREST as-of join (merge_asof direction='nearest'): every event
     // picks up the user's CLOSEST signup — before or after — with
     // exact-distance ties to the earlier one. Spark runs the
@@ -727,6 +754,20 @@ object SketchQueries {
     // micros/1e6 — one correctly-rounded division — so the distance
     // doubles match bit-for-bit; ties order (distance, signup ts),
     // the operator's backward preference.
+    "j_asof_forward" ->
+      """WITH su AS (SELECT user_id, ts, max(event_id) AS sid
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |j AS (SELECT e.event_id, e.user_id, e.ts, su.sid, su.ts AS sts,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY su.ts) AS rn
+        |  FROM events e LEFT JOIN su
+        |    ON e.user_id = su.user_id AND su.ts >= e.ts)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  COALESCE(sid, -1) AS signup_id,
+        |  COALESCE(strftime(sts, '%Y-%m-%d %H:%M:%S.%f'), 'none')
+        |    AS signup_ts_s
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "j_asof_nearest" ->
       """WITH su AS (SELECT user_id, ts, max(event_id) AS sid
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),

@@ -24,6 +24,38 @@ class JoinsSpec extends SparkFunSuite {
     assert(res(4L) == -1L)  // u2 has no right rows → null
   }
 
+  test("asofForwardJoin: earliest right row at or after left ts, per key") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "u1", 5L), (2L, "u1", 20L), (3L, "u1", 10L), (4L, "u2", 7L),
+      (5L, "u1", 31L)
+    ).toDF("lid", "k", "ts")
+    val right = Seq(
+      ("u1", 4L, 100L), ("u1", 10L, 200L), ("u1", 30L, 300L)
+    ).toDF("k", "ts", "payload")
+    val res = Joins.asofForwardJoin(left, right, Seq("k"), "ts", "ts",
+        Seq("payload"), rightTieBreak = Some("payload"))
+      .select("lid", "payload_fwd")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(res(1L) == 200L) // ts=5 → right@10 (4 is in the past)
+    assert(res(2L) == 300L) // ts=20 → right@30
+    assert(res(3L) == 200L) // ts=10 → right@10 (simultaneous matches)
+    assert(res(4L) == -1L)  // u2 has no right rows → null
+    assert(res(5L) == -1L)  // ts=31 → nothing at or after
+  }
+
+  test("asofForwardJoin: simultaneous right rows resolve by tie-break (max wins)") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val left = Seq((1L, "u", 10L)).toDF("lid", "k", "ts")
+    val right = Seq(("u", 10L, 7L), ("u", 10L, 9L)).toDF("k", "ts", "payload")
+    val res = Joins.asofForwardJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("payload"), rightTieBreak = Some("payload")).collect()
+    assert(res.head.getAs[Long]("payload_fwd") == 9L)
+  }
+
   test("asofJoin: simultaneous right rows resolve by tie-break (max wins)") {
     val s = graft.SparkTestBase.spark
     import s.implicits._
