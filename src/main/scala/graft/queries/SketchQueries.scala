@@ -57,8 +57,13 @@ object SketchQueries {
       val approx = li.groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("asu"))
+      // the isNotNull filter keeps the two-level rewrite a DROP-IN
+      // equivalent of countDistinct (which skips NULL keys) even if
+      // the pattern is reused on a nullable column; on TPC-H's
+      // non-null keys it folds into the scan for free.
       def exactDistinct(key: String, as: String) =
-        li.select(col("l_returnflag"), col(key)).distinct()
+        li.filter(col(key).isNotNull)
+          .select(col("l_returnflag"), col(key)).distinct()
           .groupBy("l_returnflag").agg(count(lit(1)).as(as))
       approx
         .join(exactDistinct("l_partkey", "exact_parts"), Seq("l_returnflag"))
@@ -472,7 +477,10 @@ object SketchQueries {
         .agg(count(lit(1)).as("nc"))
         .groupBy("o_orderpriority")
         .agg(sum("nc").as("pairs"), count(lit(1)).as("orders_hit"))
-      val byCust = j.select(col("o_orderpriority"), col("c")).distinct()
+      // isNotNull keeps the sibling-pass pattern equivalent to
+      // countDistinct on nullable keys (free on TPC-H's non-null c)
+      val byCust = j.filter(col("c").isNotNull)
+        .select(col("o_orderpriority"), col("c")).distinct()
         .groupBy("o_orderpriority").agg(count(lit(1)).as("custs_hit"))
       byOrder.join(byCust, Seq("o_orderpriority"))
         .select(col("o_orderpriority"), col("pairs"),

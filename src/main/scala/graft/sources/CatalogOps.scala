@@ -116,6 +116,23 @@ object CatalogOps {
       renameTable(spark, ref, epochRef(ref, 0))
       spark.sql(s"CREATE VIEW ${ref.qualified} AS " +
         s"SELECT * FROM ${epochRef(ref, 0).qualified}")
+    } else if (!tableExists(spark, ref) &&
+        spark.catalog.databaseExists(ref.db)) {
+      // crash recovery: a prior adoption renamed the legacy table to
+      // __e0 but died before CREATE VIEW, leaving the base name
+      // unbound and an orphan epoch table. Rebind the view over the
+      // HIGHEST orphan before computing `next` — otherwise next would
+      // be 0 and the new epoch's write would overwrite the orphan
+      // (the adopted legacy data) instead of keeping it as grace.
+      val prefix = s"${ref.table}__e"
+      val orphans = spark.catalog.listTables(ref.db).collect()
+        .filter(t => t.tableType != "VIEW" && t.name.startsWith(prefix))
+        .map(_.name.stripPrefix(prefix))
+        .filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .map(_.toLong)
+      if (orphans.nonEmpty)
+        spark.sql(s"CREATE VIEW ${ref.qualified} AS " +
+          s"SELECT * FROM ${epochRef(ref, orphans.max).qualified}")
     }
     val next = currentEpoch(spark, ref).map(_ + 1).getOrElse(0L)
     write(epochRef(ref, next))

@@ -100,8 +100,15 @@ object EpochDir {
     val e0 = new Path(base, "e0")
     f.mkdirs(e0)
     f.listStatus(new Path(base)).foreach { st =>
-      if (st.getPath.getName != "e0")
-        f.rename(st.getPath, new Path(e0, st.getPath.getName))
+      if (st.getPath.getName != "e0") {
+        val dst = new Path(e0, st.getPath.getName)
+        // HDFS reports rename failure by RETURNING FALSE, not throwing;
+        // a silently-dropped file here would publish a grace epoch
+        // missing part of the legacy index, so fail loud instead.
+        require(f.rename(st.getPath, dst),
+          s"EpochDir.adoptLegacy: rename ${st.getPath} -> $dst failed; " +
+            "aborting adoption before any new epoch publishes")
+      }
     }
   }
 

@@ -140,6 +140,33 @@ class CatalogOpsSpec extends SparkFunSuite {
     } finally CatalogOps.dropEpochIndex(s, ref)
   }
 
+  test("epoch views: an orphan __e0 from a crashed adoption is rebound, not overwritten") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val ref = TableRef("graft_test", "epoch_orphan")
+    try {
+      CatalogOps.dropEpochIndex(s, ref)
+      // simulate a crash between renameTable(ref -> __e0) and CREATE
+      // VIEW during legacy adoption: the epoch table exists, the base
+      // name is bound to NOTHING
+      Seq((1L, "adopted")).toDF("k", "v")
+        .write.saveAsTable(CatalogOps.epochRef(ref, 0).qualified)
+      assert(!CatalogOps.tableExists(s, ref))
+      // the next publish must detect the orphan, rebind the view over
+      // it, and publish as __e1 — NOT compute next=0 and overwrite the
+      // adopted legacy data
+      CatalogOps.publishEpoch(s, ref)(t =>
+        Seq((2L, "new")).toDF("k", "v").write.saveAsTable(t.qualified))
+      assert(CatalogOps.currentEpoch(s, ref).contains(1L))
+      assert(s.table(ref.qualified).as[(Long, String)].collect().toSeq ==
+        Seq((2L, "new")))
+      assert(s.table(CatalogOps.epochRef(ref, 0).qualified)
+        .as[(Long, String)].collect().toSeq == Seq((1L, "adopted")),
+        "the orphaned adoption must survive as the grace epoch")
+    } finally CatalogOps.dropEpochIndex(s, ref)
+  }
+
   test("epoch views: base names carrying the reserved __e infix are rejected") {
     val s = spark
     s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
