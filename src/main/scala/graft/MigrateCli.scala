@@ -24,13 +24,20 @@ import graft.resume.Checkpoint
   * `--partition-expr` supports `month:<tsCol>`, `date:<tsCol>`, or a plain
   * column name — the stand-in for a ClickHouse PARTITION BY expression.
   *
-  * Modes: `single` (one table, full state machine), `full` (every
+  * Modes: `single` (one table, full state machine; `--source` is a
+  * parquet path, or `table:<db.name>` for a catalog table — a name
+  * bound to a VIEW resolves to its single base table first, the
+  * reference's Distributed→local dispatch re-expressed), `full` (every
   * parquet table under --source), `resync` (incremental: re-copy only
   * partitions whose count/checksum drifted vs the published --dest;
   * `--drop-orphans true` also removes destination-only partitions),
   * `dq` (one-pass per-column data-quality profile of --source, written
   * as a JSON report; `--min-completeness 0.99` turns it into a gate —
-  * exit 1 if any column's non-null fraction falls below it), and
+  * exit 1 if any column's non-null fraction falls below it — and
+  * `--baseline <previous dq report>` turns it into a DRIFT gate: the
+  * profile diffs against the last run's, exit 1 on missing columns,
+  * completeness drops, cardinality swings, or numeric bounds escaping
+  * the historical range beyond `--drift-tolerance`, default 0.1), and
   * `curate` (the end-to-end corpus-curation pipeline over a documents
   * table: Gopher quality gate → exact dedup → MinHash near-dup
   * collapse → deterministic split, written to --dest partitioned by
@@ -52,6 +59,74 @@ object MigrateCli {
     */
   private def js(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Data-quality mode body, exit code RETURNED instead of exited —
+    * the unit the spec drives in-process (sys.exit would kill the
+    * forked test JVM). One profiling pass, per-COLUMN output rows
+    * (bounded by schema width — the collect is a ~n_columns report,
+    * never row data), written as the JSON report that doubles as the
+    * NEXT run's `--baseline`.
+    *
+    * Gates, either of which exits 1:
+    *  - `--min-completeness X`: absolute per-column completeness floor
+    *    (the one-shot gate, A35's shape);
+    *  - `--baseline <last dq report>` [`--drift-tolerance 0.1`]:
+    *    anomaly-detection drift vs the LAST run's profile — missing
+    *    columns, completeness drops, cardinality swings, numeric
+    *    bounds escaping the historical range (DataQuality.drift).
+    */
+  private[graft] def runDq(
+      spark: SparkSession,
+      args: Map[String, String],
+      cfg: graft.model.MigrationConfig,
+      start: Long): Int = {
+    val f = new java.io.File(cfg.sourcePath)
+    val src = graft.sources.Sources.table(
+      spark, f.getParent, f.getName.stripSuffix(".parquet"))
+    val profs = graft.operators.DataQuality.collectProfile(src)
+    val body = profs.map { p =>
+      s"""{"column": ${js(p.column)}, "n_rows": ${p.nRows},
+         | "null_count": ${p.nullCount},
+         | "completeness": ${p.completeness},
+         | "approx_distinct": ${p.approxDistinct},
+         | "min": ${p.minValue.fold("null")(js)},
+         | "max": ${p.maxValue.fold("null")(js)}}"""
+        .stripMargin.replace("\n", "")
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    val dir = new java.io.File(args.getOrElse("report-dir", "reports"))
+    dir.mkdirs()
+    val out = new java.io.File(dir, s"dq_report_$start.json").toPath
+    java.nio.file.Files.writeString(out, body)
+    profs.foreach { p =>
+      println(s"[graft] dq column=${p.column} " +
+        s"completeness=${p.completeness} distinct~${p.approxDistinct}")
+    }
+    val minC = args.get("min-completeness").map(_.toDouble).getOrElse(0.0)
+    val bad = profs.filter(_.completeness < minC)
+    bad.foreach(p => System.err.println(
+      s"[graft] dq GATE FAILED column=${p.column} " +
+        s"completeness=${p.completeness} < $minC"))
+    val drifts = args.get("baseline").map { basePath =>
+      val tol = args.get("drift-tolerance").map(_.toDouble).getOrElse(0.1)
+      // the baseline is our own report format; Spark's JSON reader
+      // keeps the parse dependency-free
+      val baseRows = spark.read.option("multiLine", true).json(basePath)
+        .collect().toSeq.map { r =>
+          graft.operators.DataQuality.ColumnProfile(
+            r.getAs[String]("column"), r.getAs[Long]("n_rows"),
+            r.getAs[Long]("null_count"), r.getAs[Double]("completeness"),
+            r.getAs[Long]("approx_distinct"),
+            Option(r.getAs[String]("min")), Option(r.getAs[String]("max")))
+        }
+      graft.operators.DataQuality.drift(baseRows, profs, tol)
+    }.getOrElse(Nil)
+    drifts.foreach(d => System.err.println(
+      s"[graft] dq DRIFT column=${d.column} metric=${d.metric} " +
+        s"baseline=${d.baseline} current=${d.current}"))
+    println(s"[graft] dq report=$out columns=${profs.length} " +
+      s"violations=${bad.length} drifts=${drifts.length}")
+    if (bad.nonEmpty || drifts.nonEmpty) 1 else 0
+  }
 
   def main(argv: Array[String]): Unit = {
     val args = ConfigResolver.parseArgs(argv)
@@ -100,39 +175,9 @@ object MigrateCli {
         graft.sources.Sources.table(spark, dir, name)
 
       if (cfg.mode == "dq") {
-        // Data-quality profile mode: one pass, per-COLUMN output rows
-        // (bounded by schema width — the collect here is a report of
-        // ~n_columns rows, never row data).
-        val f = new java.io.File(cfg.sourcePath)
-        val src = readTable(f.getParent, f.getName.stripSuffix(".parquet"))
-        val rows = graft.operators.DataQuality.profile(src)
-          .orderBy("column").collect()
-        val body = rows.map { r =>
-          s"""{"column": ${js(r.getString(0))}, "n_rows": ${r.getLong(1)},
-             | "null_count": ${r.getLong(2)},
-             | "completeness": ${r.getDouble(3)},
-             | "approx_distinct": ${r.getLong(4)},
-             | "min": ${Option(r.getString(5)).fold("null")(js)},
-             | "max": ${Option(r.getString(6)).fold("null")(js)}}"""
-            .stripMargin.replace("\n", "")
-        }.mkString("[\n  ", ",\n  ", "\n]")
-        val dir = new java.io.File(args.getOrElse("report-dir", "reports"))
-        dir.mkdirs()
-        val out = new java.io.File(dir, s"dq_report_$start.json").toPath
-        java.nio.file.Files.writeString(out, body)
-        rows.foreach { r =>
-          println(s"[graft] dq column=${r.getString(0)} " +
-            s"completeness=${r.getDouble(3)} distinct~${r.getLong(4)}")
-        }
-        val minC = args.get("min-completeness").map(_.toDouble).getOrElse(0.0)
-        val bad = rows.filter(_.getDouble(3) < minC)
-        bad.foreach(r => System.err.println(
-          s"[graft] dq GATE FAILED column=${r.getString(0)} " +
-            s"completeness=${r.getDouble(3)} < $minC"))
-        println(s"[graft] dq report=$out columns=${rows.length} " +
-          s"violations=${bad.length}")
+        val code = runDq(spark, args, cfg, start)
         spark.stop()
-        if (bad.nonEmpty) sys.exit(1)
+        if (code != 0) sys.exit(code)
         return
       }
 
@@ -198,6 +243,19 @@ object MigrateCli {
       val mig = new Migrator(spark, ckpt, cfg.lockDir, cfg.insertIntervalSec)
 
       val results = cfg.mode match {
+        case "single" if cfg.sourcePath.startsWith("table:") =>
+          // catalog-named source: `--source table:<db.name>` (or a bare
+          // name, resolved in --db). A name bound to a VIEW resolves to
+          // its single base table before migrating — the reference's
+          // Distributed→local dispatch (A8) in catalog terms. The key
+          // derives from the name's schema (identical to the base's for
+          // any migratable view).
+          val parts = cfg.sourcePath.stripPrefix("table:").split("\\.", 2)
+          val srcRef =
+            if (parts.length == 2) TableRef(parts(0), parts(1))
+            else TableRef(cfg.db, parts(0))
+          val (k, e) = keyFor(spark.table(srcRef.qualified))
+          Seq(mig.migrateCatalogTable(srcRef, Seq(k), Seq(e), cfg.destPath))
         case "single" =>
           val f = new java.io.File(cfg.sourcePath)
           val src = readTable(f.getParent, f.getName.stripSuffix(".parquet"))

@@ -66,4 +66,102 @@ object DataQuality {
       minCompleteness: Double): DataFrame =
     profiled.filter(col("completeness") < minCompleteness)
       .select("column", "completeness", "null_count", "n_rows")
+
+  /** One [[profile]] row as a value — the unit the drift gate compares
+    * and the dq report serializes (bounded by schema width, never row
+    * data).
+    */
+  final case class ColumnProfile(
+      column: String,
+      nRows: Long,
+      nullCount: Long,
+      completeness: Double,
+      approxDistinct: Long,
+      minValue: Option[String],
+      maxValue: Option[String])
+
+  /** [[profile]] collected to typed values, ordered by column. */
+  def collectProfile(df: DataFrame): Seq[ColumnProfile] =
+    profile(df).orderBy("column").collect().toSeq.map { r =>
+      ColumnProfile(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4),
+        Option(r.getString(5)), Option(r.getString(6)))
+    }
+
+  /** One drift finding: `metric` ∈ presence | completeness |
+    * approx_distinct | min_bound | max_bound, with both sides rendered
+    * for the report.
+    */
+  final case class Drift(
+      column: String, metric: String, baseline: String, current: String)
+
+  /** Anomaly-detection drift between two profiles of the same logical
+    * table — the operational upgrade of the one-shot profile (and of
+    * the reference's count-only validation, A35): instead of absolute
+    * thresholds, each run is judged against the LAST run's recorded
+    * profile, so "normal" is whatever the pipeline actually produces
+    * and the gate fires on CHANGE. (Deequ's AnomalyCheck shape.)
+    *
+    * Rules, all tolerance-gated:
+    *  - presence: a baseline column MISSING from the current profile is
+    *    drift; a NEW current column is benign (additive schema
+    *    evolution — same stance as the resync schema gate).
+    *  - completeness: an absolute DROP > `tolerance` (a rise is fine —
+    *    fewer nulls is not an anomaly).
+    *  - approx_distinct: relative change > `tolerance` in either
+    *    direction (cardinality collapse = a constant-stuck column;
+    *    explosion = a key leaking into a categorical). HLL noise is
+    *    ~2% at default rsd, so tolerances below ~0.1 will flake.
+    *  - bounds (NUMERIC columns only): the observed range escaping the
+    *    baseline range by > `tolerance` × baseline span on either end.
+    *    Relative-to-span keeps growing time/id columns quiet (a day's
+    *    growth on a years-wide column is ≪ tolerance) while a price
+    *    going negative or an outlier decade out fires. Non-numeric
+    *    bounds are skipped — lexicographic span is not a distance.
+    */
+  def drift(
+      baseline: Seq[ColumnProfile],
+      current: Seq[ColumnProfile],
+      tolerance: Double): Seq[Drift] = {
+    require(tolerance >= 0, "tolerance must be >= 0")
+    val cur = current.map(p => p.column -> p).toMap
+    baseline.sortBy(_.column).flatMap { b =>
+      cur.get(b.column) match {
+        case None =>
+          Seq(Drift(b.column, "presence", "present", "missing"))
+        case Some(c) =>
+          val comp =
+            if (c.completeness < b.completeness - tolerance)
+              Some(Drift(b.column, "completeness",
+                b.completeness.toString, c.completeness.toString))
+            else None
+          val dist = {
+            val rel = math.abs(c.approxDistinct - b.approxDistinct).toDouble /
+              math.max(b.approxDistinct, 1L)
+            if (rel > tolerance)
+              Some(Drift(b.column, "approx_distinct",
+                b.approxDistinct.toString, c.approxDistinct.toString))
+            else None
+          }
+          def num(v: Option[String]): Option[Double] =
+            v.flatMap(_.toDoubleOption).filter(d => !d.isNaN)
+          val bounds = (num(b.minValue), num(b.maxValue),
+              num(c.minValue), num(c.maxValue)) match {
+            case (Some(bLo), Some(bHi), Some(cLo), Some(cHi)) =>
+              // span 0 (constant column): any change in a bound is an
+              // escape, scaled off the magnitude instead
+              val span = math.max(bHi - bLo, math.max(math.abs(bHi), 1.0) * 1e-9)
+              val lo = if (cLo < bLo - tolerance * span)
+                Some(Drift(b.column, "min_bound",
+                  b.minValue.get, c.minValue.get)) else None
+              val hi = if (cHi > bHi + tolerance * span)
+                Some(Drift(b.column, "max_bound",
+                  b.maxValue.get, c.maxValue.get)) else None
+              Seq(lo, hi).flatten
+            case _ => Nil
+          }
+          comp.toSeq ++ dist.toSeq ++ bounds
+      }
+    }
+  }
 }

@@ -26,6 +26,13 @@ object Joins {
     * @param rightPayload right columns to attach (appended with `suffix`)
     * @param rightTieBreak column ordering simultaneous right rows — the
     *                      LAST one in this order wins (deterministic)
+    * @param tolerance    pandas `merge_asof(tolerance=...)`: a match
+    *                     counts only if the time gap (in the ts
+    *                     column's double cast — seconds for timestamps)
+    *                     is ≤ this, INCLUSIVE; a carried match outside
+    *                     it nulls out, same as no match. One extra
+    *                     codegen'd comparison on the carried payload —
+    *                     the linear shape is unchanged.
     */
   def asofJoin(
       left: DataFrame,
@@ -35,9 +42,10 @@ object Joins {
       rightTs: String,
       rightPayload: Seq[String],
       rightTieBreak: Option[String] = None,
-      suffix: String = "_asof"): DataFrame =
+      suffix: String = "_asof",
+      tolerance: Option[Double] = None): DataFrame =
     asofDirectional(left, right, keys, leftTs, rightTs, rightPayload,
-      rightTieBreak, suffix, backward = true)
+      rightTieBreak, suffix, backward = true, tolerance)
 
   /** FORWARD as-of join (pandas `merge_asof(direction='forward')`):
     * for each left row, attach the payload of the EARLIEST right row
@@ -54,9 +62,10 @@ object Joins {
       rightTs: String,
       rightPayload: Seq[String],
       rightTieBreak: Option[String] = None,
-      suffix: String = "_fwd"): DataFrame =
+      suffix: String = "_fwd",
+      tolerance: Option[Double] = None): DataFrame =
     asofDirectional(left, right, keys, leftTs, rightTs, rightPayload,
-      rightTieBreak, suffix, backward = false)
+      rightTieBreak, suffix, backward = false, tolerance)
 
   private def asofDirectional(
       left: DataFrame,
@@ -67,8 +76,10 @@ object Joins {
       rightPayload: Seq[String],
       rightTieBreak: Option[String],
       suffix: String,
-      backward: Boolean): DataFrame = {
+      backward: Boolean,
+      tolerance: Option[Double] = None): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name ≥1 column")
+    require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
     val payloadOut = rightPayload.map(_ + suffix)
     val leftCols = left.columns.toSeq
 
@@ -76,9 +87,12 @@ object Joins {
     // wins atomically: carrying each column independently with
     // last(ignoreNulls) would let a null payload value inherit an older
     // row's value, and could stitch columns from different right rows.
+    // It rides with its own event time (`__rt`) so the tolerance gate
+    // can measure the matched gap after the carry.
     val r2base = right.select(
       (keys.map(col) :+ col(rightTs).as("_t")) :+
-        struct(rightPayload.map(col): _*).as("_payload") :+
+        struct((rightPayload.map(col) :+
+          col(rightTs).cast("double").as("__rt")): _*).as("_payload") :+
         rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tie"): _*)
       .withColumn("_tag", lit(1))
     val payloadType = r2base.schema("_payload").dataType
@@ -108,8 +122,22 @@ object Joins {
         col("_tag").desc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = unioned.withColumn("_payload",
+    val carried0 = unioned.withColumn("_payload",
       last(col("_payload"), ignoreNulls = true).over(w))
+
+    // tolerance gate (inclusive, pandas semantics): the carried match
+    // nulls out when its gap exceeds the bound — a too-old (backward)
+    // or too-far-ahead (forward) right row is the same as no match.
+    // The gap is non-negative by the direction invariant; a null
+    // payload stays null through the comparison.
+    val carried = tolerance match {
+      case Some(tol) =>
+        val lt = col("_t").cast("double")
+        val rt = col("_payload").getField("__rt")
+        val gap = if (backward) lt - rt else rt - lt
+        carried0.withColumn("_payload", when(gap <= tol, col("_payload")))
+      case None => carried0
+    }
 
     val unpacked = rightPayload.zip(payloadOut).foldLeft(carried) {
       case (df, (src, out)) => df.withColumn(out, col("_payload").getField(src))
@@ -138,8 +166,10 @@ object Joins {
       rightTs: String,
       rightPayload: Seq[String],
       rightTieBreak: Option[String] = None,
-      suffix: String = "_near"): DataFrame = {
+      suffix: String = "_near",
+      tolerance: Option[Double] = None): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name ≥1 column")
+    require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
     val payloadOut = rightPayload.map(_ + suffix)
     val leftCols = left.columns.toSeq
     // the payload rides with its own event time (for the distance
@@ -175,11 +205,18 @@ object Joins {
       .withColumn("_bwd", last(col("_payload"), ignoreNulls = true).over(wB))
       .withColumn("_fwd", last(col("_payload"), ignoreNulls = true).over(wF))
     val lt = col("_t").cast("double")
-    val winner = when(col("_fwd").isNull, col("_bwd"))
+    val winner0 = when(col("_fwd").isNull, col("_bwd"))
       .when(col("_bwd").isNull, col("_fwd"))
       .when(lt - col("_bwd").getField("__rt") <=
         col("_fwd").getField("__rt") - lt, col("_bwd"))
       .otherwise(col("_fwd"))
+    // tolerance gate (inclusive): the nearest candidate still loses if
+    // its absolute distance exceeds the bound — same as no match
+    val winner = tolerance match {
+      case Some(tol) => when(
+        abs(lt - winner0.getField("__rt")) <= tol, winner0)
+      case None => winner0
+    }
     val withWin = carried.withColumn("_win", winner)
     val unpacked = rightPayload.zip(payloadOut).foldLeft(withWin) {
       case (df, (src, out)) => df.withColumn(out, col("_win").getField(src))

@@ -395,6 +395,28 @@ final class Migrator(
     } finally lock.release()
   }
 
+  /** Migrate a CATALOG table by name, resolving a VIEW indirection
+    * first — the reference's Distributed→local dispatch (A8,
+    * migration.py:277-306: a Distributed table is an indirection layer;
+    * the migration targets the local table it fronts) re-expressed in
+    * catalog terms: a name bound to a VIEW resolves through
+    * CatalogOps.resolveToBaseTable to the single base table its plan
+    * reads, the indirection is logged, and the migration runs under the
+    * RESOLVED table's identity so checkpoint/lock/report keys land on
+    * the physical table (two views over one base share one migration).
+    */
+  def migrateCatalogTable(
+      name: TableRef,
+      keys: Seq[String],
+      keyExprs: Seq[Column],
+      destRoot: String): TableResult = {
+    val base = graft.sources.CatalogOps.resolveToBaseTable(spark, name)
+    if (base != name)
+      System.err.println(s"[graft] ${name.qualified} is a view over " +
+        s"${base.qualified}; migrating the base table")
+    migrateTable(base, spark.table(base.qualified), keys, keyExprs, destRoot)
+  }
+
   /** Full-database mode (reference: migration.py:544-563): sequential
     * per-table migration, log-and-continue on failure.
     */

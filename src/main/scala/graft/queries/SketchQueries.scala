@@ -417,6 +417,37 @@ object SketchQueries {
         .orderBy("event_id")
     }),
 
+    // TOLERANCE-bounded as-of join (merge_asof tolerance=...): every
+    // event picks up the user's latest prior signup ONLY if it landed
+    // within the last 24 hours — the attribution-window shape (a
+    // week-old signup should not claim today's purchase). Spark runs
+    // the same linear union-window composition with one extra
+    // codegen'd gap comparison on the carried payload
+    // (Joins.asofJoin(tolerance=...)); the oracle is the naive
+    // conditioned LEFT join + per-event argmax — the |L|·|R| plan the
+    // operator avoids. 86400 s picked to split sf0.01's gap
+    // distribution: most events match, a measurable tail nulls out.
+    "j_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("event_id")) // dedupe simultaneous
+      Joins.asofJoin(
+        left = ev.select("event_id", "user_id", "ts"),
+        right = signups,
+        keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id", "ts"),
+        tolerance = Some(86400.0))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          coalesce(col("event_id_asof"), lit(-1L)).as("signup_id"),
+          coalesce(date_format(col("ts_asof"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            lit("none")).as("signup_ts_s"))
+        .orderBy("event_id")
+    }),
+
     // NEAREST as-of join (merge_asof direction='nearest'): every event
     // picks up the user's CLOSEST signup — before or after — with
     // exact-distance ties to the earlier one. Spark runs the
@@ -770,6 +801,24 @@ object SketchQueries {
         |      ORDER BY su.ts) AS rn
         |  FROM events e LEFT JOIN su
         |    ON e.user_id = su.user_id AND su.ts >= e.ts)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  COALESCE(sid, -1) AS signup_id,
+        |  COALESCE(strftime(sts, '%Y-%m-%d %H:%M:%S.%f'), 'none')
+        |    AS signup_ts_s
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // epoch-difference arithmetic matches Spark's timestamp→double
+    // cast bit-for-bit (both are micros/1e6); the tolerance bound is
+    // INCLUSIVE on both sides.
+    "j_asof_tolerance" ->
+      """WITH su AS (SELECT user_id, ts, max(event_id) AS sid
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |j AS (SELECT e.event_id, e.user_id, e.ts, su.sid, su.ts AS sts,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY su.ts DESC) AS rn
+        |  FROM events e LEFT JOIN su
+        |    ON e.user_id = su.user_id AND su.ts <= e.ts
+        |      AND epoch(e.ts) - epoch(su.ts) <= 86400)
         |SELECT event_id, user_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
         |  COALESCE(sid, -1) AS signup_id,

@@ -161,6 +161,43 @@ object CatalogOps {
       .foreach(t => dropTable(spark, TableRef(ref.db, t.name)))
   }
 
+  /** Resolve a name that may be a VIEW — possibly a view over a view —
+    * to the single base TABLE its plan reads: the Spark-catalog analog
+    * of the reference's Distributed-engine resolution (reference:
+    * clickhouse_migrator/services/migration.py:277-306 parses
+    * engine_full to find the local table a Distributed table fronts,
+    * then migrates THAT). A plain table resolves to itself. Resolution
+    * is structural — the ANALYZED plan's leaf catalog relations, not
+    * DDL-text regexing — so alias/nesting depth is free; a view
+    * reading zero (pure literals) or 2+ base tables (a join view) has
+    * no single migratable base and fails with an explicit message.
+    */
+  def resolveToBaseTable(spark: SparkSession, ref: TableRef): TableRef = {
+    require(tableExists(spark, ref),
+      s"resolveToBaseTable: ${ref.qualified} does not exist")
+    if (spark.catalog.getTable(ref.db, ref.table).tableType != "VIEW") ref
+    else {
+      import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val plan = spark.table(ref.qualified).queryExecution.analyzed
+      val bases = plan.collect {
+        case lr: LogicalRelation => lr.catalogTable.map(_.identifier)
+        case h: HiveTableRelation => Some(h.tableMeta.identifier)
+      }.flatten.distinct
+      bases match {
+        case Seq(one) => TableRef(one.database.getOrElse(ref.db), one.table)
+        case Nil => throw new IllegalArgumentException(
+          s"view ${ref.qualified} reads no catalog base table — " +
+            "nothing to migrate behind the indirection")
+        case many => throw new IllegalArgumentException(
+          s"view ${ref.qualified} reads ${many.size} base tables " +
+            s"(${many.map(_.unquotedString).mkString(", ")}) — a " +
+            "multi-table view has no single migratable base; migrate " +
+            "the underlying tables directly")
+      }
+    }
+  }
+
   /** All non-view tables in a database (A9). */
   def listDataTables(spark: SparkSession, db: String): Seq[String] =
     spark.catalog.listTables(db).collect()

@@ -54,6 +54,64 @@ class DataQualitySpec extends SparkFunSuite {
     assert(empty.forall(r => !r.getDouble(3).isNaN))
   }
 
+  test("drift gate: fires on removal, completeness drop, cardinality swing, bound escape") {
+    import DataQuality.{ColumnProfile, drift}
+    def p(c: String, comp: Double, nd: Long, lo: String, hi: String) =
+      ColumnProfile(c, 100L, ((1 - comp) * 100).toLong, comp, nd,
+        Some(lo), Some(hi))
+    val base = Seq(
+      p("price", 1.0, 90L, "1.0", "100.0"),
+      p("tag", 0.95, 5L, "a", "z"),
+      p("ts", 1.0, 100L, "1000.0", "2000.0"),
+      p("gone", 1.0, 10L, "0", "9"))
+
+    // identical profile → no drift
+    assert(drift(base, base, 0.1).isEmpty)
+
+    // each rule in isolation
+    val cur = Seq(
+      // numeric min escaped far below the historical floor
+      p("price", 1.0, 90L, "-50.0", "100.0"),
+      // completeness dropped 0.95 → 0.5
+      p("tag", 0.5, 5L, "a", "z"),
+      // ts grew a LITTLE (inside tolerance×span) and cardinality is
+      // stable → quiet, the growing-column case
+      p("ts", 1.0, 102L, "1000.0", "2050.0"))
+    // `gone` missing entirely
+    val found = drift(base, cur, 0.1)
+    assert(found.map(f => (f.column, f.metric)).toSet == Set(
+      ("price", "min_bound"), ("tag", "completeness"), ("gone", "presence")))
+
+    // cardinality collapse (constant-stuck column) fires; an added
+    // column is benign
+    val collapsed = Seq(
+      p("price", 1.0, 1L, "1.0", "100.0"),
+      p("tag", 0.95, 5L, "a", "z"),
+      p("ts", 1.0, 100L, "1000.0", "2000.0"),
+      p("gone", 1.0, 10L, "0", "9"),
+      p("brand_new", 1.0, 3L, "x", "y"))
+    assert(drift(base, collapsed, 0.1).map(f => (f.column, f.metric))
+      == Seq(("price", "approx_distinct")))
+
+    // max escaping beyond tolerance×span fires; rise in completeness
+    // does not
+    val escaped = base.map {
+      case c if c.column == "ts" => c.copy(maxValue = Some("2500.0"))
+      case c if c.column == "tag" => c.copy(completeness = 1.0, nullCount = 0)
+      case c => c
+    }
+    assert(drift(base, escaped, 0.1).map(f => (f.column, f.metric))
+      == Seq(("ts", "max_bound")))
+
+    // non-numeric bounds never fire (lexicographic span is not a
+    // distance)
+    val tagMoved = base.map {
+      case c if c.column == "tag" => c.copy(maxValue = Some("zzzz"))
+      case c => c
+    }
+    assert(drift(base, tagMoved, 0.1).isEmpty)
+  }
+
   test("profile on a real testdata table runs one pass and covers all columns") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val p = DataQuality.profile(docs).collect()

@@ -66,6 +66,51 @@ class JoinsSpec extends SparkFunSuite {
     assert(res.head.getAs[Long]("payload_asof") == 9L)
   }
 
+  test("as-of tolerance: inclusive at the bound, null just outside, all directions") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    def bwd(tol: Double): Map[Long, Long] = {
+      val left = Seq((1L, "u", 100L), (2L, "u", 200L), (3L, "u", 300L),
+        (4L, "v", 100L)).toDF("lid", "k", "ts")
+      val right = Seq(("u", 90L, 1L), ("u", 150L, 2L)).toDF("k", "ts", "payload")
+      Joins.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("payload"),
+          tolerance = Some(tol))
+        .select("lid", "payload_asof").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    }
+    // tol=10: gap 10 matches EXACTLY at the bound (inclusive); gaps 50
+    // and 150 null out; the genuinely-unmatched key stays null
+    assert(bwd(10.0) == Map(1L -> 1L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
+    // tol=49: gap 50 is JUST outside
+    assert(bwd(49.0) == Map(1L -> 1L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
+    // tol=50: gap 50 now matches; gap 150 still out
+    assert(bwd(50.0) == Map(1L -> 1L, 2L -> 2L, 3L -> -1L, 4L -> -1L))
+
+    def fwd(tol: Double): Map[Long, Long] = {
+      val left = Seq((1L, "u", 100L), (2L, "u", 140L)).toDF("lid", "k", "ts")
+      val right = Seq(("u", 150L, 9L)).toDF("k", "ts", "payload")
+      Joins.asofForwardJoin(left, right, Seq("k"), "ts", "ts", Seq("payload"),
+          tolerance = Some(tol))
+        .select("lid", "payload_fwd").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    }
+    assert(fwd(10.0) == Map(1L -> -1L, 2L -> 9L)) // gap 50 out, gap 10 at bound
+    assert(fwd(50.0) == Map(1L -> 9L, 2L -> 9L))
+
+    def near(tol: Double): Long = {
+      val left = Seq((1L, "u", 120L)).toDF("lid", "k", "ts")
+      val right = Seq(("u", 90L, 1L), ("u", 150L, 2L)).toDF("k", "ts", "payload")
+      val r = Joins.asofNearestJoin(left, right, Seq("k"), "ts", "ts",
+        Seq("payload"), tolerance = Some(tol)).collect().head
+      if (r.isNullAt(r.fieldIndex("payload_near"))) -1L
+      else r.getAs[Long]("payload_near")
+    }
+    assert(near(30.0) == 1L)  // both gaps 30; tie → backward, at the bound
+    assert(near(29.0) == -1L) // nearest candidate just outside → null
+  }
+
   test("asofJoin: latest right ROW wins atomically — null payload values " +
       "do not inherit older rows, columns never mix across rows") {
     val s = graft.SparkTestBase.spark

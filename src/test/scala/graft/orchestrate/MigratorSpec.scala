@@ -43,6 +43,34 @@ class MigratorSpec extends SparkFunSuite {
     assert(ckpt.tableProgress("testdb", "lineitem").get.status == TableStatus.Completed)
   }
 
+  test("migrate through a view name: resolves to the base table (A8 analog)") {
+    val (dir, ckpt, mig) = freshEnv()
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    try {
+      lineitem.write.mode("overwrite").saveAsTable("graft_test.li_rv")
+      s.sql("CREATE OR REPLACE VIEW graft_test.li_rv_view AS " +
+        "SELECT * FROM graft_test.li_rv")
+      val dest = s"$dir/dest/li_rv"
+      // migrating the VIEW name resolves to, and runs under, the base
+      // table's identity — the reference's Distributed→local dispatch
+      val res = mig.migrateCatalogTable(
+        TableRef("graft_test", "li_rv_view"), keys, keyExprs, dest)
+      assert(res.status == TableStatus.Completed, res.error)
+      assert(res.table == TableRef("graft_test", "li_rv"),
+        "result identity must be the RESOLVED base table")
+      assert(res.migratedRows == lineitem.count())
+      assert(ckpt.tableProgress("graft_test", "li_rv").get.status
+        == TableStatus.Completed,
+        "checkpoint keys land on the base table, not the view alias")
+      assert(spark.read.option("basePath", dest).parquet(dest).count()
+        == lineitem.count())
+    } finally {
+      s.sql("DROP VIEW IF EXISTS graft_test.li_rv_view")
+      s.sql("DROP TABLE IF EXISTS graft_test.li_rv")
+    }
+  }
+
   test("incremental resync: only drifted partitions re-copied, dest converges") {
     val (dir, _, mig) = freshEnv()
     val dest = s"$dir/dest/lineitem"
@@ -358,6 +386,37 @@ class MigratorSpec extends SparkFunSuite {
     assert(res2.status == TableStatus.Completed, res2.error)
     assert(res2.checkResults.size == 100 - waveStart)
     assert(spark.read.option("basePath", dest).parquet(dest).count() == 1000)
+  }
+
+  test("dq drift gate: stable rerun exits 0, injected drifted column exits 1") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("dqdrift")
+    val reports = s"$dir/reports"
+    def run(path: String, extra: Map[String, String], at: Long): Int =
+      graft.MigrateCli.runDq(s,
+        Map("report-dir" -> reports) ++ extra,
+        graft.model.MigrationConfig(mode = "dq", sourcePath = path), at)
+
+    val good = (1 to 200).map(i =>
+      (i.toLong, Some(10.0 + i % 90), s"tag${i % 7}"))
+      .toDF("id", "price", "tag")
+    good.write.parquet(s"$dir/t.parquet")
+    // first run records the baseline profile
+    assert(run(s"$dir/t.parquet", Map.empty, 1L) == 0)
+    val baseline = s"$reports/dq_report_1.json"
+    assert(Files.exists(Paths.get(baseline)))
+
+    // stable source re-profiled against its own baseline: no drift
+    assert(run(s"$dir/t.parquet", Map("baseline" -> baseline), 2L) == 0)
+
+    // injected drift: price nulls out on half the rows AND escapes the
+    // historical floor — the gate must fail loud
+    val drifted = good
+      .withColumn("price",
+        when(col("id") % 2 === 0, lit(null)).otherwise(lit(-500.0)))
+    drifted.write.parquet(s"$dir/t2.parquet")
+    assert(run(s"$dir/t2.parquet", Map("baseline" -> baseline), 3L) == 1)
   }
 
   test("report JSON carries reference field names") {
