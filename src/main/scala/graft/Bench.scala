@@ -4,6 +4,76 @@ import org.apache.spark.sql.functions._
 
 object Bench {
 
+  /** FROZEN control group: five pinned computations over
+    * spark.range-GENERATED data — no testdata dependence, so the work
+    * is bit-identical across rounds and machines by construction —
+    * covering the machinery the board leans on (shuffle agg, sort-merge
+    * join, window, global sort, string codegen). Run min-of-2 with a
+    * GC between passes, AFTER the main board (same JVM heat and
+    * co-tenancy window the board's numbers absorbed).
+    *
+    * `control_factor` = median over the group of measured/anchor. The
+    * anchors below were recorded by running this same bench (full
+    * min-of-2 discipline, in-bench position) in a quiet window on the
+    * build machine and taking the per-query minimum across runs — so a
+    * factor of ~1.0 means "this window is as quiet as the anchor
+    * window" and a 1.4 means every total in the artifact is ~1.4×
+    * inflated by environment, not code. Cross-round comparisons should
+    * divide totals by it (BASELINE.md documents the protocol).
+    * NEVER retune a control query without re-recording its anchor.
+    */
+  private val controlQueries: Seq[(String, SparkSession => Unit)] = Seq(
+    "ctl_agg" -> (s => { // shuffle aggregate, map-side combine
+      s.range(0, 8000000L)
+        .select((col("id") % 9973).as("k"), col("id"))
+        .groupBy("k").agg(sum("id"), avg("id"))
+        .queryExecution.toRdd.count(); ()
+    }),
+    "ctl_join" -> (s => { // big×big sort-merge join (above broadcast cap)
+      val a = s.range(0, 3000000L)
+        .select((col("id") % 1500000).as("k"), col("id").as("va"))
+      val b = s.range(0, 3000000L)
+        .select((col("id") % 1500000).as("k"), col("id").as("vb"))
+      a.join(b, "k").select(sum(col("va") + col("vb")))
+        .queryExecution.toRdd.count(); ()
+    }),
+    "ctl_window" -> (s => { // partitioned running sum
+      import org.apache.spark.sql.expressions.Window
+      s.range(0, 2000000L)
+        .select((col("id") % 1024).as("k"), col("id"))
+        .withColumn("rs", sum("id").over(
+          Window.partitionBy("k").orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .queryExecution.toRdd.count(); ()
+    }),
+    "ctl_sort" -> (s => { // global range-partitioned sort
+      s.range(0, 6000000L)
+        .select(((col("id") * 2654435761L) % 999983).as("k"), col("id"))
+        .orderBy("k", "id")
+        .queryExecution.toRdd.count(); ()
+    }),
+    "ctl_string" -> (s => { // string build + hash + regex codegen
+      s.range(0, 800000L)
+        .select(concat(lit("doc-"), col("id"), lit("-"),
+          sha2(col("id").cast("string"), 256)).as("t"))
+        .select(length(regexp_replace(col("t"), "[0-9a-f]{4}", "#")).as("l"))
+        .agg(sum("l")).queryExecution.toRdd.count(); ()
+    }))
+
+  /** Quiet-window per-query anchors (seconds) for [[controlQueries]] —
+    * see that doc for the recording protocol. Recorded 2026-08-16 on
+    * the round-18 build machine: per-query MEDIAN across five full
+    * sf0.001 bench runs (each value already min-of-2 in-bench), cpus=32
+    * — median, not min, so a typical quiet window reads factor ≈ 1.0
+    * and single-sample JIT flukes don't skew the denominator.
+    */
+  private val controlAnchors: Map[String, Double] = Map(
+    "ctl_agg" -> 0.611,
+    "ctl_join" -> 0.718,
+    "ctl_window" -> 0.483,
+    "ctl_sort" -> 0.744,
+    "ctl_string" -> 0.518)
+
   /** Rerun one query in a fresh JVM and return its min-of-2 time, or
     * None if the child fails (isolated numbers are best-effort garnish —
     * a child crash must not take down the round's bench artifact).
@@ -139,6 +209,36 @@ object Bench {
     // per-round artifact; SPARK_GRAFT_ISOLATED=off disables, =<k> resizes.
     // Children inherit SPARK_GRAFT_QUERIES, which gates them out of
     // recursing here.
+    // Control group (see controlQueries doc): frozen work, recorded
+    // anchors, min-of-2 after a GC — the artifact self-reports its
+    // window factor. Default (auto): on for full-board runs, skipped in
+    // filtered children (their artifact is a single-query probe);
+    // SPARK_GRAFT_CONTROL=on/off forces either way.
+    val runControl = sys.env.getOrElse("SPARK_GRAFT_CONTROL", "auto") match {
+      case "on" => true
+      case "off" | "0" | "false" => false
+      case _ => !sys.env.contains("SPARK_GRAFT_QUERIES")
+    }
+    val control: Seq[(String, Double)] =
+      if (!runControl) Nil
+      else {
+        def cpass(): Seq[Double] = controlQueries.map { case (_, f) =>
+          val t0 = System.nanoTime()
+          f(spark)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val c1 = cpass(); System.gc(); val c2 = cpass()
+        controlQueries.map(_._1)
+          .zip(c1.zip(c2).map { case (x, y) => math.min(x, y) })
+      }
+    val controlFactor: Option[Double] =
+      if (control.isEmpty) None
+      else {
+        val ratios = control.map { case (n, v) => v / controlAnchors(n) }
+          .sorted
+        Some(ratios(ratios.size / 2)) // median
+      }
+
     val isolatedConf = sys.env.getOrElse("SPARK_GRAFT_ISOLATED", "top10")
     val isolatedN =
       if (sys.env.contains("SPARK_GRAFT_QUERIES")) 0
@@ -175,8 +275,11 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + jesc(v) + "\"" }
       .mkString("{", ",", "}")
     val rc = if (errors.nonEmpty) 1 else 0
+    val ctl = control.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val cf = controlFactor.map(fmt).getOrElse("null")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"errors":$errs,"rc":$rc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"control":$ctl,"control_factor":$cf,"errors":$errs,"rc":$rc,"sf":"$sfDir"}"""
     // The result line goes to a FILE first (truncation-proof — a capture
     // of the process tail once lost the round's total), then stdout
     // BEFORE spark.stop() so no shutdown logging can interleave after it.
@@ -194,7 +297,7 @@ object Bench {
     // so the driver can recover the round total even when the full line
     // above is clipped. Printed AFTER spark.stop() so no executor-shutdown
     // logging can interleave into it.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"nerr":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"nerr":${errors.size},"control_factor":$cf,"sf":"$sfDir"}""")
     System.out.flush()
     // nonzero exit when any query threw — the artifact above still
     // carries the timings and the per-query errors

@@ -301,18 +301,23 @@ object Dedup {
     */
   def appendToBandIndex(batch: DataFrame, idCol: String, textCol: String,
       table: graft.model.TableRef, bands: Int = 6, rowsPerBand: Int = 2,
-      buckets: Int = 8): Unit = {
-    // batches land INSIDE the live epoch table — appends never create
-    // epochs (a concurrent reader sees pre- or post-append rows, both
-    // valid corpus states); resolving the epoch also fails fast when
-    // the index was never built (appendBucketed would otherwise CREATE
-    // a batch-sized table under the epoch name)
-    graft.sources.CatalogOps.appendBucketed(
-      minhashBands(batch, idCol, textCol, bands, rowsPerBand),
-      graft.sources.CatalogOps.liveEpochTable(batch.sparkSession, table),
-      bucketCols = Seq("band", "key"), numBuckets = buckets,
-      sortCols = Seq("band", "key"))
-  }
+      buckets: Int = 8): Unit =
+    // single-writer lock across resolve+append: serializes concurrent
+    // appenders (two uncoordinated saveAsTable appends may interleave)
+    // AND excludes a compaction from reading the epoch mid-append
+    graft.sources.IndexLock.withWriterLock(
+        batch.sparkSession, table.qualified) {
+      // batches land INSIDE the live epoch table — appends never create
+      // epochs (a concurrent reader sees pre- or post-append rows, both
+      // valid corpus states); resolving the epoch also fails fast when
+      // the index was never built (appendBucketed would otherwise CREATE
+      // a batch-sized table under the epoch name)
+      graft.sources.CatalogOps.appendBucketed(
+        minhashBands(batch, idCol, textCol, bands, rowsPerBand),
+        graft.sources.CatalogOps.liveEpochTable(batch.sparkSession, table),
+        bucketCols = Seq("band", "key"), numBuckets = buckets,
+        sortCols = Seq("band", "key"))
+    }
 
   /** OPTIMIZE for the standing band index: [[appendToBandIndex]] lands
     * one file per bucket per ingested batch, so after B batches every
@@ -350,7 +355,12 @@ object Dedup {
     */
   def compactBucketedIndex(spark: org.apache.spark.sql.SparkSession,
       table: graft.model.TableRef, bucketCols: Seq[String],
-      buckets: Int, retain: Int = 1): Unit = {
+      buckets: Int, retain: Int = 1): Unit =
+      graft.sources.IndexLock.withWriterLock(spark, table.qualified) {
+    // writer lock spans resolve+rewrite+publish: an append landing
+    // inside the live epoch AFTER the compaction's read would vanish
+    // from the compacted successor — the lock makes read-to-publish
+    // atomic against other writers (readers stay lock-free on epochs).
     // read the CURRENT epoch's rows, not the view: the view would
     // re-resolve during the write and must keep serving readers anyway
     val live = spark.table(
@@ -427,15 +437,17 @@ object Dedup {
     */
   def appendToShingleIndex(batch: DataFrame, idCol: String,
       textCol: String, table: graft.model.TableRef,
-      buckets: Int = 8): Unit = {
-    // batches land INSIDE the live epoch table (same contract as the
-    // band index; resolution fails fast if the index was never built)
-    graft.sources.CatalogOps.appendBucketed(
-      shingleRelation(batch, idCol, textCol).select("shingle").distinct(),
-      graft.sources.CatalogOps.liveEpochTable(batch.sparkSession, table),
-      bucketCols = Seq("shingle"), numBuckets = buckets,
-      sortCols = Seq("shingle"))
-  }
+      buckets: Int = 8): Unit =
+    graft.sources.IndexLock.withWriterLock(
+        batch.sparkSession, table.qualified) {
+      // batches land INSIDE the live epoch table (same contract as the
+      // band index; resolution fails fast if the index was never built)
+      graft.sources.CatalogOps.appendBucketed(
+        shingleRelation(batch, idCol, textCol).select("shingle").distinct(),
+        graft.sources.CatalogOps.liveEpochTable(batch.sparkSession, table),
+        bucketCols = Seq("shingle"), numBuckets = buckets,
+        sortCols = Seq("shingle"))
+    }
 
   /** Benchmark-contamination of an arriving batch against the PERSISTED
     * train-shingle index: per batch document, the fraction of its

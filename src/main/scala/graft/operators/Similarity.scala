@@ -520,13 +520,19 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
-    // batches land INSIDE the live epoch — appends never create epochs
-    // (a concurrent reader sees pre- or post-append listing, both
-    // valid corpus states)
-    val live = graft.sources.EpochDir.live(spark, s"$path/cells")
-    val cents = spark.read.parquet(s"$path/centroids")
-    assignCells(batch, cents, idCol, vecCol)
-      .write.mode("append").partitionBy("cell").parquet(live)
+    // single-writer lock across resolve+append (keyed on the cells
+    // store, same key compaction publishes under): serializes
+    // concurrent appenders and keeps a compaction from reading the
+    // epoch mid-append
+    graft.sources.IndexLock.withWriterLock(spark, s"$path/cells") {
+      // batches land INSIDE the live epoch — appends never create
+      // epochs (a concurrent reader sees pre- or post-append listing,
+      // both valid corpus states)
+      val live = graft.sources.EpochDir.live(spark, s"$path/cells")
+      val cents = spark.read.parquet(s"$path/centroids")
+      assignCells(batch, cents, idCol, vecCol)
+        .write.mode("append").partitionBy("cell").parquet(live)
+    }
   }
 
   /** ANN over a PERSISTED [[writeIvfIndex]] index: probe cells come
@@ -820,7 +826,9 @@ object Similarity {
     */
   def appendToIvfPqIndex(batch: DataFrame, path: String,
       batchId: Option[Long] = None,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+      graft.sources.IndexLock.withWriterLock(
+        batch.sparkSession, s"$path/codes") {
     val spark = batch.sparkSession
     // batches land INSIDE the live epoch (appends never create epochs)
     val live = graft.sources.EpochDir.live(spark, s"$path/codes")
@@ -886,7 +894,12 @@ object Similarity {
     */
   def compactCellIndex(spark: SparkSession, dir: String,
       maxRecordsPerFile: Long = 4L * 1024 * 1024,
-      retain: Int = 1): Unit = {
+      retain: Int = 1): Unit =
+      graft.sources.IndexLock.withWriterLock(spark, dir) {
+    // writer lock spans resolve+rewrite+publish: an append landing in
+    // the live epoch after this read would vanish from the compacted
+    // successor — the lock makes read-to-publish atomic against other
+    // writers (readers stay lock-free on epochs)
     val live = spark.read.parquet(graft.sources.EpochDir.live(spark, dir))
     val total = live.count()
     val nParts = math.max(1L,

@@ -109,7 +109,8 @@ object CatalogOps {
     * migration move — run it quiesced like any OPTIMIZE.
     */
   def publishEpoch(spark: SparkSession, ref: TableRef, retain: Int = 1)
-      (write: TableRef => Unit): Unit = {
+      (write: TableRef => Unit): Unit =
+      IndexLock.withWriterLock(spark, ref.qualified) {
     require(retain >= 1, s"publishEpoch: retain must be >= 1 ($retain)")
     requireEpochSafeName(ref)
     if (isLegacyTable(spark, ref)) {

@@ -40,8 +40,10 @@ import org.apache.spark.sql.SparkSession
   * Appends do NOT create epochs: batch growth lands new files inside
   * the live epoch (an append is already reader-safe — a concurrent
   * plan sees pre- or post-append listing, both valid corpus states).
-  * Compaction vs writer races remain excluded by the OPTIMIZE
-  * contract (quiesced writers), as before.
+  * WRITER-vs-writer races (append/append, append/compact,
+  * publish/publish) are excluded by the [[IndexLock]] single-writer
+  * mutex every writer entry point takes, keyed on this base dir —
+  * readers never take it.
   */
 object EpochDir {
 
@@ -123,7 +125,7 @@ object EpochDir {
     * legacy flat index is adopted as epoch 0 first (see class doc).
     */
   def publish(spark: SparkSession, base: String, retain: Int = 1)
-      (write: String => Unit): Unit = {
+      (write: String => Unit): Unit = IndexLock.withWriterLock(spark, base) {
     require(retain >= 1, s"EpochDir.publish: retain must be >= 1 ($retain)")
     if (legacyFlat(spark, base)) adoptLegacy(spark, base)
     val before = committed(spark, base)

@@ -11,7 +11,8 @@ package graft
 class BenchErrorSpec extends SparkFunSuite {
 
   private def runBench(queries: String,
-      injectFail: Option[String]): (Int, String) = {
+      injectFail: Option[String],
+      extraEnv: Map[String, String] = Map.empty): (Int, String) = {
     import scala.jdk.CollectionConverters._
     val out = java.nio.file.Files.createTempFile("graft_bench_err", ".json")
     try {
@@ -29,6 +30,7 @@ class BenchErrorSpec extends SparkFunSuite {
       pb.environment().put("SPARK_GRAFT_QUERIES", queries)
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
       injectFail.foreach(pb.environment().put("SPARK_GRAFT_INJECT_FAIL", _))
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
@@ -54,5 +56,23 @@ class BenchErrorSpec extends SparkFunSuite {
     assert(rcOk == 0, s"clean run must exit 0: $jsonOk")
     assert(jsonOk.contains(""""errors":{}""") &&
       jsonOk.contains(""""rc":0"""), jsonOk)
+    // filtered children default to NO control group (auto mode)
+    assert(jsonOk.contains(""""control":{}""") &&
+      jsonOk.contains(""""control_factor":null"""), jsonOk)
+  }
+
+  test("control group: forced on, the artifact carries all five controls and a numeric factor") {
+    val (rc, json) = runBench("q1_pricing", None,
+      extraEnv = Map("SPARK_GRAFT_CONTROL" -> "on"))
+    assert(rc == 0, json)
+    Seq("ctl_agg", "ctl_join", "ctl_window", "ctl_sort", "ctl_string")
+      .foreach(n => assert(json.contains("\"" + n + "\":"), json))
+    val cf = raw""""control_factor":([0-9.]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble)
+    assert(cf.isDefined, s"control_factor must be numeric: $json")
+    // sane window factor: the child runs on 2 cpus vs the 32-cpu
+    // anchors, so allow a wide but bounded band — the point is it
+    // PARSES and is in a plausible range, not its exact value
+    assert(cf.get > 0.1 && cf.get < 100, s"implausible factor: $cf")
   }
 }

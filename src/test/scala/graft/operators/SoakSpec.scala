@@ -125,6 +125,59 @@ class SoakSpec extends SparkFunSuite {
     }
   }
 
+  test("band index: TWO uncoordinated appender threads + live reader — " +
+      "writer lock serializes, grown index equals the serial-order union") {
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val idxT = graft.model.TableRef("graft_test", "band_idx_mw")
+    val refT = graft.model.TableRef("graft_test", "band_idx_mw_ref")
+    val batch = docs.filter(col("doc_id") >= 450)
+    try {
+      Dedup.writeBandIndex(docs.filter(col("doc_id") < 300),
+        "doc_id", "text", idxT)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def appender(waves: Seq[(Long, Long)]) = new Thread(() =>
+        try waves.foreach { case (lo, hi) =>
+          Dedup.appendToBandIndex(
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "doc_id", "text", idxT)
+        } catch { case t: Throwable => errs.add(t) })
+      @volatile var stop = false
+      val reads = new java.util.concurrent.atomic.AtomicInteger
+      val reader = new Thread(() =>
+        try while (!stop) {
+          // readers take NO lock — they must stay green while the two
+          // writers race (result varies as the index grows; the
+          // contract is no error, no torn read)
+          Dedup.minhashNearDupsAgainstIndex(
+            batch, docs, "doc_id", "text", 0.5, idxT).count()
+          reads.incrementAndGet()
+        } catch { case t: Throwable => errs.add(t) })
+      val a = appender(Seq((300L, 320L), (320L, 340L), (340L, 360L)))
+      val b = appender(Seq((360L, 380L), (380L, 400L), (400L, 420L)))
+      reader.start(); a.start(); b.start()
+      a.join(); b.join()
+      stop = true; reader.join()
+      assert(errs.isEmpty,
+        s"concurrent writers/reader errored: ${errs.peek()}")
+      assert(reads.get() > 0, "the reader must have probed mid-race")
+      // appends are insert-only, so EVERY serialization of the six
+      // waves yields the same multiset: the grown index must equal a
+      // fresh rebuild over the union — no lost, duplicated, or
+      // interleave-torn rows
+      Dedup.writeBandIndex(docs.filter(col("doc_id") < 420),
+        "doc_id", "text", refT)
+      def counted(t: graft.model.TableRef) =
+        s.table(t.qualified).collect().toSeq
+          .map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+      assert(counted(idxT) == counted(refT),
+        "grown index diverged from the serial-order union of the appends")
+    } finally {
+      CatalogOps.dropEpochIndex(s, idxT)
+      CatalogOps.dropEpochIndex(s, refT)
+    }
+  }
+
   /** Drive `cycles` compactions while `search()` loops in another
     * thread; every search result must equal `want` and no search may
     * error. The compactor waits, before each cycle, for every search
