@@ -33,6 +33,12 @@ object Joins {
     *                     it nulls out, same as no match. One extra
     *                     codegen'd comparison on the carried payload —
     *                     the linear shape is unchanged.
+    * @param allowExactMatches pandas `merge_asof(allow_exact_matches=
+    *                     False)` when false: a right row AT the left
+    *                     ts does not match — strictly before
+    *                     (backward) / strictly after (forward). Pure
+    *                     sort-order flip (left rows scan before
+    *                     simultaneous right rows), zero extra cost.
     */
   def asofJoin(
       left: DataFrame,
@@ -43,9 +49,10 @@ object Joins {
       rightPayload: Seq[String],
       rightTieBreak: Option[String] = None,
       suffix: String = "_asof",
-      tolerance: Option[Double] = None): DataFrame =
+      tolerance: Option[Double] = None,
+      allowExactMatches: Boolean = true): DataFrame =
     asofDirectional(left, right, keys, leftTs, rightTs, rightPayload,
-      rightTieBreak, suffix, backward = true, tolerance)
+      rightTieBreak, suffix, backward = true, tolerance, allowExactMatches)
 
   /** FORWARD as-of join (pandas `merge_asof(direction='forward')`):
     * for each left row, attach the payload of the EARLIEST right row
@@ -63,9 +70,10 @@ object Joins {
       rightPayload: Seq[String],
       rightTieBreak: Option[String] = None,
       suffix: String = "_fwd",
-      tolerance: Option[Double] = None): DataFrame =
+      tolerance: Option[Double] = None,
+      allowExactMatches: Boolean = true): DataFrame =
     asofDirectional(left, right, keys, leftTs, rightTs, rightPayload,
-      rightTieBreak, suffix, backward = false, tolerance)
+      rightTieBreak, suffix, backward = false, tolerance, allowExactMatches)
 
   private def asofDirectional(
       left: DataFrame,
@@ -77,7 +85,8 @@ object Joins {
       rightTieBreak: Option[String],
       suffix: String,
       backward: Boolean,
-      tolerance: Option[Double] = None): DataFrame = {
+      tolerance: Option[Double] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name ≥1 column")
     require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
     val payloadOut = rightPayload.map(_ + suffix)
@@ -113,13 +122,19 @@ object Joins {
 
     // right rows sort BEFORE left rows at equal ts (tag desc) in BOTH
     // directions, so an exactly-simultaneous right row matches
-    // (backward: ts <= ts; forward: ts >= ts). Backward scans time
-    // ascending (carry = latest right ≤ t); forward scans descending
-    // (carry = earliest right ≥ t). Among simultaneous right rows the
-    // tie-break MAX wins either way (last() of `_tie` asc).
+    // (backward: ts <= ts; forward: ts >= ts). With allowExactMatches
+    // = false the tag order FLIPS — left rows scan before simultaneous
+    // right rows, so the carry at a left row has only STRICTLY
+    // earlier/later right rows (pandas allow_exact_matches=False),
+    // at zero extra cost. Backward scans time ascending (carry =
+    // latest right ≤ t, or < t strict); forward scans descending
+    // (carry = earliest right ≥ t, or > t strict). Among simultaneous
+    // right rows the tie-break MAX wins either way (last() of `_tie`
+    // asc).
+    val tagOrder = if (allowExactMatches) col("_tag").desc else col("_tag").asc
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(if (backward) col("_t").asc else col("_t").desc,
-        col("_tag").desc, col("_tie").asc)
+        tagOrder, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried0 = unioned.withColumn("_payload",

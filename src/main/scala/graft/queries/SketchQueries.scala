@@ -448,6 +448,35 @@ object SketchQueries {
         .orderBy("event_id")
     }),
 
+    // STRICT as-of join (merge_asof allow_exact_matches=False): every
+    // event picks up the user's latest STRICTLY-prior signup — the
+    // causal-attribution shape where a simultaneous event must not
+    // attribute to itself (j_asof_signup's inclusive twin). On the
+    // Spark side this is a pure sort-order flip in the same linear
+    // union-window composition (left rows scan before simultaneous
+    // right rows), zero extra cost; the oracle is DuckDB's native ASOF
+    // with the strict inequality.
+    "j_asof_strict" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("event_id")) // dedupe simultaneous
+      Joins.asofJoin(
+        left = ev.select("event_id", "user_id", "ts"),
+        right = signups,
+        keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id", "ts"),
+        allowExactMatches = false)
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          coalesce(col("event_id_asof"), lit(-1L)).as("signup_id"),
+          coalesce(date_format(col("ts_asof"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            lit("none")).as("signup_ts_s"))
+        .orderBy("event_id")
+    }),
+
     // NEAREST as-of join (merge_asof direction='nearest'): every event
     // picks up the user's CLOSEST signup — before or after — with
     // exact-distance ties to the earlier one. Spark runs the
@@ -825,6 +854,17 @@ object SketchQueries {
         |  COALESCE(strftime(sts, '%Y-%m-%d %H:%M:%S.%f'), 'none')
         |    AS signup_ts_s
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "j_asof_strict" ->
+      """WITH su AS (SELECT user_id, ts, max(event_id) AS sid
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  COALESCE(su.sid, -1) AS signup_id,
+        |  COALESCE(strftime(su.ts, '%Y-%m-%d %H:%M:%S.%f'), 'none')
+        |    AS signup_ts_s
+        |FROM events e
+        |ASOF LEFT JOIN su ON e.user_id = su.user_id AND e.ts > su.ts
+        |ORDER BY e.event_id""".stripMargin,
     "j_asof_nearest" ->
       """WITH su AS (SELECT user_id, ts, max(event_id) AS sid
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),

@@ -66,6 +66,41 @@ class JoinsSpec extends SparkFunSuite {
     assert(res.head.getAs[Long]("payload_asof") == 9L)
   }
 
+  test("as-of allowExactMatches=false: simultaneous right rows excluded, both directions") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val left = Seq((1L, "u", 10L)).toDF("lid", "k", "ts")
+    val right = Seq(("u", 4L, 1L), ("u", 10L, 5L), ("u", 30L, 9L))
+      .toDF("k", "ts", "payload")
+    def one(df: org.apache.spark.sql.DataFrame, c: String): Long = {
+      val r = df.collect().head
+      if (r.isNullAt(r.fieldIndex(c))) -1L else r.getAs[Long](c)
+    }
+    // backward: inclusive picks the simultaneous row; strict skips to
+    // the strictly-earlier one
+    assert(one(Joins.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("payload")), "payload_asof") == 5L)
+    assert(one(Joins.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("payload"), allowExactMatches = false), "payload_asof") == 1L)
+    // forward: strict skips to the strictly-later one
+    assert(one(Joins.asofForwardJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("payload")), "payload_fwd") == 5L)
+    assert(one(Joins.asofForwardJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("payload"), allowExactMatches = false), "payload_fwd") == 9L)
+    // strict with nothing strictly before → null
+    val earliest = Seq((1L, "u", 4L)).toDF("lid", "k", "ts")
+    assert(one(Joins.asofJoin(earliest, right, Seq("k"), "ts", "ts",
+      Seq("payload"), allowExactMatches = false), "payload_asof") == -1L)
+    // strict composes with tolerance: strictly-earlier match at gap 6
+    // admitted at tol=6, rejected at tol=5
+    assert(one(Joins.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("payload"), allowExactMatches = false,
+      tolerance = Some(6.0)), "payload_asof") == 1L)
+    assert(one(Joins.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("payload"), allowExactMatches = false,
+      tolerance = Some(5.0)), "payload_asof") == -1L)
+  }
+
   test("as-of tolerance: inclusive at the bound, null just outside, all directions") {
     val s = graft.SparkTestBase.spark
     import s.implicits._
