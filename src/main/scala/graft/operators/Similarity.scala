@@ -544,11 +544,18 @@ object Similarity {
     */
   def ivfTopKIndexed(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      atEpoch: Option[Long] = None): DataFrame = {
     // resolve the live epoch ONCE: the whole search plans against its
     // immutable file paths, so a concurrent compaction (which publishes
-    // a NEW epoch and never touches this one) cannot tear the read
-    val live = graft.sources.EpochDir.live(spark, s"$path/cells")
+    // a NEW epoch and never touches this one) cannot tear the read.
+    // `atEpoch` pins the read to a SPECIFIC committed snapshot instead
+    // (EpochDir.at) — the reproducible-run protocol: results are
+    // identical across re-runs no matter what publishes in between,
+    // inside the retain window.
+    val live = atEpoch
+      .map(e => graft.sources.EpochDir.at(spark, s"$path/cells", e))
+      .getOrElse(graft.sources.EpochDir.live(spark, s"$path/cells"))
     val cents = spark.read.parquet(s"$path/centroids")
     val qprobes = probeCells(queries, cents, nProbe, idCol, vecCol)
     val cells = qprobes.select("cell").distinct()
@@ -945,11 +952,18 @@ object Similarity {
     */
   def adcIvfTopKIndexed(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      atEpoch: Option[Long] = None): DataFrame = {
     // resolve the live epoch ONCE: the whole search plans against its
     // immutable file paths, so a concurrent compaction (which publishes
-    // a NEW epoch and never touches this one) cannot tear the read
-    val liveCodes = graft.sources.EpochDir.live(spark, s"$path/codes")
+    // a NEW epoch and never touches this one) cannot tear the read.
+    // `atEpoch` pins the read to a SPECIFIC committed snapshot
+    // (EpochDir.at — the reproducible-run protocol; coarse/codebooks
+    // are immutable model state, so pinning the code store pins the
+    // whole search).
+    val liveCodes = atEpoch
+      .map(e => graft.sources.EpochDir.at(spark, s"$path/codes", e))
+      .getOrElse(graft.sources.EpochDir.live(spark, s"$path/codes"))
     val coarse = spark.read.parquet(s"$path/coarse")
     val cbooks = spark.read.parquet(s"$path/codebooks")
     val (mm, dd) = pqGeometryOf(cbooks)

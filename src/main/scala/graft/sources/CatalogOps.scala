@@ -152,6 +152,38 @@ object CatalogOps {
       }
   }
 
+  /** Committed epoch numbers of a catalog index (epoch tables still
+    * present), ascending — the snapshots a reader can pin to.
+    */
+  def epochs(spark: SparkSession, ref: TableRef): Seq[Long] = {
+    val prefix = s"${ref.table}__e"
+    if (!spark.catalog.databaseExists(ref.db)) Nil
+    else spark.catalog.listTables(ref.db).collect().toSeq
+      .filter(t => t.tableType != "VIEW" && t.name.startsWith(prefix))
+      .map(_.name.stripPrefix(prefix))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).sorted
+  }
+
+  /** The index AT a specific epoch — the snapshot-pinned read for
+    * reproducible runs (see [[EpochDir.at]] for the protocol): record
+    * [[currentEpoch]] when the run starts and read through this, and
+    * the run replays against the exact index snapshot regardless of
+    * concurrent publishes, inside the retain window. Fails loud when
+    * the epoch is gone.
+    */
+  def tableAtEpoch(spark: SparkSession, ref: TableRef,
+      epoch: Long): DataFrame = {
+    val e = epochRef(ref, epoch)
+    if (!tableExists(spark, e))
+      throw new IllegalArgumentException(
+        s"epoch $epoch of ${ref.qualified} is not present " +
+          s"(committed: ${epochs(spark, ref).mkString(", ")}) — purged " +
+          "past the retain window or never published; size `retain` to " +
+          "the slowest pinned run")
+    spark.table(e.qualified)
+  }
+
   /** Tear down an epoch-view index: the view and every epoch table. */
   def dropEpochIndex(spark: SparkSession, ref: TableRef): Unit = {
     spark.sql(s"DROP VIEW IF EXISTS ${ref.qualified}")

@@ -92,6 +92,36 @@ object EpochDir {
         "(index missing or its initial write never finished)")
   }
 
+  /** Committed epoch numbers under `base`, ascending — the snapshots a
+    * reader can still pin to (the live one plus up to `retain` grace
+    * epochs).
+    */
+  def epochs(spark: SparkSession, base: String): Seq[Long] =
+    committed(spark, base).map(_._1)
+
+  /** Path of a SPECIFIC committed epoch — the snapshot-pinned read a
+    * REPRODUCIBLE run uses: record `epochs(...).last` when the run
+    * starts, pass it to every index read, and the run replays against
+    * the exact corpus snapshot no matter how many publishes land
+    * meanwhile (as long as it finishes inside the retain window).
+    * Caveat: an epoch is frozen only once SUPERSEDED — appends land
+    * inside the LIVE epoch, so a pin taken on the live epoch sees
+    * batch growth until the next publish (the same pre-/post-append
+    * ambiguity any reader has). For bit-exact replay, publish
+    * (OPTIMIZE) at snapshot boundaries: every retired epoch is then
+    * immutable. Fails loud when the epoch was purged or never
+    * committed, naming the window fix.
+    */
+  def at(spark: SparkSession, base: String, epoch: Long): String = {
+    val cs = committed(spark, base)
+    cs.find(_._1 == epoch).map(_._2.toString).getOrElse(
+      throw new IllegalArgumentException(
+        s"EpochDir: epoch $epoch not committed under $base " +
+          s"(committed: ${cs.map(_._1).mkString(", ")}) — purged past " +
+          "the retain window or never written; size `retain` to the " +
+          "slowest pinned run"))
+  }
+
   /** One-time adoption of a legacy flat index as epoch 0: every entry
     * directly under base (files and non-epoch dirs, `_SUCCESS`
     * included) moves into `base/e0` via same-filesystem renames, after

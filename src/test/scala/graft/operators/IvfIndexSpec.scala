@@ -36,6 +36,28 @@ class IvfIndexSpec extends SparkFunSuite {
     assert(probed <= 12 && probed < 16, s"probed $probed cells")
   }
 
+  test("atEpoch pins a search to its snapshot across publish+append (reproducible runs)") {
+    val path = tmpDir("ivf_pin")
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 300), path,
+      nlist = 16)
+    val e0 = graft.sources.EpochDir.epochs(spark, s"$path/cells").last
+    val want = rows(Similarity.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 4, atEpoch = Some(e0)))
+    // a compaction publishes the next epoch (freezing e0 — epochs are
+    // immutable once superseded), then batch growth lands in the NEW
+    // live epoch
+    Similarity.compactIvfIndex(spark, path)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 300), path)
+    // the pinned search replays EXACTLY; the live search sees the
+    // grown corpus (different result set at the same k)
+    assert(rows(Similarity.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 4, atEpoch = Some(e0))) == want,
+      "the pinned snapshot must replay identically after publish+append")
+    assert(rows(Similarity.ivfTopKIndexed(spark, path, queries,
+      k = 5, nProbe = 4)) != want,
+      "the live search must see the grown corpus")
+  }
+
   // Deterministic PQ model for the IVFPQ cases: seed codebooks are the
   // 16 lowest-id vectors' subvectors (no Lloyd round — codebook quality
   // is irrelevant to index-mechanics equivalence, and seeds keep the

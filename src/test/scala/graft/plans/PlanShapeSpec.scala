@@ -254,6 +254,29 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("as-of tolerance/strict variants add ZERO exchanges over the base as-of") {
+    // the tolerance gate is a map-side comparison on the carried
+    // payload and strict is a sort-order flip — neither may cost a
+    // shuffle, a join, or an extra window pass vs j_asof_signup
+    def shape(name: String): (Int, Int) = {
+      val finalOnly = plan(name).split("== Initial Plan ==").head
+      ("Exchange hashpartitioning".r.findAllIn(finalOnly).length,
+        "Window ".r.findAllIn(finalOnly).length)
+    }
+    val base = shape("j_asof_signup")
+    assert(shape("j_asof_tolerance") == base,
+      s"tolerance changed the exchange/window shape: " +
+        s"${shape("j_asof_tolerance")} vs $base")
+    assert(shape("j_asof_strict") == base,
+      s"strict changed the exchange/window shape: " +
+        s"${shape("j_asof_strict")} vs $base")
+    Seq("j_asof_tolerance", "j_asof_strict").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$n must stay join-free (union-window composition):\n$p")
+    }
+  }
+
   test("j_range_binned: no multi-distinct Expand over the 4.5M-pair join output") {
     // two exact distincts over different keys would triple the binned
     // join's output through one shuffle; the two-level chain + sibling

@@ -213,6 +213,32 @@ class CatalogOpsSpec extends SparkFunSuite {
     assert(!CatalogOps.tableExists(s, bad))
   }
 
+  test("epoch views: epochs()/tableAtEpoch pin reads to a snapshot; purged pins fail loud") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val ref = TableRef("graft_test", "epoch_pin")
+    try {
+      CatalogOps.dropEpochIndex(s, ref)
+      for (i <- 0 to 2)
+        CatalogOps.publishEpoch(s, ref, retain = 2)(t =>
+          Seq(i.toLong).toDF("k").write.saveAsTable(t.qualified))
+      assert(CatalogOps.epochs(s, ref) == Seq(0L, 1L, 2L))
+      assert(CatalogOps.tableAtEpoch(s, ref, 1).as[Long].collect().toSeq
+        == Seq(1L))
+      // a run pins epoch 1; a publish lands; the pinned read is
+      // unchanged while the view moved
+      CatalogOps.publishEpoch(s, ref, retain = 2)(t =>
+        Seq(3L).toDF("k").write.saveAsTable(t.qualified))
+      assert(CatalogOps.tableAtEpoch(s, ref, 1).as[Long].collect().toSeq
+        == Seq(1L), "a pinned snapshot must survive a concurrent publish")
+      assert(s.table(ref.qualified).as[Long].collect().toSeq == Seq(3L))
+      val e = intercept[IllegalArgumentException](
+        CatalogOps.tableAtEpoch(s, ref, 0))
+      assert(e.getMessage.contains("retain"))
+    } finally CatalogOps.dropEpochIndex(s, ref)
+  }
+
   test("epoch views: retain widens the grace window") {
     val s = spark
     import s.implicits._

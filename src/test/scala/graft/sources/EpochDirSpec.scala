@@ -41,6 +41,32 @@ class EpochDirSpec extends SparkFunSuite {
       "the flat commit marker must move into e0 with the data")
   }
 
+  test("epoch-pinned reads: epochs() lists snapshots, at() resolves them, purged pins fail loud") {
+    val base = tmpDir("epoch_pinned") + "/idx"
+    for (i <- 0 to 2)
+      EpochDir.publish(spark, base, retain = 2)(t =>
+        writeEpoch(t, Seq(i.toLong)))
+    // retain=2 beside live e2: epochs 0,1,2 all committed and pinnable
+    assert(EpochDir.epochs(spark, base) == Seq(0L, 1L, 2L))
+    assert(readIds(EpochDir.at(spark, base, 0)) == Set(0L))
+    assert(readIds(EpochDir.at(spark, base, 1)) == Set(1L))
+    assert(EpochDir.at(spark, base, 2) == EpochDir.live(spark, base))
+    // the reproducible-run protocol: a run pins epoch 1 at start; a
+    // publish lands meanwhile; the pinned read is UNCHANGED while the
+    // live read moved
+    val pinned = EpochDir.at(spark, base, 1)
+    EpochDir.publish(spark, base, retain = 2)(t =>
+      writeEpoch(t, Seq(3L)))
+    assert(readIds(pinned) == Set(1L),
+      "a pinned snapshot must survive a concurrent publish")
+    assert(readIds(EpochDir.live(spark, base)) == Set(3L))
+    // epoch 0 fell out of the retain window: pinning it fails loud
+    // with the committed list and the retain hint
+    val e = intercept[IllegalArgumentException](EpochDir.at(spark, base, 0))
+    assert(e.getMessage.contains("retain"))
+    assert(EpochDir.epochs(spark, base) == Seq(1L, 2L, 3L))
+  }
+
   test("publish fails loud (and purges nothing) when the write leaves no _SUCCESS") {
     val base = tmpDir("epoch_nomarker") + "/idx"
     EpochDir.publish(spark, base)(t => writeEpoch(t, Seq(1L)))
