@@ -238,6 +238,39 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Context-window truncation planning: for candidate context
+    // lengths L, how many documents exceed L tokens and what fraction
+    // of the corpus' TOKENS a truncate-at-L policy throws away — the
+    // number that decides context length / packing strategy before a
+    // training run (truncation loss vs compute cost). Tokens are the
+    // t_tokens BPE estimate (ceil(chars/4)). ONE corpus pass: all
+    // per-window sums are conditional aggregates in a single
+    // map-combined reduction (the x_hist/DataQuality pattern) and the
+    // tall 3-row output explodes off the 1-row aggregate — no row
+    // replication, no second scan, trivially 100 TB-safe.
+    "t_truncation_loss" -> ((s, dir) => {
+      val tok = ceil(col("n_chars").cast("double") / 4.0).cast("long")
+      val Ls = Seq(128, 512, 2048)
+      val aggs = Seq(count(lit(1)).as("n_docs"), sum(tok).as("tok_total")) ++
+        Ls.flatMap(l => Seq(
+          sum(when(tok > l, 1L).otherwise(0L)).as(s"over_$l"),
+          sum(greatest(tok - l, lit(0L))).as(s"lost_$l")))
+      val a = docs(s, dir).agg(aggs.head, aggs.tail: _*)
+      val rows = Ls.map(l => struct(lit(l).as("ctx_len"),
+        col(s"over_$l").as("docs_over"), col(s"lost_$l").as("tokens_lost")))
+      a.select(col("n_docs"), col("tok_total"),
+        explode(array(rows: _*)).as("e"))
+        .select(col("e.ctx_len").as("ctx_len"), col("n_docs"),
+          col("e.docs_over").as("docs_over"),
+          round(col("e.docs_over").cast("double") / col("n_docs"), 6)
+            .as("docs_over_frac"),
+          col("tok_total").as("tokens_total"),
+          col("e.tokens_lost").as("tokens_lost"),
+          round(col("e.tokens_lost").cast("double") / col("tok_total"), 6)
+            .as("loss_frac"))
+        .orderBy("ctx_len")
+    }),
+
     // Repetition scoring (Gopher/C4-style quality signal): duplicate
     // bigram/trigram fraction per document — degenerate looping or
     // boilerplate text scores high and gets filtered before training.
@@ -1159,6 +1192,23 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[a-z]+')) AS n_re,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_truncation_loss" ->
+      """WITH t AS (SELECT CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT)
+        |    AS tok FROM documents),
+        |a AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(tok) AS BIGINT) AS tokens_total FROM t),
+        |w AS (SELECT * FROM (VALUES (128), (512), (2048)) v(ctx_len)),
+        |l AS (SELECT w.ctx_len,
+        |    CAST(sum(CASE WHEN t.tok > w.ctx_len THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS docs_over,
+        |    CAST(sum(greatest(t.tok - w.ctx_len, 0)) AS BIGINT)
+        |      AS tokens_lost
+        |  FROM t CROSS JOIN w GROUP BY 1)
+        |SELECT l.ctx_len, a.n_docs, l.docs_over,
+        |  round(CAST(l.docs_over AS DOUBLE) / a.n_docs, 6) AS docs_over_frac,
+        |  a.tokens_total, l.tokens_lost,
+        |  round(CAST(l.tokens_lost AS DOUBLE) / a.tokens_total, 6) AS loss_frac
+        |FROM l CROSS JOIN a ORDER BY ctx_len""".stripMargin,
     "t_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, len(w) AS n_words,
