@@ -378,4 +378,49 @@ object DocStreams {
     q.awaitTermination()
     q
   }
+
+  /** CONTINUOUS data-quality drift monitor — the streaming twin of
+    * `MigrateCli --mode dq --baseline`
+    * ([[graft.operators.DataQuality.drift]]): every micro-batch
+    * profiles itself in ONE pass (`collectProfile` — output bounded by
+    * schema width, never row data) and diffs against the FIXED
+    * baseline profile, which is MODEL STATE — the batch dq report of
+    * the known-healthy corpus (the same offline-model /
+    * online-detector split as the CUSUM and DSIR streams). Findings
+    * rows (batch_id, column, metric, baseline, current) append to
+    * `outDir`; an empty batch of findings means the arriving data is
+    * healthy — the pipeline alerts on the findings table.
+    *
+    * Only SIZE-INDEPENDENT metrics participate — presence,
+    * completeness, numeric bounds. A micro-batch's cardinality is
+    * batch-sized by construction, so the approx_distinct rule (whose
+    * semantics are same-size run-over-run) would false-alarm against a
+    * corpus baseline and is dropped here. Stateless per batch: a
+    * batch's verdicts depend only on its own rows + the frozen
+    * baseline, so replay re-derives identical findings.
+    */
+  def dqDriftMonitor(stream: DataFrame,
+      baseline: Seq[graft.operators.DataQuality.ColumnProfile],
+      tolerance: Double, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val prof = graft.operators.DataQuality.collectProfile(batch)
+        val findings = graft.operators.DataQuality
+          .drift(baseline, prof, tolerance)
+          .filterNot(_.metric == "approx_distinct")
+          .map(d => (batchId, d.column, d.metric, d.baseline, d.current))
+        findings
+          .toDF("batch_id", "column", "metric", "baseline", "current")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

@@ -466,4 +466,51 @@ class DocStreamsSpec extends SparkFunSuite {
       3L -> ((1L, 3L))),  // q q q
       s"OOV docs must tokenize, not null out: $got")
   }
+
+  test("streaming dq drift monitor: healthy wave silent, drifted wave flagged per batch") {
+    val s = spark
+    import s.implicits._
+    val streamDir = tmpDir("dq_stream")
+    val outDir = tmpDir("dq_out")
+    // baseline: the batch profile of the healthy FULL corpus (model
+    // state) — covering the id/bounds domain arriving batches draw from
+    val baseline = graft.operators.DataQuality.collectProfile(docs)
+    // wave 1 healthy; wave 2 DRIFTED — lang nulls out on half the rows
+    // (completeness drop) and n_chars goes negative (min_bound escape)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val staged = tmpDir(s"dq_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(streamDir, s"$name.parquet"))
+    }
+    stage(docs.filter(col("doc_id") >= 250 && col("doc_id") < 400), "wave1")
+    stage(docs.filter(col("doc_id") >= 400)
+      .withColumn("lang",
+        when(col("doc_id") % 2 === 0, lit(null)).otherwise(col("lang")))
+      .withColumn("n_chars",
+        when(col("doc_id") % 7 === 0, lit(-100000L))
+          .otherwise(col("n_chars"))),
+      "wave2")
+    // one file per micro-batch so the healthy wave's silence is a real
+    // per-batch verdict, not averaged away inside one big batch
+    val src = s.readStream.schema(DocStreams.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    DocStreams.dqDriftMonitor(src,
+      baseline, tolerance = 0.1, outDir, tmpDir("dq_ckpt"))
+    val findings = s.read.parquet(outDir)
+      .select("column", "metric").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(findings.contains(("lang", "completeness")),
+      s"the lang completeness drop must flag: $findings")
+    assert(findings.contains(("n_chars", "min_bound")),
+      s"the negative n_chars must flag: $findings")
+    // size-dependent cardinality never fires on a micro-batch, and the
+    // healthy wave contributes nothing
+    assert(!findings.exists(_._2 == "approx_distinct"), findings.toString)
+    val byBatch = s.read.parquet(outDir).select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(byBatch.size == 1, s"only the drifted batch may flag: $byBatch")
+  }
 }
