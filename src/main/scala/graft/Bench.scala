@@ -122,13 +122,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: run the same board under real multi-JVM
+    // executors (local-cluster[n,c,mem]) for the scaling harness;
+    // executors need the build's classes on their classpath.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+      b0.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    else b0).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/codegen warmup (not data-dependent): exercise scan, shuffle-agg,

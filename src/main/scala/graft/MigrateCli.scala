@@ -37,7 +37,12 @@ import graft.resume.Checkpoint
   * `--baseline <previous dq report>` turns it into a DRIFT gate: the
   * profile diffs against the last run's, exit 1 on missing columns,
   * completeness drops, cardinality swings, or numeric bounds escaping
-  * the historical range beyond `--drift-tolerance`, default 0.1), and
+  * the historical range beyond `--drift-tolerance`, default 0.1;
+  * `--psi-cols v1,v2` additionally records 10-bin histograms of those
+  * columns in the report, and a baseline carrying histograms arms the
+  * population-stability-index SHAPE rule — exit 1 when a column's PSI
+  * vs the baseline bins exceeds `--psi-threshold`, default 0.2 — the
+  * drift the other rules provably miss), and
   * `curate` (the end-to-end corpus-curation pipeline over a documents
   * table: Gopher quality gate → exact dedup → MinHash near-dup
   * collapse → deterministic split, written to --dest partitioned by
@@ -49,7 +54,12 @@ import graft.resume.Checkpoint
   * `--stopwords multilang` switches the quality gate to the shipped
   * per-language function-word registry; `--canonical rank` keeps the
   * max-PageRank member of each near-dup cluster instead of the
-  * minimum id — dedup-cluster centrality as the keep choice).
+  * minimum id — dedup-cluster centrality as the keep choice), and
+  * `vacuum` (age-based sweep of leaked scratch under the `--source`
+  * root(s), comma-separated; `--age-hours 24` sets the retention,
+  * DRY-RUN unless `--apply true`. Only entries matching the Scratch
+  * naming contract are candidates — live indexes, epochs, and user
+  * data can never match; see [[graft.sources.Scratch.vacuum]]).
   */
 object MigrateCli {
 
@@ -84,13 +94,28 @@ object MigrateCli {
     val src = graft.sources.Sources.table(
       spark, f.getParent, f.getName.stripSuffix(".parquet"))
     val profs = graft.operators.DataQuality.collectProfile(src)
+    // `--psi-cols c1,c2` adds baseline-binned histograms (10 bins) to
+    // the report, enabling the PSI shape-drift rule on the NEXT run —
+    // the same report-doubles-as-baseline protocol as the profile.
+    val psiCols = args.get("psi-cols")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    psiCols.foreach(c => require(src.columns.contains(c),
+      s"--psi-cols column '$c' is not in the source schema"))
+    val hists = graft.operators.DataQuality
+      .collectHistograms(src, psiCols, bins = 10)
+      .map(h => h.column -> h).toMap
     val body = profs.map { p =>
+      val histField = hists.get(p.column).fold("") { h =>
+        s""", "hist": {"lo": ${h.lo}, "hi": ${h.hi},
+           | "counts": ${h.counts.mkString("[", ", ", "]")}}"""
+          .stripMargin.replace("\n", "")
+      }
       s"""{"column": ${js(p.column)}, "n_rows": ${p.nRows},
          | "null_count": ${p.nullCount},
          | "completeness": ${p.completeness},
          | "approx_distinct": ${p.approxDistinct},
          | "min": ${p.minValue.fold("null")(js)},
-         | "max": ${p.maxValue.fold("null")(js)}}"""
+         | "max": ${p.maxValue.fold("null")(js)}$histField}"""
         .stripMargin.replace("\n", "")
     }.mkString("[\n  ", ",\n  ", "\n]")
     val dir = new java.io.File(args.getOrElse("report-dir", "reports"))
@@ -110,15 +135,32 @@ object MigrateCli {
       val tol = args.get("drift-tolerance").map(_.toDouble).getOrElse(0.1)
       // the baseline is our own report format; Spark's JSON reader
       // keeps the parse dependency-free
-      val baseRows = spark.read.option("multiLine", true).json(basePath)
-        .collect().toSeq.map { r =>
-          graft.operators.DataQuality.ColumnProfile(
-            r.getAs[String]("column"), r.getAs[Long]("n_rows"),
-            r.getAs[Long]("null_count"), r.getAs[Double]("completeness"),
-            r.getAs[Long]("approx_distinct"),
-            Option(r.getAs[String]("min")), Option(r.getAs[String]("max")))
+      val baseDf = spark.read.option("multiLine", true).json(basePath)
+      val rows = baseDf.collect().toSeq
+      val baseRows = rows.map { r =>
+        graft.operators.DataQuality.ColumnProfile(
+          r.getAs[String]("column"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("null_count"), r.getAs[Double]("completeness"),
+          r.getAs[Long]("approx_distinct"),
+          Option(r.getAs[String]("min")), Option(r.getAs[String]("max")))
+      }
+      // PSI shape rule: a baseline row carrying a histogram activates
+      // it for that column (`--psi-threshold`, default 0.2 — the
+      // conventional "significant shift" mark). Columns the current
+      // schema lacks are the presence rule's finding, not PSI's.
+      val basHists =
+        if (!baseDf.columns.contains("hist")) Nil
+        else rows.flatMap { r =>
+          Option(r.getAs[org.apache.spark.sql.Row]("hist")).map { h =>
+            graft.operators.DataQuality.HistProfile(
+              r.getAs[String]("column"), h.getAs[Double]("lo"),
+              h.getAs[Double]("hi"),
+              h.getSeq[Long](h.fieldIndex("counts")).toSeq)
+          }
         }
-      graft.operators.DataQuality.drift(baseRows, profs, tol)
+      val psiThr = args.get("psi-threshold").map(_.toDouble).getOrElse(0.2)
+      graft.operators.DataQuality.drift(baseRows, profs, tol) ++
+        graft.operators.DataQuality.psiDrift(basHists, src, psiThr)
     }.getOrElse(Nil)
     drifts.foreach(d => System.err.println(
       s"[graft] dq DRIFT column=${d.column} metric=${d.metric} " +
@@ -128,11 +170,62 @@ object MigrateCli {
     if (bad.nonEmpty || drifts.nonEmpty) 1 else 0
   }
 
+  /** Vacuum mode body, exit code returned (spec-drivable in-process).
+    * Scratch roots come from `--source` (comma-separated); verdicts
+    * print per entry and land in a JSON report beside the migration
+    * reports. Exit 0 always unless a delete itself failed — a dirty
+    * scratch root is a finding, not an error.
+    */
+  private[graft] def runVacuum(args: Map[String, String],
+      cfg: graft.model.MigrationConfig): Int = {
+    val age = args.get("age-hours").map(_.toDouble).getOrElse(24.0)
+    val apply = args.get("apply") match {
+      case None | Some("false") => false
+      case Some("true") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"--apply expects 'true' or 'false', got '$other'")
+    }
+    val entries = cfg.sourcePath.split(",").toSeq.map(_.trim)
+      .filter(_.nonEmpty)
+      .flatMap(root => graft.sources.Scratch.vacuum(root, age, apply))
+    entries.foreach(e => println(f"[graft] vacuum ${e.action}%-20s " +
+      f"age=${e.ageHours}%.1fh ${e.path}"))
+    val body = entries.map { e =>
+      s"""{"path": ${js(e.path)}, "age_hours": ${f"${e.ageHours}%.2f"},
+         | "action": ${js(e.action)}}""".stripMargin.replace("\n", "")
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    val dir = new java.io.File(args.getOrElse("report-dir", "reports"))
+    dir.mkdirs()
+    val out = new java.io.File(dir,
+      s"vacuum_report_${System.currentTimeMillis()}.json").toPath
+    java.nio.file.Files.writeString(out, body)
+    val deleted = entries.count(_.action == "deleted")
+    val pending = entries.count(_.action == "would_delete")
+    println(s"[graft] vacuum report=$out entries=${entries.length} " +
+      s"deleted=$deleted would_delete=$pending dry_run=${!apply}")
+    0
+  }
+
   def main(argv: Array[String]): Unit = {
     val args = ConfigResolver.parseArgs(argv)
     val cfg = ConfigResolver.resolve(args)
     require(cfg.sourcePath.nonEmpty, "--source is required")
-    if (cfg.mode != "dq") require(cfg.destPath.nonEmpty, "--dest is required")
+    if (cfg.mode != "dq" && cfg.mode != "vacuum")
+      require(cfg.destPath.nonEmpty, "--dest is required")
+
+    if (cfg.mode == "vacuum") {
+      // Pure-filesystem mode — no SparkSession: sweep the scratch
+      // root(s) in --source (comma-separated) for leaked entries older
+      // than --age-hours (default 24). DRY-RUN by default; only the
+      // literal `--apply true` deletes (the --drop-orphans stance).
+      // Safety lives in the Scratch NAMING CONTRACT (see
+      // Scratch.vacuum): live indexes/epochs and user data can never
+      // match, this JVM's own scratch and epoch-shaped entries are
+      // skipped even if named like scratch.
+      val code = runVacuum(args, cfg)
+      if (code != 0) sys.exit(code)
+      return
+    }
     // curate is destructive at --dest only (overwrite of the curated
     // corpus), never at --source.
 
@@ -247,14 +340,19 @@ object MigrateCli {
           // catalog-named source: `--source table:<db.name>` (or a bare
           // name, resolved in --db). A name bound to a VIEW resolves to
           // its single base table before migrating — the reference's
-          // Distributed→local dispatch (A8) in catalog terms. The key
-          // derives from the name's schema (identical to the base's for
-          // any migratable view).
+          // Distributed→local dispatch (A8) in catalog terms.
           val parts = cfg.sourcePath.stripPrefix("table:").split("\\.", 2)
           val srcRef =
             if (parts.length == 2) TableRef(parts(0), parts(1))
             else TableRef(cfg.db, parts(0))
-          val (k, e) = keyFor(spark.table(srcRef.qualified))
+          // the partition key derives from the RESOLVED BASE table's
+          // schema, not the view's: migration runs on the base, so a
+          // view that projects away (silent single-partition fallback)
+          // or renames (late AnalysisException) the --partition-expr
+          // column must not decide the key
+          val baseRef = graft.sources.CatalogOps.resolveToBaseTable(
+            spark, srcRef)
+          val (k, e) = keyFor(spark.table(baseRef.qualified))
           Seq(mig.migrateCatalogTable(srcRef, Seq(k), Seq(e), cfg.destPath))
         case "single" =>
           val f = new java.io.File(cfg.sourcePath)

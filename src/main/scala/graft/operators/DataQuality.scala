@@ -164,4 +164,161 @@ object DataQuality {
       }
     }
   }
+
+  // --- Distribution-SHAPE drift (PSI) --------------------------------
+  //
+  // The rule set above misses a same-bounds, same-cardinality shift —
+  // a quality-score distribution collapsing toward one end passes
+  // presence/completeness/cardinality/bounds untouched. The standard
+  // gate for that is the population stability index over equi-width
+  // histograms: PSI = Σᵢ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) with p the baseline bin
+  // proportions and q the current ones, BOTH binned on the BASELINE's
+  // [lo, hi] (out-of-range current values clamp into the edge bins —
+  // range escapes are the bounds rule's job, shape is this one's).
+  // Proportions floor at 1e-6 so an empty bin contributes a finite
+  // term. Conventional reading: < 0.1 stable, 0.1–0.2 moderate shift,
+  // > 0.2 significant — the default threshold is 0.2.
+  //
+  // Scale shape: one bounds pass + ONE conditional-sum aggregate pass
+  // for ALL profiled columns (bins × columns expressions over a 1-row
+  // result — schema-width-bounded like [[profile]], never a per-column
+  // scan), and the PSI fold is pure arithmetic over ≤ bins counts.
+
+  /** Histogram model state for one column: baseline bounds + bin
+    * counts. Bounded by `bins` (≤ a few dozen), never row data.
+    */
+  final case class HistProfile(
+      column: String, lo: Double, hi: Double, counts: Seq[Long])
+
+  /** Clamped baseline-binned bucket of a value column: `[lo, hi]`
+    * split into `bins` equi-width bins, under/overflow clamped into
+    * the edge bins, degenerate span (lo == hi) all in bin 0.
+    */
+  private def bucketOf(v: org.apache.spark.sql.Column, lo: Double,
+      hi: Double, bins: Int): org.apache.spark.sql.Column =
+    if (hi <= lo) lit(0L)
+    else least(greatest(
+      floor((v.cast("double") - lit(lo)) / lit((hi - lo) / bins)),
+      lit(0L)), lit(bins - 1L))
+
+  /** Fixed-bin histograms of `columns` (each cast to double; nulls
+    * excluded), bounds data-driven: one (min, max) pass, then one
+    * conditional-sum pass for every (column, bin) cell. Columns whose
+    * bounds are null (all-null or empty input) or non-castable are
+    * skipped — no histogram, nothing to compare.
+    */
+  def collectHistograms(df: DataFrame, columns: Seq[String],
+      bins: Int = 10): Seq[HistProfile] = {
+    require(bins >= 2 && bins <= 64, s"bins must be in [2, 64] ($bins)")
+    if (columns.isEmpty) return Nil
+    val boundAggs = columns.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("double")).as(s"__lo_$i"),
+        max(col(c).cast("double")).as(s"__hi_$i"))
+    }
+    val b = df.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val specs = columns.zipWithIndex.flatMap { case (c, i) =>
+      if (b.isNullAt(2 * i) || b.isNullAt(2 * i + 1)) None
+      else Some((c, b.getDouble(2 * i), b.getDouble(2 * i + 1)))
+    }
+    histogramCounts(df, specs.map { case (c, lo, hi) =>
+      HistProfile(c, lo, hi, Nil)
+    }, bins).map { case (c, counts) =>
+      val (_, lo, hi) = specs.find(_._1 == c).get
+      HistProfile(c, lo, hi, counts)
+    }.toSeq.sortBy(_.column)
+  }
+
+  /** Bin counts of `df`'s values in each profile's BASELINE bins
+    * (clamped — see [[bucketOf]]), all profiles in ONE aggregate pass;
+    * `bins` is passed explicitly so bounds-only profiles (empty
+    * `counts`) can be counted too.
+    */
+  def histogramCounts(df: DataFrame, profiles: Seq[HistProfile],
+      bins: Int): Map[String, Seq[Long]] = {
+    if (profiles.isEmpty) return Map.empty
+    def c0(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = profiles.zipWithIndex.flatMap { case (p, i) =>
+      val bkt = bucketOf(c0(p.column), p.lo, p.hi, bins)
+      (0 until bins).map { k =>
+        sum(when(c0(p.column).isNotNull && bkt === k, 1L).otherwise(0L))
+          .cast("long").as(s"__h_${i}_$k")
+      }
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    profiles.zipWithIndex.map { case (p, i) =>
+      p.column -> (0 until bins).map(k => r.getLong(i * bins + k))
+    }.toMap
+  }
+
+  /** PSI between two aligned count vectors (pure arithmetic; both
+    * sides' proportions floored at 1e-6).
+    */
+  def psi(baseCounts: Seq[Long], curCounts: Seq[Long]): Double = {
+    require(baseCounts.length == curCounts.length,
+      s"PSI needs aligned bins (${baseCounts.length} vs ${curCounts.length})")
+    val tb = math.max(baseCounts.sum, 1L).toDouble
+    val tc = math.max(curCounts.sum, 1L).toDouble
+    baseCounts.zip(curCounts).map { case (nb, nc) =>
+      val p = math.max(nb / tb, 1e-6)
+      val q = math.max(nc / tc, 1e-6)
+      (p - q) * math.log(p / q)
+    }.sum
+  }
+
+  /** Shape-drift findings: each baseline histogram's PSI against
+    * `current`'s values (binned on the BASELINE bounds) exceeding
+    * `threshold` is one `psi` finding. Columns missing from `current`
+    * are the presence rule's job and are skipped here.
+    */
+  def psiDrift(baseline: Seq[HistProfile], current: DataFrame,
+      threshold: Double = 0.2): Seq[Drift] = {
+    require(threshold >= 0, "threshold must be >= 0")
+    val present = baseline.filter(p => current.columns.contains(p.column))
+    if (present.isEmpty) return Nil
+    val bins = present.head.counts.length
+    require(present.forall(_.counts.length == bins),
+      "baseline histograms must share one bin count")
+    val cur = histogramCounts(current, present, bins)
+    present.sortBy(_.column).flatMap { p =>
+      val v = psi(p.counts, cur(p.column))
+      if (v > threshold)
+        Some(Drift(p.column, "psi", threshold.toString, f"$v%.4f"))
+      else None
+    }
+  }
+
+  /** PSI between two relations' distributions of `valueCol` as a
+    * 1-row DataFrame `(psi, n_base, n_cur)` — the oracle-checkable
+    * query face of [[psiDrift]] (`a_dq_psi`). Fully distributed:
+    * bounds reduce to one broadcast row, each side buckets map-side
+    * into ≤ `bins` cells, and the fold runs over the joined bin
+    * counts — nothing proportional to row count crosses the wire.
+    */
+  def psiBetween(base: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"bins must be in [2, 64] ($bins)")
+    val v = col(valueCol).cast("double")
+    val bounds = base.agg(min(v).as("lo"), max(v).as("hi"))
+    def bucketed(df: DataFrame, out: String) = df
+      .select(v.as("_v")).where(col("_v").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(when(col("hi") <= col("lo"), lit(0L)).otherwise(
+        least(greatest(floor((col("_v") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(bins.toDouble))), lit(0L)),
+          lit(bins - 1L))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(out))
+    val joined = bucketed(base, "nb")
+      .join(bucketed(cur, "nc"), Seq("bucket"), "full_outer")
+      .select(coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val tot = joined.agg(sum(col("nb")).as("tb"), sum(col("nc")).as("tc"))
+    val p = greatest(col("nb").cast("double") / col("tb").cast("double"),
+      lit(1e-6))
+    val q = greatest(col("nc").cast("double") / col("tc").cast("double"),
+      lit(1e-6))
+    joined.crossJoin(broadcast(tot))
+      .agg(round(sum((p - q) * log(p / q)), 4).as("psi"),
+        max(col("tb")).cast("long").as("n_base"),
+        max(col("tc")).cast("long").as("n_cur"))
+  }
 }

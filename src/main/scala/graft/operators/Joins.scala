@@ -20,6 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Loud guard for the internal working columns the union-window
+    * machinery stamps onto the LEFT input: a caller frame already
+    * carrying one of these names would be silently overwritten (and
+    * the join's carry corrupted) — fail fast instead, naming the
+    * offenders. Cheap (driver-side schema check), zero plan cost.
+    */
+  private def requireNoCollision(cols: Seq[String], reserved: Seq[String],
+      op: String): Unit = {
+    val bad = cols.filter(reserved.contains)
+    require(bad.isEmpty,
+      s"$op: input column(s) [${bad.mkString(", ")}] collide with the " +
+        s"join's internal working columns [${reserved.mkString(", ")}] — " +
+        "rename them before the join")
+  }
+
+  /** Tie-break column as an ordering key: the deterministic-tie
+    * contract needs a total order that survives the internal long
+    * cast, so a non-castable type (string, array, …) is rejected loud
+    * instead of silently casting to null and degrading the tie to
+    * arbitrary.
+    */
+  private def tieBreakKey(right: DataFrame,
+      rightTieBreak: Option[String]): Column =
+    rightTieBreak.map { c =>
+      val dt = right.schema(c).dataType
+      val ok = dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.BooleanType ||
+        dt == org.apache.spark.sql.types.TimestampType
+      require(ok,
+        s"rightTieBreak column '$c' has type ${dt.simpleString}, which " +
+          "does not cast to a numeric ordering key — the deterministic " +
+          "tie-break would silently become arbitrary. Use a numeric/" +
+          "boolean/timestamp column (or derive one) instead.")
+      col(c).cast("long")
+    }.getOrElse(lit(0L))
+
   /** @param keys         equi-join key columns (present on both sides)
     * @param leftTs       left event-time column
     * @param rightTs      right event-time column
@@ -91,6 +127,9 @@ object Joins {
     require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
     val payloadOut = rightPayload.map(_ + suffix)
     val leftCols = left.columns.toSeq
+    requireNoCollision(leftCols, Seq("_t", "_tag", "_tie", "_payload"),
+      "asofJoin")
+    requireNoCollision(leftCols, payloadOut, "asofJoin (payload output)")
 
     // The payload travels as ONE struct column so the latest right ROW
     // wins atomically: carrying each column independently with
@@ -102,7 +141,7 @@ object Joins {
       (keys.map(col) :+ col(rightTs).as("_t")) :+
         struct((rightPayload.map(col) :+
           col(rightTs).cast("double").as("__rt")): _*).as("_payload") :+
-        rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tie"): _*)
+        tieBreakKey(right, rightTieBreak).as("_tie"): _*)
       .withColumn("_tag", lit(1))
     val payloadType = r2base.schema("_payload").dataType
 
@@ -165,6 +204,9 @@ object Joins {
     * `rightTs` is CLOSEST to `leftTs` within the key group — before or
     * after; exact-distance ties prefer the earlier (backward) right
     * row. LEFT semantics: keys with no right rows keep null payloads.
+    * `allowExactMatches = false` excludes right rows AT the left ts
+    * from BOTH candidate scans (pandas nearest + allow_exact_matches);
+    * `tolerance` bounds the winner's absolute distance, inclusive.
     *
     * Same linear discipline as [[asofJoin]] — tag-and-union, ONE
     * shuffle on the keys, then TWO per-key sorted passes over the same
@@ -182,18 +224,24 @@ object Joins {
       rightPayload: Seq[String],
       rightTieBreak: Option[String] = None,
       suffix: String = "_near",
-      tolerance: Option[Double] = None): DataFrame = {
+      tolerance: Option[Double] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name ≥1 column")
     require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
     val payloadOut = rightPayload.map(_ + suffix)
     val leftCols = left.columns.toSeq
+    requireNoCollision(leftCols,
+      Seq("_t", "_tag", "_tie", "_payload", "_bwd", "_fwd", "_win"),
+      "asofNearestJoin")
+    requireNoCollision(leftCols, payloadOut,
+      "asofNearestJoin (payload output)")
     // the payload rides with its own event time (for the distance
     // compare) as ONE struct, so each candidate row wins atomically
     val r2base = right.select(
       (keys.map(col) :+ col(rightTs).as("_t")) :+
         struct((rightPayload.map(col) :+
           col(rightTs).cast("double").as("__rt")): _*).as("_payload") :+
-        rightTieBreak.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tie"): _*)
+        tieBreakKey(right, rightTieBreak).as("_tie"): _*)
       .withColumn("_tag", lit(1))
     val payloadType = r2base.schema("_payload").dataType
     val l3 = left
@@ -209,12 +257,19 @@ object Joins {
       .unionByName(r3.select(unionCols.map(col): _*))
     // right rows sort BEFORE left rows at equal ts in BOTH scans, so a
     // simultaneous right matches either way; among simultaneous right
-    // rows the tie-break MAX wins in both scans (last() of `_tie` asc)
+    // rows the tie-break MAX wins in both scans (last() of `_tie` asc).
+    // With allowExactMatches = false the tag order FLIPS in both scans
+    // (pandas merge_asof(direction='nearest',
+    // allow_exact_matches=False)): left rows scan before simultaneous
+    // right rows, so the backward candidate is strictly earlier and
+    // the forward candidate strictly later — same pure sort-order flip
+    // as the directional joins, zero extra cost.
+    val tagOrder = if (allowExactMatches) col("_tag").desc else col("_tag").asc
     val wB = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_tag").desc, col("_tie").asc)
+      .orderBy(col("_t").asc, tagOrder, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").desc, col("_tag").desc, col("_tie").asc)
+      .orderBy(col("_t").desc, tagOrder, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("_bwd", last(col("_payload"), ignoreNulls = true).over(wB))
@@ -268,6 +323,10 @@ object Joins {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Double, maxBinsPerRow: Int = 4096): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    requireNoCollision(points.columns.toSeq, Seq("_bin"),
+      "binnedRangeJoin (points)")
+    requireNoCollision(intervals.columns.toSeq, Seq("_bin"),
+      "binnedRangeJoin (intervals)")
     val pb = points.withColumn("_bin",
       floor(col(ptCol) / binWidth).cast("long"))
     val ib = intervals
@@ -320,6 +379,10 @@ object Joins {
       right: DataFrame, rLo: String, rHi: String,
       binWidth: Double, maxBinsPerRow: Int = 4096): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    requireNoCollision(left.columns.toSeq, Seq("_bin"),
+      "binnedIntervalJoin (left)")
+    requireNoCollision(right.columns.toSeq, Seq("_bin"),
+      "binnedIntervalJoin (right)")
     def binned(df: DataFrame, lo: String, hi: String) = df
       .filter(col(lo) <= col(hi))
       .withColumn("_bin", explode(guardedBinSeq(

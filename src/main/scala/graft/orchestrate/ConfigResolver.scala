@@ -134,7 +134,8 @@ object ConfigResolver {
     val known = Set("mode", "db", "table", "source", "dest", "keys",
       "insert-interval", "resume", "checkpoint", "lock-dir", "report-dir",
       "partition-expr", "config", "drop-orphans", "min-completeness",
-      "baseline", "drift-tolerance",
+      "baseline", "drift-tolerance", "psi-cols", "psi-threshold",
+      "age-hours", "apply",
       "jaccard", "mixture", "stopwords", "canonical")
     argv.grouped(2).map {
       case Array(k, v) if k.startsWith("--") =>

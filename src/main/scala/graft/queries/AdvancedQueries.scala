@@ -61,6 +61,25 @@ object AdvancedQueries {
         .orderBy("check_name")
     }),
 
+    // Population-stability-index shape drift
+    // (DataQuality.psiBetween): PSI = Σ (p−q)·ln(p/q) between two
+    // relations' value distributions over the BASELINE's equi-width
+    // bins (out-of-range current values clamp into the edge bins;
+    // proportions floored at 1e-6). Catches the same-bounds,
+    // same-cardinality shifts the profile drift gate provably misses
+    // (DataQualitySpec). Scale shape: bounds reduce to one broadcast
+    // row, each side buckets MAP-SIDE into ≤ 10 cells, and the fold
+    // runs over the joined bin counts — nothing row-proportional
+    // shuffles. Here: view-event values as baseline, purchase-event
+    // values as current.
+    "a_dq_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.DataQuality.psiBetween(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", bins = 10)
+    }),
+
     // Categorical concentration profile by GINI IMPURITY — the
     // log-free face of column entropy (1 − Σp², monotone with entropy
     // for profiling purposes; libm log would diverge between engines,
@@ -406,6 +425,30 @@ object AdvancedQueries {
         |  UNION ALL SELECT 'domain_returnflag', dom_rf/n FROM a)
         |SELECT check_name, round(m, 6) AS metric, m >= 1.0 AS passed
         |FROM tall ORDER BY check_name""".stripMargin,
+    "a_dq_psi" ->
+      """WITH b AS (SELECT min("value") AS lo, max("value") AS hi
+        |    FROM events WHERE event_type = 'view'),
+        |bb AS (SELECT LEAST(GREATEST(CAST(floor(("value" - lo)
+        |      / ((hi - lo) / 10.0)) AS BIGINT), 0), 9) AS bucket,
+        |    count(*) AS nb
+        |  FROM events, b
+        |  WHERE event_type = 'view' AND "value" IS NOT NULL GROUP BY 1),
+        |cb AS (SELECT LEAST(GREATEST(CAST(floor(("value" - lo)
+        |      / ((hi - lo) / 10.0)) AS BIGINT), 0), 9) AS bucket,
+        |    count(*) AS nc
+        |  FROM events, b
+        |  WHERE event_type = 'purchase' AND "value" IS NOT NULL GROUP BY 1),
+        |j AS (SELECT COALESCE(bb.nb, 0) AS nb, COALESCE(cb.nc, 0) AS nc
+        |  FROM bb FULL OUTER JOIN cb ON bb.bucket = cb.bucket),
+        |t AS (SELECT CAST(sum(nb) AS DOUBLE) AS tb,
+        |    CAST(sum(nc) AS DOUBLE) AS tc FROM j)
+        |SELECT round(sum(
+        |    (GREATEST(nb / tb, 1e-6) - GREATEST(nc / tc, 1e-6))
+        |    * ln(GREATEST(nb / tb, 1e-6) / GREATEST(nc / tc, 1e-6))), 4)
+        |  AS psi,
+        |  CAST(max(tb) AS BIGINT) AS n_base,
+        |  CAST(max(tc) AS BIGINT) AS n_cur
+        |FROM j, t""".stripMargin,
     "a_stats" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(18,2)) AS s1,

@@ -108,32 +108,61 @@ object CatalogOps {
     * serves as the grace epoch. The adoption rename is the one-time
     * migration move — run it quiesced like any OPTIMIZE.
     */
+  /** Provenance marker the adoption path stamps on the legacy table
+    * BEFORE the rename to `__e0`: crash recovery must distinguish an
+    * atomically-renamed adoption (complete legacy data — safe to
+    * rebind the view over) from a crashed first-epoch `saveAsTable`
+    * (possibly partial debris — drop it, never rebind it live). The
+    * property travels with the rename; a crash between SET and RENAME
+    * leaves a harmlessly-marked base table the next publish adopts
+    * normally.
+    */
+  private val AdoptedProp = "graft.epoch.adopted"
+
+  private def hasAdoptionMarker(spark: SparkSession, ref: TableRef): Boolean =
+    spark.sql(s"SHOW TBLPROPERTIES ${ref.qualified}")
+      .collect().exists(r =>
+        r.getString(0) == AdoptedProp && r.getString(1) == "true")
+
   def publishEpoch(spark: SparkSession, ref: TableRef, retain: Int = 1)
       (write: TableRef => Unit): Unit =
       IndexLock.withWriterLock(spark, ref.qualified) {
     require(retain >= 1, s"publishEpoch: retain must be >= 1 ($retain)")
     requireEpochSafeName(ref)
     if (isLegacyTable(spark, ref)) {
+      spark.sql(s"ALTER TABLE ${ref.qualified} " +
+        s"SET TBLPROPERTIES ('$AdoptedProp'='true')")
       renameTable(spark, ref, epochRef(ref, 0))
       spark.sql(s"CREATE VIEW ${ref.qualified} AS " +
         s"SELECT * FROM ${epochRef(ref, 0).qualified}")
     } else if (!tableExists(spark, ref) &&
         spark.catalog.databaseExists(ref.db)) {
-      // crash recovery: a prior adoption renamed the legacy table to
-      // __e0 but died before CREATE VIEW, leaving the base name
-      // unbound and an orphan epoch table. Rebind the view over the
-      // HIGHEST orphan before computing `next` — otherwise next would
-      // be 0 and the new epoch's write would overwrite the orphan
-      // (the adopted legacy data) instead of keeping it as grace.
+      // crash recovery: the base name is unbound but orphan epoch
+      // tables exist. Two indistinguishable-by-name causes, told apart
+      // by the adoption marker:
+      //  - a prior ADOPTION renamed the legacy table to __eN but died
+      //    before CREATE VIEW (marker present — the rename was atomic,
+      //    the data is the complete legacy index): rebind the view
+      //    over the HIGHEST marked orphan before computing `next`,
+      //    otherwise next would be 0 and the new epoch's write would
+      //    overwrite the adopted data instead of keeping it as grace;
+      //  - a first-epoch saveAsTable crashed mid-write before its
+      //    CREATE VIEW (marker absent — the data may be partial):
+      //    DROP it. Rebinding would publish possibly-torn data live
+      //    (or leave it pinnable as a grace epoch); the caller is
+      //    about to write this epoch fresh anyway.
       val prefix = s"${ref.table}__e"
       val orphans = spark.catalog.listTables(ref.db).collect()
         .filter(t => t.tableType != "VIEW" && t.name.startsWith(prefix))
         .map(_.name.stripPrefix(prefix))
         .filter(n => n.nonEmpty && n.forall(_.isDigit))
         .map(_.toLong)
-      if (orphans.nonEmpty)
+      val (adopted, debris) = orphans.partition(n =>
+        hasAdoptionMarker(spark, epochRef(ref, n)))
+      debris.foreach(n => dropTable(spark, epochRef(ref, n)))
+      if (adopted.nonEmpty)
         spark.sql(s"CREATE VIEW ${ref.qualified} AS " +
-          s"SELECT * FROM ${epochRef(ref, orphans.max).qualified}")
+          s"SELECT * FROM ${epochRef(ref, adopted.max).qualified}")
     }
     val next = currentEpoch(spark, ref).map(_ + 1).getOrElse(0L)
     write(epochRef(ref, next))
@@ -182,6 +211,35 @@ object CatalogOps {
           "past the retain window or never published; size `retain` to " +
           "the slowest pinned run")
     spark.table(e.qualified)
+  }
+
+  /** BIT-EXACT snapshot pin for a catalog epoch-view index — the
+    * [[EpochDir.pinSnapshot]] twin: runs `publishRun` (an OPTIMIZE that
+    * ends in [[publishEpoch]] of this ref, e.g.
+    * [[graft.operators.Dedup.compactBandIndex]]) under the writer lock
+    * and returns the epoch number that was LIVE at entry — now
+    * superseded, hence immutable. Read it back with [[tableAtEpoch]]
+    * for the duration of the pinned run; it survives `retain` further
+    * publishes. A legacy plain-table index pins as the adopted
+    * epoch 0.
+    */
+  def pinSnapshot(spark: SparkSession, ref: TableRef)
+      (publishRun: => Unit): Long =
+      IndexLock.withWriterLock(spark, ref.qualified) {
+    val pre: Option[Long] =
+      if (!tableExists(spark, ref)) None
+      else if (isLegacyTable(spark, ref)) Some(-1L) // adopts as epoch 0
+      else currentEpoch(spark, ref)
+    require(pre.isDefined,
+      s"pinSnapshot: index ${ref.qualified} does not exist — nothing to pin")
+    publishRun
+    val pin = if (pre.get == -1L) 0L else pre.get
+    val now = currentEpoch(spark, ref)
+    require(now.exists(_ > pin),
+      s"pinSnapshot: publishRun did not publish a new epoch of " +
+        s"${ref.qualified} (live ${now.orNull} after, pin $pin) — pass " +
+        "an OPTIMIZE that calls publishEpoch on this index")
+    pin
   }
 
   /** Tear down an epoch-view index: the view and every epoch table. */

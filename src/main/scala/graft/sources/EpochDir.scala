@@ -109,8 +109,9 @@ object EpochDir {
     * batch growth until the next publish (the same pre-/post-append
     * ambiguity any reader has). For bit-exact replay, publish
     * (OPTIMIZE) at snapshot boundaries: every retired epoch is then
-    * immutable. Fails loud when the epoch was purged or never
-    * committed, naming the window fix.
+    * immutable — [[pinSnapshot]] packages exactly that and returns the
+    * frozen epoch number. Fails loud when the epoch was purged or
+    * never committed, naming the window fix.
     */
   def at(spark: SparkSession, base: String, epoch: Long): String = {
     val cs = committed(spark, base)
@@ -142,6 +143,38 @@ object EpochDir {
             "aborting adoption before any new epoch publishes")
       }
     }
+  }
+
+  /** BIT-EXACT snapshot pin: runs `publishRun` (any OPTIMIZE that ends
+    * in a [[publish]] of this base — e.g.
+    * [[graft.operators.Similarity.compactIvfPqIndex]]) under the
+    * writer lock and returns the epoch number that was LIVE at entry —
+    * now SUPERSEDED, hence immutable. This closes the [[at]] caveat:
+    * appends mutate the live epoch, so a pin taken on it sees batch
+    * growth; a pin taken through here is frozen, because any
+    * concurrent append either completed before the lock (included in
+    * the pinned epoch AND the new one) or serializes after the publish
+    * (lands only in the new live epoch). Cost is one compaction —
+    * which the OPTIMIZE cadence owes anyway; run pins at snapshot
+    * boundaries (training-run starts) and the retired epoch doubles
+    * as the run's reproducible corpus for `retain` further publishes
+    * (size `retain` to the longest pinned run). A legacy flat index
+    * pins as the adopted epoch 0.
+    */
+  def pinSnapshot(spark: SparkSession, base: String)
+      (publishRun: => Unit): Long = IndexLock.withWriterLock(spark, base) {
+    val pre = committed(spark, base).lastOption.map(_._1)
+    require(pre.isDefined || legacyFlat(spark, base),
+      s"pinSnapshot: no committed epoch or legacy index under $base — " +
+        "nothing to pin")
+    publishRun
+    val pin = pre.getOrElse(0L) // legacy flat adopts as epoch 0
+    val now = committed(spark, base).lastOption.map(_._1)
+    require(now.exists(_ > pin),
+      s"pinSnapshot: publishRun did not publish a new epoch under " +
+        s"$base (live ${now.orNull} after, pin $pin) — pass an OPTIMIZE " +
+        "that calls EpochDir.publish on this base")
+    pin
   }
 
   /** Write a new epoch via `write(targetPath)` (the write must finish

@@ -59,12 +59,35 @@ object IndexLock {
     f"${slug}_${key.hashCode & 0x7fffffff}%08x"
   }
 
-  /** Run `body` as the sole writer of the index identified by `key`.
-    * Reentrant within a thread; throws IllegalStateException on
-    * acquire timeout (a stuck or runaway peer writer — fail loud, the
-    * migration-lock stance).
+  /** Canonical lock identity: LOCK IDENTITY IS PHYSICAL, not the
+    * caller's spelling. A dir-backed key (anything path-shaped — it
+    * contains a separator or URI scheme) qualifies through the Hadoop
+    * filesystem (`makeQualified`: scheme + authority + absolute path),
+    * so `idx`, `./idx`, `/abs/idx`, and `file:/abs/idx` all hash to
+    * ONE lock file; a catalog key (`db.table`) lower-cases, matching
+    * Spark's case-insensitive catalog resolution. Without this, two
+    * writers addressing the same physical index via different
+    * spellings would each hold "the" lock — re-admitting the
+    * append-lost-during-compaction corruption the lock exists to
+    * exclude. The reentrancy set keys on the canonical form too, so a
+    * nested acquire under a different spelling is recognized instead
+    * of flock-deadlocking against itself.
     */
-  def withWriterLock[A](spark: SparkSession, key: String)(body: => A): A = {
+  private[sources] def canonicalKey(spark: SparkSession, key: String): String =
+    if (key.contains("/") || key.contains(":")) {
+      val p = new org.apache.hadoop.fs.Path(key)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.makeQualified(p).toString
+    } else key.toLowerCase(java.util.Locale.ROOT)
+
+  /** Run `body` as the sole writer of the index identified by `key`
+    * (canonicalized — see [[canonicalKey]]: spelling variants of one
+    * physical index share one lock). Reentrant within a thread; throws
+    * IllegalStateException on acquire timeout (a stuck or runaway peer
+    * writer — fail loud, the migration-lock stance).
+    */
+  def withWriterLock[A](spark: SparkSession, rawKey: String)(body: => A): A = {
+    val key = canonicalKey(spark, rawKey)
     val h = held.get()
     if (h.contains(key)) body
     else {

@@ -24,7 +24,7 @@ package graft.sources
   */
 object Scratch {
 
-  private val nonce: String =
+  private[sources] val nonce: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   private def root: String =
@@ -88,4 +88,65 @@ object Scratch {
     */
   def dir(tag: String, key: String): String =
     track(new java.io.File(root, name(tag, key)).toString)
+
+  // --- Age-based vacuum of leaked scratch ----------------------------
+  //
+  // The shutdown hook cleans this JVM's scratch, but a crashed/killed
+  // process leaves its nonce's dirs behind forever — at 100 TB leaked
+  // staging is real storage money. [[vacuum]] sweeps a scratch root
+  // for entries matching the NAMING CONTRACT above that are older than
+  // a retention age. The contract is the safety boundary: only names
+  // of the exact `graft_<tag>_<16-hex>_<12-hex>` shape are candidates,
+  // so user data, live standing indexes, and warehouse tables (none of
+  // which are ever named by [[name]]) can never match. Two further
+  // guards: entries carrying THIS JVM's nonce are skipped (they are
+  // live for this process and die with it), and an entry that somehow
+  // contains a committed epoch directory (`e<N>/_SUCCESS` — a standing
+  // index misplaced under a scratch name) is skipped loudly rather
+  // than swept. Dry-run is the default; deletion is opt-in.
+
+  /** The [[name]] contract as a matcher (tag may itself contain
+    * underscores, so anchor on the two trailing hex groups).
+    */
+  private val ScratchName = "^graft_.+_[0-9a-f]{16}_[0-9a-f]{12}$".r
+
+  private val EpochChild = "^e\\d+$".r
+
+  /** One vacuum verdict: `action` ∈ deleted | would_delete |
+    * kept_young | skipped_live_nonce | skipped_epoch_index.
+    */
+  final case class VacuumEntry(path: String, ageHours: Double, action: String)
+
+  private def containsCommittedEpoch(f: java.io.File): Boolean = {
+    val kids = Option(f.listFiles()).getOrElse(Array.empty)
+    kids.exists(k => k.isDirectory &&
+      EpochChild.findFirstIn(k.getName).isDefined &&
+      new java.io.File(k, "_SUCCESS").exists())
+  }
+
+  /** Sweep `rootDir` for expired scratch entries. Returns one verdict
+    * per matching entry; deletes only when `apply` AND the entry is
+    * older than `olderThanHours` (by directory mtime — every write
+    * into a dir refreshes it) AND neither guard fires. Non-matching
+    * names are not even listed: the naming contract, not a heuristic,
+    * decides what is scratch.
+    */
+  def vacuum(rootDir: String, olderThanHours: Double, apply: Boolean,
+      nowMs: Long = System.currentTimeMillis()): Seq[VacuumEntry] = {
+    require(olderThanHours >= 0, "olderThanHours must be >= 0")
+    val entries = Option(new java.io.File(rootDir).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => ScratchName.findFirstIn(f.getName).isDefined)
+      .sortBy(_.getName)
+    entries.map { f =>
+      val age = (nowMs - f.lastModified()) / 3600.0e3
+      val action =
+        if (f.getName.endsWith(s"_$nonce")) "skipped_live_nonce"
+        else if (containsCommittedEpoch(f)) "skipped_epoch_index"
+        else if (age < olderThanHours) "kept_young"
+        else if (!apply) "would_delete"
+        else { rm(f); "deleted" }
+      VacuumEntry(f.toString, age, action)
+    }
+  }
 }

@@ -398,6 +398,17 @@ object DocStreams {
     * corpus baseline and is dropped here. Stateless per batch: a
     * batch's verdicts depend only on its own rows + the frozen
     * baseline, so replay re-derives identical findings.
+    *
+    * Delivery contract: EXACTLY-ONCE by idempotence — the same
+    * `_batch=<id>` dynamic-partition-overwrite recipe as
+    * [[ingestIvfPq]]. Each micro-batch lands its findings under its
+    * own `_batch` leaf, so a batch REPLAYED after a crash between the
+    * parquet write and the checkpoint commit OVERWRITES its own leaf
+    * with the identical re-derived rows instead of appending duplicate
+    * alerts (a plain append would double that batch's findings on
+    * replay). A replayed batch with ZERO findings is a no-op either
+    * way — dynamic overwrite with no partitions deletes nothing, and
+    * a healthy batch never wrote a leaf to begin with.
     */
   def dqDriftMonitor(stream: DataFrame,
       baseline: Seq[graft.operators.DataQuality.ColumnProfile],
@@ -415,7 +426,11 @@ object DocStreams {
           .map(d => (batchId, d.column, d.metric, d.baseline, d.current))
         findings
           .toDF("batch_id", "column", "metric", "baseline", "current")
-          .write.mode("append").parquet(outDir)
+          .withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch")
+          .parquet(outDir)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -118,4 +118,50 @@ class DataQualitySpec extends SparkFunSuite {
     assert(p.map(_.getString(0)).toSet == docs.columns.toSet)
     assert(p.forall(_.getDouble(3) == 1.0)) // synthetic data has no nulls
   }
+
+  test("PSI catches a same-bounds same-cardinality shape shift the profile rules miss") {
+    val s = spark
+    import s.implicits._
+    // baseline: score uniform over the integer grid 0..999, each value
+    // 10 times (10 000 rows).
+    val base = (0 until 10000).map(i => (i.toLong, (i % 1000).toDouble))
+      .toDF("id", "score")
+    // current: the EXACT SAME distinct-value set (so the HLL estimate
+    // is bit-identical — cardinality rule provably silent), same
+    // bounds, same row count, but 91% of the mass collapsed into the
+    // top decile: 0..899 once each, 900..999 ninety-one times each.
+    val shifted = ((0 until 900).map(_.toDouble) ++
+      (0 until 9100).map(j => (900 + j % 100).toDouble))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "score")
+    // the existing gate provably misses it…
+    val bProf = DataQuality.collectProfile(base)
+    val cProf = DataQuality.collectProfile(shifted)
+    val missed = DataQuality.drift(bProf, cProf, tolerance = 0.1)
+      .filter(_.column == "score")
+    assert(missed.isEmpty,
+      s"bounds/cardinality/completeness must NOT fire here: $missed")
+    // …and the PSI rule flags it
+    val hists = DataQuality.collectHistograms(base, Seq("score"), bins = 10)
+    assert(hists.map(_.column) == Seq("score"))
+    assert(hists.head.counts.sum == 10000L && hists.head.lo == 0.0 &&
+      hists.head.hi == 999.0)
+    val findings = DataQuality.psiDrift(hists, shifted, threshold = 0.2)
+    assert(findings.map(d => (d.column, d.metric)) == Seq(("score", "psi")),
+      s"the collapse must flag as psi drift: $findings")
+    assert(findings.head.current.toDouble > 1.0,
+      s"a 90%-mass collapse is a large PSI: ${findings.head.current}")
+    // an unshifted current is quiet
+    assert(DataQuality.psiDrift(hists, base, threshold = 0.2).isEmpty)
+    // and the pure fold agrees with the query face on a known vector
+    assert(math.abs(DataQuality.psi(Seq(500L, 500L), Seq(500L, 500L))) < 1e-12)
+    val queryPsi = DataQuality.psiBetween(base, shifted, "score", bins = 10)
+      .collect().head
+    assert(queryPsi.getAs[Long]("n_base") == 10000L &&
+      queryPsi.getAs[Long]("n_cur") == 10000L)
+    val direct = DataQuality.psi(hists.head.counts,
+      DataQuality.histogramCounts(shifted, hists, 10)("score"))
+    assert(math.abs(queryPsi.getAs[Double]("psi") - direct) < 1e-3,
+      s"query face ${queryPsi.getAs[Double]("psi")} vs fold $direct")
+  }
 }

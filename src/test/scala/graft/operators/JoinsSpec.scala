@@ -360,4 +360,92 @@ class JoinsSpec extends SparkFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("fwd" -> 9L, "bwd" -> 9L), got)
   }
+
+  test("asofNearestJoin allowExactMatches=false: boundary rows match pandas") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    // pandas merge_asof(direction='nearest', allow_exact_matches=False):
+    // a right row AT the left ts is excluded from BOTH scans; the
+    // winner is the nearest among STRICTLY earlier/later rights.
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 500L))
+      .toDF("k", "rts", "rid")
+    val left = Seq(
+      (1L, 10L, "at-first"),   // 10 excluded → nearest is 20 → 200
+      (1L, 20L, "at-second"),  // 20 excluded → nearest is 10 → 100
+      (1L, 14L, "between"),    // no exclusion → d(10)=4 < d(20)=6 → 100
+      (2L, 5L, "only-exact")   // its ONLY right is simultaneous → null
+    ).toDF("k", "lts", "tag")
+    val got = Joins.asofNearestJoin(left, right, Seq("k"),
+      "lts", "rts", Seq("rid"), allowExactMatches = false)
+      .select("tag", "rid_near").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map("at-first" -> 200L, "at-second" -> 100L,
+      "between" -> 100L, "only-exact" -> -1L), got)
+    // and with exact matches allowed the boundary rows flip back
+    val loose = Joins.asofNearestJoin(left, right, Seq("k"),
+      "lts", "rts", Seq("rid"))
+      .select("tag", "rid_near").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(loose("at-first") == 100L && loose("at-second") == 200L &&
+      loose("only-exact") == 500L, loose)
+  }
+
+  test("as-of joins fail loud on internal working-column collisions") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val right = Seq((1L, 10L, 100L)).toDF("k", "ts", "payload")
+    // a left frame already carrying `_payload` would previously be
+    // silently overwritten by the join machinery — now a loud require
+    val dirty = Seq((1L, 12L, "x")).toDF("k", "ts", "_payload")
+    val e1 = intercept[IllegalArgumentException] {
+      Joins.asofJoin(dirty, right, Seq("k"), "ts", "ts", Seq("payload"))
+    }
+    assert(e1.getMessage.contains("_payload"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.asofNearestJoin(
+        Seq((1L, 12L, "x")).toDF("k", "ts", "_fwd"),
+        right, Seq("k"), "ts", "ts", Seq("payload"))
+    }
+    assert(e2.getMessage.contains("_fwd"), e2.getMessage)
+    // output collision: a left column named like a suffixed payload
+    val e3 = intercept[IllegalArgumentException] {
+      Joins.asofJoin(
+        Seq((1L, 12L, 9L)).toDF("k", "ts", "payload_asof"),
+        right, Seq("k"), "ts", "ts", Seq("payload"))
+    }
+    assert(e3.getMessage.contains("payload_asof"), e3.getMessage)
+    // binned joins guard their `_bin` working column the same way
+    val e4 = intercept[IllegalArgumentException] {
+      Joins.binnedRangeJoin(
+        Seq((1.0, 1L)).toDF("p", "_bin"), "p",
+        Seq((0.0, 2.0)).toDF("lo", "hi"), "lo", "hi", binWidth = 1.0)
+    }
+    assert(e4.getMessage.contains("_bin"), e4.getMessage)
+  }
+
+  test("as-of joins reject a non-numeric rightTieBreak instead of degrading") {
+    val s = graft.SparkTestBase.spark
+    import s.implicits._
+    val left = Seq((1L, 12L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 100L, "b"), (1L, 10L, 200L, "a"))
+      .toDF("k", "ts", "payload", "name")
+    // a string tie-break used to cast("long") to null — every tie
+    // silently became arbitrary; now the type is rejected loud
+    val e = intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("payload"),
+        rightTieBreak = Some("name"))
+    }
+    assert(e.getMessage.contains("name") &&
+      e.getMessage.contains("string"), e.getMessage)
+    // numeric, boolean, and timestamp keys all remain accepted
+    val okNum = Joins.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("payload"), rightTieBreak = Some("payload")).collect()
+    assert(okNum.head.getAs[Long]("payload_asof") == 200L)
+    val rightB = Seq((1L, 10L, 100L, false), (1L, 10L, 200L, true))
+      .toDF("k", "ts", "payload", "flag")
+    val okBool = Joins.asofJoin(left, rightB, Seq("k"), "ts", "ts",
+      Seq("payload"), rightTieBreak = Some("flag")).collect()
+    assert(okBool.head.getAs[Long]("payload_asof") == 200L)
+  }
 }

@@ -178,6 +178,87 @@ class SoakSpec extends SparkFunSuite {
     }
   }
 
+  test("pinSnapshot: pinned epoch reads bit-identical WHILE appends land mid-scan") {
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val idxT = graft.model.TableRef("graft_test", "band_idx_pin")
+    try {
+      Dedup.writeBandIndex(docs.filter(col("doc_id") < 300),
+        "doc_id", "text", idxT)
+      Dedup.appendToBandIndex(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 330),
+        "doc_id", "text", idxT)
+      // the pin: one OPTIMIZE at the snapshot boundary; the returned
+      // epoch is the just-RETIRED one — immutable by construction
+      val pin = CatalogOps.pinSnapshot(s, idxT)(
+        Dedup.compactBandIndex(s, idxT, buckets = 8))
+      assert(CatalogOps.currentEpoch(s, idxT).exists(_ > pin))
+      def pinnedRows() = CatalogOps.tableAtEpoch(s, idxT, pin)
+        .collect().toSeq.map(_.toSeq).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val expect = pinnedRows()
+      assert(expect.nonEmpty)
+      // an appender lands waves into the LIVE epoch while a reader
+      // loop re-reads the PINNED epoch — every read must be
+      // bit-identical to the snapshot (this was exactly the documented
+      // caveat: before pinSnapshot, a pin taken on the live epoch saw
+      // batch growth)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val appender = new Thread(() =>
+        try Seq((330L, 360L), (360L, 390L), (390L, 420L)).foreach {
+          case (lo, hi) =>
+            Dedup.appendToBandIndex(
+              docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+              "doc_id", "text", idxT)
+        } catch { case t: Throwable => errs.add(t) })
+      @volatile var stop = false
+      val reads = new java.util.concurrent.atomic.AtomicInteger
+      val reader = new Thread(() =>
+        try while (!stop) {
+          assert(pinnedRows() == expect, "pinned read saw a torn/grown snapshot")
+          reads.incrementAndGet()
+        } catch { case t: Throwable => errs.add(t) })
+      reader.start(); appender.start()
+      appender.join()
+      stop = true; reader.join()
+      assert(errs.isEmpty, s"pinned-read race errored: ${errs.peek()}")
+      assert(reads.get() > 0, "the reader must have read mid-append")
+      assert(pinnedRows() == expect,
+        "pinned epoch changed after the append waves")
+      // the appends ARE visible in the live epoch (the pin froze the
+      // snapshot, not the index)
+      val liveRows = s.table(idxT.qualified).count()
+      assert(liveRows > expect.values.map(_.toLong).sum,
+        s"live epoch must have grown past the pinned snapshot")
+    } finally CatalogOps.dropEpochIndex(s, idxT)
+  }
+
+  test("pinSnapshot (dir-backed): IVFPQ pin frozen across appends; live grows") {
+    val cbooks = Similarity
+      .pqSubvecs(emb.filter(col("vec_id") < 16), 8, 8, "vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("cid"), col("m"),
+        col("sv").as("cv"))
+    val path = tmpDir("ivfpq_pin")
+    Similarity.writeIvfPqIndex(
+      Similarity.pqEncode(emb.filter(col("vec_id") < 300), cbooks),
+      cbooks, path)
+    Similarity.appendToIvfPqIndex(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 350), path)
+    val codes = s"$path/codes"
+    val pin = EpochDir.pinSnapshot(spark, codes)(
+      Similarity.compactIvfPqIndex(spark, path))
+    def pinnedVids() = spark.read.parquet(EpochDir.at(spark, codes, pin))
+      .select("vid").distinct().collect().map(_.getLong(0)).toSet
+    val expect = pinnedVids()
+    assert(expect == (0L until 350L).toSet)
+    Similarity.appendToIvfPqIndex(
+      emb.filter(col("vec_id") >= 350 && col("vec_id") < 400), path)
+    assert(pinnedVids() == expect, "pinned epoch saw the post-pin append")
+    assert(spark.read.parquet(EpochDir.live(spark, codes))
+      .select("vid").distinct().count() == 400L,
+      "live epoch must include the post-pin append")
+  }
+
   /** Drive `cycles` compactions while `search()` loops in another
     * thread; every search result must equal `want` and no search may
     * error. The compactor waits, before each cycle, for every search

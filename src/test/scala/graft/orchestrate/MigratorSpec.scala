@@ -71,6 +71,39 @@ class MigratorSpec extends SparkFunSuite {
     }
   }
 
+  test("view projecting away the partition column: key derives from the BASE schema (ADVICE r18)") {
+    val (dir, _, mig) = freshEnv()
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    try {
+      lineitem.write.mode("overwrite").saveAsTable("graft_test.li_proj")
+      // the view drops l_shipdate — keying off the VIEW's schema would
+      // silently degrade `month:l_shipdate` to the single-partition
+      // fallback even though the base table (what migration actually
+      // copies) has the column. The CLI now resolves FIRST and keys off
+      // the base schema; this is that contract.
+      s.sql("CREATE OR REPLACE VIEW graft_test.li_proj_view AS " +
+        "SELECT l_orderkey, l_quantity FROM graft_test.li_proj")
+      val viewRef = TableRef("graft_test", "li_proj_view")
+      val baseRef = graft.sources.CatalogOps.resolveToBaseTable(s, viewRef)
+      assert(baseRef == TableRef("graft_test", "li_proj"))
+      // the CLI's keyFor against the view would have fallen back
+      assert(!s.table(viewRef.qualified).columns.contains("l_shipdate"))
+      assert(s.table(baseRef.qualified).columns.contains("l_shipdate"))
+      val dest = s"$dir/dest/li_proj"
+      val res = mig.migrateCatalogTable(viewRef, keys, keyExprs, dest)
+      assert(res.status == TableStatus.Completed, res.error)
+      assert(res.totalPartitions > 1,
+        s"base-schema key must yield real partitions, got " +
+          s"${res.totalPartitions} — the view-schema fallback would be 1")
+      val back = spark.read.option("basePath", dest).parquet(dest)
+      assert(back.columns.contains("l_month") && back.count() == lineitem.count())
+    } finally {
+      s.sql("DROP VIEW IF EXISTS graft_test.li_proj_view")
+      s.sql("DROP TABLE IF EXISTS graft_test.li_proj")
+    }
+  }
+
   test("incremental resync: only drifted partitions re-copied, dest converges") {
     val (dir, _, mig) = freshEnv()
     val dest = s"$dir/dest/lineitem"
@@ -417,6 +450,50 @@ class MigratorSpec extends SparkFunSuite {
         when(col("id") % 2 === 0, lit(null)).otherwise(lit(-500.0)))
     drifted.write.parquet(s"$dir/t2.parquet")
     assert(run(s"$dir/t2.parquet", Map("baseline" -> baseline), 3L) == 1)
+  }
+
+  test("dq PSI gate: histogram baseline catches a shape collapse the profile rules pass") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("dqpsi")
+    val reports = s"$dir/reports"
+    def run(path: String, extra: Map[String, String], at: Long): Int =
+      graft.MigrateCli.runDq(s,
+        Map("report-dir" -> reports) ++ extra,
+        graft.model.MigrationConfig(mode = "dq", sourcePath = path), at)
+
+    val base = (0 until 1000).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "score")
+    base.write.parquet(s"$dir/b.parquet")
+    // --psi-cols records the 10-bin histogram in the report
+    assert(run(s"$dir/b.parquet", Map("psi-cols" -> "score"), 1L) == 0)
+    val baseline = s"$reports/dq_report_1.json"
+    val baselineText = Files.readString(Paths.get(baseline))
+    assert(baselineText.contains("\"hist\"") &&
+      baselineText.contains("\"counts\""), baselineText.take(400))
+
+    // same distribution re-gated: quiet
+    assert(run(s"$dir/b.parquet", Map("baseline" -> baseline), 2L) == 0)
+
+    // shape collapse with IDENTICAL bounds, count, and cardinality —
+    // invisible to every profile rule, exit 1 only via the PSI rule
+    val collapsed = (0 until 1000).map { i =>
+      val v = if (i == 0) 0.0
+        else if (i == 999) 999.0
+        else 900.0 + (i % 99) + i / 1000.0
+      (i.toLong, v)
+    }.toDF("id", "score")
+    collapsed.write.parquet(s"$dir/c.parquet")
+    // drift-tolerance 1 silences the profile rules outright (nothing
+    // can exceed a 100% tolerance here), so these two runs isolate the
+    // PSI rule: exit 1 with the default threshold, exit 0 with a
+    // sky-high one
+    assert(run(s"$dir/c.parquet",
+      Map("baseline" -> baseline, "drift-tolerance" -> "1"), 3L) == 1,
+      "the PSI rule must fail the gate on a shape collapse")
+    assert(run(s"$dir/c.parquet",
+      Map("baseline" -> baseline, "drift-tolerance" -> "1",
+        "psi-threshold" -> "1000"), 4L) == 0)
   }
 
   test("report JSON carries reference field names") {

@@ -183,10 +183,13 @@ class CatalogOpsSpec extends SparkFunSuite {
     try {
       CatalogOps.dropEpochIndex(s, ref)
       // simulate a crash between renameTable(ref -> __e0) and CREATE
-      // VIEW during legacy adoption: the epoch table exists, the base
-      // name is bound to NOTHING
+      // VIEW during legacy adoption: the epoch table exists (carrying
+      // the adoption marker the rename path stamps BEFORE renaming),
+      // the base name is bound to NOTHING
       Seq((1L, "adopted")).toDF("k", "v")
         .write.saveAsTable(CatalogOps.epochRef(ref, 0).qualified)
+      s.sql(s"ALTER TABLE ${CatalogOps.epochRef(ref, 0).qualified} " +
+        "SET TBLPROPERTIES ('graft.epoch.adopted'='true')")
       assert(!CatalogOps.tableExists(s, ref))
       // the next publish must detect the orphan, rebind the view over
       // it, and publish as __e1 — NOT compute next=0 and overwrite the
@@ -199,6 +202,30 @@ class CatalogOpsSpec extends SparkFunSuite {
       assert(s.table(CatalogOps.epochRef(ref, 0).qualified)
         .as[(Long, String)].collect().toSeq == Seq((1L, "adopted")),
         "the orphaned adoption must survive as the grace epoch")
+    } finally CatalogOps.dropEpochIndex(s, ref)
+  }
+
+  test("epoch views: UNMARKED orphan debris is dropped, never rebound live (ADVICE r18)") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val ref = TableRef("graft_test", "epoch_debris")
+    try {
+      CatalogOps.dropEpochIndex(s, ref)
+      // a first-epoch saveAsTable that died before CREATE VIEW leaves
+      // an orphan __e0 WITHOUT the adoption marker — possibly partial
+      // data. Recovery must NOT rebind the view over it (which would
+      // publish torn data live); it drops the debris and the publish
+      // writes epoch 0 fresh.
+      Seq((1L, "torn")).toDF("k", "v")
+        .write.saveAsTable(CatalogOps.epochRef(ref, 0).qualified)
+      assert(!CatalogOps.tableExists(s, ref))
+      CatalogOps.publishEpoch(s, ref)(t =>
+        Seq((2L, "fresh")).toDF("k", "v").write.saveAsTable(t.qualified))
+      assert(CatalogOps.currentEpoch(s, ref).contains(0L),
+        "debris must not advance the epoch counter")
+      assert(s.table(ref.qualified).as[(Long, String)].collect().toSeq ==
+        Seq((2L, "fresh")), "the torn write must never be served")
     } finally CatalogOps.dropEpochIndex(s, ref)
   }
 

@@ -43,4 +43,31 @@ class IndexLockSpec extends SparkFunSuite {
     }
     assert((System.nanoTime() - t0) < 60e9)
   }
+
+  test("lock identity is physical: spelling variants share one lock (ADVICE r18)") {
+    val s = spark
+    val dir = tmpDir("ilk_canon")
+    // the same physical index dir addressed four ways must hash to ONE
+    // canonical key — different spellings previously got different
+    // lock files, so two writers could both hold 'the' lock
+    val abs = IndexLock.canonicalKey(s, dir)
+    assert(IndexLock.canonicalKey(s, s"file:$dir") == abs, s"file: URI: $abs")
+    assert(IndexLock.canonicalKey(s, dir + "/sub") != abs,
+      "distinct subpath keys must remain distinct")
+    // relative spelling of a path under the CWD qualifies to the same
+    // absolute identity as the absolute spelling
+    val cwd = new java.io.File(".").getCanonicalPath
+    val rel = "ilk_rel_probe/sub"
+    assert(IndexLock.canonicalKey(s, rel) ==
+      IndexLock.canonicalKey(s, s"$cwd/$rel"))
+    // catalog keys are case-insensitive, matching Spark's resolution
+    assert(IndexLock.canonicalKey(s, "graft_test.Band_IDX") ==
+      IndexLock.canonicalKey(s, "graft_test.band_idx"))
+    // and the reentrancy set recognizes a nested acquire under a
+    // DIFFERENT spelling — this would flock-deadlock if the two
+    // spellings mapped to one file but distinct reentrancy keys
+    IndexLock.withWriterLock(s, dir) {
+      IndexLock.withWriterLock(s, s"file:$dir") { () }
+    }
+  }
 }

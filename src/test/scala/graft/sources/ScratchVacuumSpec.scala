@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkFunSuite
+
+/** Age-based vacuum of leaked scratch: the naming contract is the
+  * safety boundary — only `graft_<tag>_<16hex>_<12hex>` entries are
+  * candidates, and the live-nonce / epoch-index guards keep anything a
+  * running process or a standing index depends on untouched. Dry-run
+  * by default, deletion opt-in (the CLI `--apply true` stance).
+  */
+class ScratchVacuumSpec extends SparkFunSuite {
+
+  private val Hash = "0123456789abcdef"
+  private val DeadNonce = "deadbeef0000"
+
+  private def mk(root: String, name: String,
+      ageHours: Double = 0.0): java.io.File = {
+    val f = new java.io.File(root, name)
+    f.mkdirs()
+    Files.writeString(Paths.get(f.toString, "part-00000.parquet"), "x")
+    val ts = System.currentTimeMillis() - (ageHours * 3600e3).toLong
+    f.listFiles().foreach(_.setLastModified(ts))
+    assert(f.setLastModified(ts))
+    f
+  }
+
+  test("vacuum: naming contract bounds the sweep; age gates; dry-run never deletes") {
+    val root = tmpDir("vac_root")
+    val old = mk(root, s"graft_qrec_edges_${Hash}_$DeadNonce", ageHours = 48)
+    val young = mk(root, s"graft_stage_${Hash}_$DeadNonce", ageHours = 1)
+    val user = mk(root, "my_precious_data", ageHours = 500)
+    val index = mk(root, "band_index_live", ageHours = 500)
+
+    // dry run: the old entry is reported, nothing is deleted
+    val dry = Scratch.vacuum(root, olderThanHours = 24, apply = false)
+    assert(dry.map(e => (new java.io.File(e.path).getName, e.action)).toSet
+      == Set(old.getName -> "would_delete", young.getName -> "kept_young"),
+      dry.toString)
+    assert(old.exists() && young.exists() && user.exists() && index.exists())
+
+    // apply: ONLY the expired contract-named entry goes
+    val applied = Scratch.vacuum(root, olderThanHours = 24, apply = true)
+    assert(applied.map(e =>
+      (new java.io.File(e.path).getName, e.action)).toSet
+      == Set(old.getName -> "deleted", young.getName -> "kept_young"))
+    assert(!old.exists(), "expired scratch must be deleted")
+    assert(young.exists() && user.exists() && index.exists(),
+      "young scratch and non-matching names must survive")
+  }
+
+  test("vacuum guards: own-nonce scratch and epoch-shaped entries are skipped") {
+    val root = tmpDir("vac_guard")
+    // this JVM's own scratch — live for this process, never swept even
+    // when its mtime looks ancient
+    val own = mk(root, s"graft_mine_${Hash}_${Scratch.nonce}", ageHours = 999)
+    // a committed epoch layout misplaced under a scratch-shaped name —
+    // a standing index someone parked in tmp; skip loudly, never sweep
+    val epochy = new java.io.File(root, s"graft_idx_${Hash}_$DeadNonce")
+    val e0 = new java.io.File(epochy, "e0")
+    e0.mkdirs()
+    Files.writeString(Paths.get(e0.toString, "_SUCCESS"), "")
+    Files.writeString(Paths.get(e0.toString, "part-00000.parquet"), "x")
+    val ts = System.currentTimeMillis() - (999 * 3600e3).toLong
+    epochy.setLastModified(ts)
+
+    val got = Scratch.vacuum(root, olderThanHours = 24, apply = true)
+      .map(e => (new java.io.File(e.path).getName, e.action)).toMap
+    assert(got(own.getName) == "skipped_live_nonce", got.toString)
+    assert(got(epochy.getName) == "skipped_epoch_index", got.toString)
+    assert(own.exists() && new java.io.File(e0, "_SUCCESS").exists())
+  }
+
+  test("vacuum via the CLI body: report written, exit 0, strict --apply parse") {
+    val root = tmpDir("vac_cli")
+    val old = mk(root, s"graft_bench_${Hash}_$DeadNonce", ageHours = 48)
+    val reports = tmpDir("vac_reports")
+    val cfg = graft.model.MigrationConfig(
+      mode = "vacuum", sourcePath = root)
+    assert(graft.MigrateCli.runVacuum(
+      Map("report-dir" -> reports, "age-hours" -> "24"), cfg) == 0)
+    assert(old.exists(), "dry-run must not delete")
+    val report = new java.io.File(reports).listFiles()
+      .filter(_.getName.startsWith("vacuum_report_")).maxBy(_.getName)
+    val txt = Files.readString(report.toPath)
+    assert(txt.contains("would_delete") && txt.contains(old.getName))
+    assert(graft.MigrateCli.runVacuum(
+      Map("report-dir" -> reports, "age-hours" -> "24",
+        "apply" -> "true"), cfg) == 0)
+    assert(!old.exists(), "--apply true must delete")
+    intercept[IllegalArgumentException] {
+      graft.MigrateCli.runVacuum(
+        Map("report-dir" -> reports, "apply" -> "yes"), cfg)
+    }
+  }
+}

@@ -513,4 +513,61 @@ class DocStreamsSpec extends SparkFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(byBatch.size == 1, s"only the drifted batch may flag: $byBatch")
   }
+
+  test("streaming dq drift monitor: forced replay leaves zero duplicate findings") {
+    val s = spark
+    val streamDir = tmpDir("dqr_stream")
+    val outDir = tmpDir("dqr_out")
+    val ckpt = tmpDir("dqr_ckpt")
+    val baseline = graft.operators.DataQuality.collectProfile(docs)
+    // one healthy wave, one drifted wave, one file per micro-batch —
+    // the replayed batch must be one that actually WROTE findings
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val staged = tmpDir(s"dqr_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(streamDir, s"$name.parquet"))
+    }
+    stage(docs.filter(col("doc_id") >= 250 && col("doc_id") < 400), "wave1")
+    stage(docs.filter(col("doc_id") >= 400)
+      .withColumn("lang",
+        when(col("doc_id") % 2 === 0, lit(null)).otherwise(col("lang"))),
+      "wave2")
+    def run(): Unit = DocStreams.dqDriftMonitor(
+      s.readStream.schema(DocStreams.docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir),
+      baseline, tolerance = 0.1, outDir, ckpt)
+    run()
+    val before = s.read.parquet(outDir)
+      .select("batch_id", "column", "metric", "baseline", "current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(before.nonEmpty, "the drifted wave must have written findings")
+    // crash between the parquet write and the checkpoint commit: the
+    // findings landed but the commit marker is gone — Spark replays
+    // the last batch against an outDir already holding its rows. The
+    // _batch dynamic overwrite must leave the findings table
+    // bit-identical, never doubled (the old plain append duplicated
+    // that batch's alerts here).
+    val ckptFs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val lastCommit = new org.apache.hadoop.fs.Path(s"$ckpt/commits/1")
+    assert(ckptFs.exists(lastCommit), s"no commit marker at $lastCommit")
+    assert(ckptFs.delete(lastCommit, false))
+    run()
+    val after = s.read.parquet(outDir)
+      .select("batch_id", "column", "metric", "baseline", "current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(after.sorted == before.sorted,
+      s"replay changed the findings table: before=$before after=$after")
+    val dups = s.read.parquet(outDir)
+      .groupBy("batch_id", "column", "metric")
+      .count().filter(col("count") > 1).count()
+    assert(dups == 0L, s"replayed batch left $dups duplicate findings rows")
+  }
 }
