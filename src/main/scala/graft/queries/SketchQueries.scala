@@ -505,6 +505,37 @@ object SketchQueries {
         .orderBy("event_id")
     }),
 
+    // STRICT NEAREST as-of join (merge_asof direction='nearest',
+    // allow_exact_matches=False — the last cell of the pandas as-of
+    // matrix): every event picks up the user's closest signup at a
+    // DIFFERENT instant — a simultaneous signup must not claim its own
+    // event (self-attribution guard), ties to the earlier side. Spark:
+    // the same two-directional union-window composition with the tag
+    // order flipped in BOTH scans (Joins.asofNearestJoin
+    // allowExactMatches=false — r19 surface) — zero extra cost; the
+    // oracle is the naive per-event argmin over a LEFT join that
+    // excludes equal timestamps.
+    "j_asof_nearest_strict" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("event_id")) // dedupe simultaneous
+      Joins.asofNearestJoin(
+        left = ev.select("event_id", "user_id", "ts"),
+        right = signups,
+        keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id", "ts"),
+        allowExactMatches = false)
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          coalesce(col("event_id_near"), lit(-1L)).as("signup_id"),
+          coalesce(date_format(col("ts_near"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            lit("none")).as("signup_ts_s"))
+        .orderBy("event_id")
+    }),
+
     // Binned RANGE JOIN, the big×big interval-containment case: which
     // customers' entry-price bands ([cheapest order, +1000]) contain
     // each order's price — BOTH sides grow with the corpus, so neither
@@ -872,6 +903,20 @@ object SketchQueries {
         |    row_number() OVER (PARTITION BY e.event_id
         |      ORDER BY abs(epoch(e.ts) - epoch(su.ts)), su.ts) AS rn
         |  FROM events e LEFT JOIN su ON e.user_id = su.user_id)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  COALESCE(sid, -1) AS signup_id,
+        |  COALESCE(strftime(sts, '%Y-%m-%d %H:%M:%S.%f'), 'none')
+        |    AS signup_ts_s
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "j_asof_nearest_strict" ->
+      """WITH su AS (SELECT user_id, ts, max(event_id) AS sid
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |j AS (SELECT e.event_id, e.user_id, e.ts, su.sid, su.ts AS sts,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(epoch(e.ts) - epoch(su.ts)), su.ts) AS rn
+        |  FROM events e LEFT JOIN su
+        |    ON e.user_id = su.user_id AND su.ts <> e.ts)
         |SELECT event_id, user_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
         |  COALESCE(sid, -1) AS signup_id,

@@ -275,6 +275,15 @@ class PlanShapeSpec extends SparkFunSuite {
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
         s"$n must stay join-free (union-window composition):\n$p")
     }
+    // same claim for the nearest pair: strict-nearest is the identical
+    // two-scan composition with only the tag sort order flipped
+    val nearBase = shape("j_asof_nearest")
+    assert(shape("j_asof_nearest_strict") == nearBase,
+      s"strict-nearest changed the exchange/window shape: " +
+        s"${shape("j_asof_nearest_strict")} vs $nearBase")
+    val pns = plan("j_asof_nearest_strict")
+    assert(!pns.contains("SortMergeJoin") && !pns.contains("CartesianProduct"),
+      s"j_asof_nearest_strict must stay join-free:\n$pns")
   }
 
   test("j_range_binned: no multi-distinct Expand over the 4.5M-pair join output") {
