@@ -286,6 +286,19 @@ class PlanShapeSpec extends SparkFunSuite {
       s"j_asof_nearest_strict must stay join-free:\n$pns")
   }
 
+  test("a_dq_psi: type filter pushed to both scans; bin counts map-combine; no cartesian") {
+    val p = plan("a_dq_psi")
+    // each side's event_type equality must reach the parquet scan —
+    // at 100 TB the PSI pass reads only the compared slices
+    assert("EqualTo\\(event_type,(view|purchase)\\)".r
+      .findAllIn(p).nonEmpty, p)
+    // the per-bucket counts must partial-aggregate BEFORE their
+    // exchange: only ≤ bins rows per side ever cross the wire
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    // 1-row bounds/totals ride broadcast joins, never a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("j_range_binned: no multi-distinct Expand over the 4.5M-pair join output") {
     // two exact distincts over different keys would triple the binned
     // join's output through one shuffle; the two-level chain + sibling
