@@ -56,10 +56,12 @@ import graft.resume.Checkpoint
   * max-PageRank member of each near-dup cluster instead of the
   * minimum id — dedup-cluster centrality as the keep choice), and
   * `vacuum` (age-based sweep of leaked scratch under the `--source`
-  * root(s), comma-separated; `--age-hours 24` sets the retention,
-  * DRY-RUN unless `--apply true`. Only entries matching the Scratch
-  * naming contract are candidates — live indexes, epochs, and user
-  * data can never match; see [[graft.sources.Scratch.vacuum]]).
+  * root(s), comma-separated — filesystem dirs, or `catalog:<db>` for
+  * leaked scratch TABLES in a scratch database; `--age-hours 24` sets
+  * the retention, DRY-RUN unless `--apply true`. Only entries matching
+  * the Scratch naming contract are candidates — live indexes, epochs,
+  * and user data can never match; see [[graft.sources.Scratch.vacuum]]
+  * / [[graft.sources.Scratch.vacuumCatalog]]).
   */
 object MigrateCli {
 
@@ -177,7 +179,9 @@ object MigrateCli {
     * scratch root is a finding, not an error.
     */
   private[graft] def runVacuum(args: Map[String, String],
-      cfg: graft.model.MigrationConfig): Int = {
+      cfg: graft.model.MigrationConfig,
+      sparkFor: () => SparkSession = () => throw new IllegalStateException(
+        "catalog: vacuum roots need a SparkSession factory")): Int = {
     val age = args.get("age-hours").map(_.toDouble).getOrElse(24.0)
     val apply = args.get("apply") match {
       case None | Some("false") => false
@@ -185,9 +189,18 @@ object MigrateCli {
       case Some(other) => throw new IllegalArgumentException(
         s"--apply expects 'true' or 'false', got '$other'")
     }
+    // a `catalog:<db>` root sweeps leaked scratch TABLES (the
+    // graft_scratch convention) instead of a filesystem dir; the
+    // session is built lazily so pure-FS sweeps stay Spark-free
+    lazy val sess = sparkFor()
     val entries = cfg.sourcePath.split(",").toSeq.map(_.trim)
       .filter(_.nonEmpty)
-      .flatMap(root => graft.sources.Scratch.vacuum(root, age, apply))
+      .flatMap { root =>
+        if (root.startsWith("catalog:"))
+          graft.sources.Scratch.vacuumCatalog(
+            sess, root.stripPrefix("catalog:"), age, apply)
+        else graft.sources.Scratch.vacuum(root, age, apply)
+      }
     entries.foreach(e => println(f"[graft] vacuum ${e.action}%-20s " +
       f"age=${e.ageHours}%.1fh ${e.path}"))
     val body = entries.map { e =>
@@ -214,15 +227,25 @@ object MigrateCli {
       require(cfg.destPath.nonEmpty, "--dest is required")
 
     if (cfg.mode == "vacuum") {
-      // Pure-filesystem mode — no SparkSession: sweep the scratch
-      // root(s) in --source (comma-separated) for leaked entries older
-      // than --age-hours (default 24). DRY-RUN by default; only the
-      // literal `--apply true` deletes (the --drop-orphans stance).
-      // Safety lives in the Scratch NAMING CONTRACT (see
+      // Sweep the scratch root(s) in --source (comma-separated; a
+      // `catalog:<db>` root sweeps leaked scratch tables) for entries
+      // older than --age-hours (default 24). DRY-RUN by default; only
+      // the literal `--apply true` deletes (the --drop-orphans
+      // stance). Safety lives in the Scratch NAMING CONTRACT (see
       // Scratch.vacuum): live indexes/epochs and user data can never
       // match, this JVM's own scratch and epoch-shaped entries are
-      // skipped even if named like scratch.
-      val code = runVacuum(args, cfg)
+      // skipped even if named like scratch. The SparkSession is built
+      // only if a catalog root needs it.
+      var created: SparkSession = null
+      val code = try runVacuum(args, cfg, () => {
+        created = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+          .appName("graft-vacuum")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        created.sparkContext.setLogLevel("WARN")
+        created
+      }) finally if (created != null) created.stop()
       if (code != 0) sys.exit(code)
       return
     }

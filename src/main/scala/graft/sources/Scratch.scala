@@ -124,6 +124,58 @@ object Scratch {
       new java.io.File(k, "_SUCCESS").exists())
   }
 
+  /** CATALOG twin of [[vacuum]]: sweep a scratch DATABASE (the
+    * `graft_scratch` convention) for leaked scratch tables — crashed
+    * JVMs leave their nonce's catalog entries (and warehouse dirs)
+    * behind, since the shutdown hook only removes tracked paths. A
+    * candidate is any table/view whose BASE name (the `__e<N>` epoch
+    * suffix stripped, so a scratch index's epoch tables and view group
+    * with it) matches the naming contract; entries carrying THIS JVM's
+    * nonce are skipped. Age is the max warehouse-dir mtime across the
+    * group's tables (a view alone has no storage and rides its epoch
+    * tables' age). Deletion drops the whole group — view first, then
+    * tables — so a scratch index never loses its epochs while its view
+    * stays resolvable. Dry-run default, same verdicts as [[vacuum]].
+    */
+  def vacuumCatalog(spark: org.apache.spark.sql.SparkSession, db: String,
+      olderThanHours: Double, apply: Boolean,
+      nowMs: Long = System.currentTimeMillis()): Seq[VacuumEntry] = {
+    require(olderThanHours >= 0, "olderThanHours must be >= 0")
+    if (!spark.catalog.databaseExists(db)) return Nil
+    val EpochSuffix = "__e\\d+$".r
+    val all = spark.catalog.listTables(db).collect().toSeq
+    val groups = all
+      .map(t => (EpochSuffix.replaceFirstIn(t.name, ""), t))
+      .filter { case (base, _) =>
+        ScratchName.findFirstIn(base).isDefined }
+      .groupBy(_._1)
+    groups.toSeq.sortBy(_._1).map { case (base, members) =>
+      val ages = members.flatMap { case (_, t) =>
+        if (t.tableType == "VIEW") None
+        else scala.util.Try {
+          val loc = spark.sql(s"DESC FORMATTED $db.${t.name}").collect()
+            .find(_.getString(0).trim == "Location").map(_.getString(1))
+          loc.map(l => new java.io.File(new java.net.URI(l)).lastModified())
+        }.toOption.flatten
+      }
+      val newest = if (ages.isEmpty) 0L else ages.max
+      val age = (nowMs - newest) / 3600.0e3
+      val action =
+        if (base.endsWith(s"_$nonce")) "skipped_live_nonce"
+        else if (age < olderThanHours) "kept_young"
+        else if (!apply) "would_delete"
+        else {
+          members.sortBy(_._2.tableType != "VIEW").foreach { case (_, t) =>
+            if (t.tableType == "VIEW")
+              spark.sql(s"DROP VIEW IF EXISTS $db.${t.name}")
+            else spark.sql(s"DROP TABLE IF EXISTS $db.${t.name}")
+          }
+          "deleted"
+        }
+      VacuumEntry(s"$db.$base", age, action)
+    }
+  }
+
   /** Sweep `rootDir` for expired scratch entries. Returns one verdict
     * per matching entry; deletes only when `apply` AND the entry is
     * older than `olderThanHours` (by directory mtime — every write

@@ -72,6 +72,53 @@ class ScratchVacuumSpec extends SparkFunSuite {
     assert(own.exists() && new java.io.File(e0, "_SUCCESS").exists())
   }
 
+  test("vacuumCatalog: dead-nonce tables and epoch groups dropped; own-nonce and real names kept") {
+    val s = spark
+    import s.implicits._
+    val db = "graft_scratch_vactest"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      // a crashed JVM's plain scratch table…
+      val dead = s"graft_tmp_${Hash}_$DeadNonce"
+      Seq(1L).toDF("k").write.mode("overwrite").saveAsTable(s"$db.$dead")
+      // …and its scratch INDEX (epoch table + view — the
+      // d_incremental_indexed layout); the group must drop TOGETHER
+      val deadIdx = s"graft_idx_${Hash}_$DeadNonce"
+      Seq(2L).toDF("k").write.mode("overwrite")
+        .saveAsTable(s"$db.${deadIdx}__e0")
+      s.sql(s"CREATE VIEW $db.$deadIdx AS SELECT * FROM $db.${deadIdx}__e0")
+      // this JVM's own scratch: live, never swept
+      val own = s"graft_live_${Hash}_${Scratch.nonce}"
+      Seq(3L).toDF("k").write.mode("overwrite").saveAsTable(s"$db.$own")
+      // a non-contract name: not even listed
+      Seq(4L).toDF("k").write.mode("overwrite").saveAsTable(s"$db.real_table")
+
+      // young threshold: candidates surface as kept_young, nothing drops
+      val young = Scratch.vacuumCatalog(s, db, olderThanHours = 9999,
+        apply = true)
+      assert(young.map(e => (e.path.split("\\.").last, e.action)).toSet ==
+        Set(dead -> "kept_young", deadIdx -> "kept_young",
+          own -> "skipped_live_nonce"), young.toString)
+      assert(s.catalog.tableExists(s"$db.$dead"))
+
+      // expired + apply: dead groups drop, own/real survive
+      val got = Scratch.vacuumCatalog(s, db, olderThanHours = 0,
+        apply = true)
+      assert(got.map(e => (e.path.split("\\.").last, e.action)).toSet ==
+        Set(dead -> "deleted", deadIdx -> "deleted",
+          own -> "skipped_live_nonce"), got.toString)
+      assert(!s.catalog.tableExists(s"$db.$dead"))
+      assert(!s.catalog.tableExists(s"$db.$deadIdx") &&
+        !s.catalog.tableExists(s"$db.${deadIdx}__e0"),
+        "the epoch group must drop together, view and tables")
+      assert(s.catalog.tableExists(s"$db.$own") &&
+        s.catalog.tableExists(s"$db.real_table"))
+      // a missing database is an empty sweep, not an error
+      assert(Scratch.vacuumCatalog(s, "graft_no_such_db", 0, apply = true)
+        .isEmpty)
+    } finally s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("vacuum via the CLI body: report written, exit 0, strict --apply parse") {
     val root = tmpDir("vac_cli")
     val old = mk(root, s"graft_bench_${Hash}_$DeadNonce", ageHours = 48)
@@ -93,5 +140,15 @@ class ScratchVacuumSpec extends SparkFunSuite {
       graft.MigrateCli.runVacuum(
         Map("report-dir" -> reports, "apply" -> "yes"), cfg)
     }
+    // catalog: roots route through the lazy session factory
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_scratch_clivac")
+    try {
+      assert(graft.MigrateCli.runVacuum(
+        Map("report-dir" -> reports),
+        graft.model.MigrationConfig(mode = "vacuum",
+          sourcePath = "catalog:graft_scratch_clivac"),
+        () => s) == 0)
+    } finally s.sql("DROP DATABASE IF EXISTS graft_scratch_clivac CASCADE")
   }
 }
