@@ -240,8 +240,12 @@ object DataQuality {
     val aggs = profiles.zipWithIndex.flatMap { case (p, i) =>
       val bkt = bucketOf(c0(p.column), p.lo, p.hi, bins)
       (0 until bins).map { k =>
-        sum(when(c0(p.column).isNotNull && bkt === k, 1L).otherwise(0L))
-          .cast("long").as(s"__h_${i}_$k")
+        // coalesce: sum over an EMPTY input (a quiet micro-batch in
+        // the streaming monitor) is null, and a null cell would NPE
+        // the collect — an empty relation has zero mass in every bin
+        coalesce(
+          sum(when(c0(p.column).isNotNull && bkt === k, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as(s"__h_${i}_$k")
       }
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
@@ -280,10 +284,18 @@ object DataQuality {
       "baseline histograms must share one bin count")
     val cur = histogramCounts(current, present, bins)
     present.sortBy(_.column).flatMap { p =>
-      val v = psi(p.counts, cur(p.column))
-      if (v > threshold)
-        Some(Drift(p.column, "psi", threshold.toString, f"$v%.4f"))
-      else None
+      val cnts = cur(p.column)
+      // zero counted rows (empty batch / all-null column) is "no
+      // evidence", not a shape shift — the completeness rule owns
+      // missing data; an unguarded fold would read a huge fake PSI
+      // against the 1e-6 floors
+      if (cnts.sum == 0L) None
+      else {
+        val v = psi(p.counts, cnts)
+        if (v > threshold)
+          Some(Drift(p.column, "psi", threshold.toString, f"$v%.4f"))
+        else None
+      }
     }
   }
 

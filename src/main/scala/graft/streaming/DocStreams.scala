@@ -399,6 +399,15 @@ object DocStreams {
     * batch's verdicts depend only on its own rows + the frozen
     * baseline, so replay re-derives identical findings.
     *
+    * `psiBaseline` (optional) arms the SHAPE rule
+    * ([[graft.operators.DataQuality.psiDrift]]): each batch's values
+    * bin on the BASELINE bounds and the population-stability index
+    * gates at `psiThreshold` — the same-bounds distribution collapse
+    * the other rules provably miss. Proportions are size-independent,
+    * so a corpus-baseline compare is valid per batch; small batches
+    * read noisier PSI — size the threshold to the trigger's batch
+    * volume (the 0.2 default assumes hundreds of rows per batch).
+    *
     * Delivery contract: EXACTLY-ONCE by idempotence — the same
     * `_batch=<id>` dynamic-partition-overwrite recipe as
     * [[ingestIvfPq]]. Each micro-batch lands its findings under its
@@ -413,16 +422,20 @@ object DocStreams {
   def dqDriftMonitor(stream: DataFrame,
       baseline: Seq[graft.operators.DataQuality.ColumnProfile],
       tolerance: Double, outDir: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String,
+      psiBaseline: Seq[graft.operators.DataQuality.HistProfile] = Nil,
+      psiThreshold: Double = 0.2): StreamingQuery = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val prof = graft.operators.DataQuality.collectProfile(batch)
-        val findings = graft.operators.DataQuality
+        val findings = (graft.operators.DataQuality
           .drift(baseline, prof, tolerance)
-          .filterNot(_.metric == "approx_distinct")
+          .filterNot(_.metric == "approx_distinct") ++
+          graft.operators.DataQuality
+            .psiDrift(psiBaseline, batch, psiThreshold))
           .map(d => (batchId, d.column, d.metric, d.baseline, d.current))
         findings
           .toDF("batch_id", "column", "metric", "baseline", "current")

@@ -514,6 +514,42 @@ class DocStreamsSpec extends SparkFunSuite {
     assert(byBatch.size == 1, s"only the drifted batch may flag: $byBatch")
   }
 
+  test("streaming dq drift monitor: PSI shape rule flags a same-bounds collapse per batch") {
+    val s = spark
+    val streamDir = tmpDir("dqp_stream")
+    val outDir = tmpDir("dqp_out")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val baseline = graft.operators.DataQuality.collectProfile(docs)
+    val psiBase = graft.operators.DataQuality
+      .collectHistograms(corpus, Seq("n_chars"), bins = 10)
+    assert(psiBase.nonEmpty)
+    val hi = psiBase.head.hi
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val staged = tmpDir(s"dqp_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(streamDir, s"$name.parquet"))
+    }
+    // wave 1: the EXACT baseline rows — PSI 0 by construction, silent.
+    stage(corpus, "wave1")
+    // wave 2: every n_chars collapsed INSIDE the baseline range (hi−1)
+    // — bounds/completeness provably silent, shape obliterated
+    stage(docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+      .withColumn("n_chars", lit((hi - 1).toLong)), "wave2")
+    DocStreams.dqDriftMonitor(
+      s.readStream.schema(DocStreams.docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir),
+      baseline, tolerance = 0.1, outDir, tmpDir("dqp_ckpt"),
+      psiBaseline = psiBase, psiThreshold = 0.2)
+    val rows = s.read.parquet(outDir)
+      .select("batch_id", "column", "metric").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSet == Set((1L, "n_chars", "psi")),
+      s"exactly the collapsed batch must flag, psi-only: ${rows.toSeq}")
+  }
+
   test("streaming dq drift monitor: forced replay leaves zero duplicate findings") {
     val s = spark
     val streamDir = tmpDir("dqr_stream")
