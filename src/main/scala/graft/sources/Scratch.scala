@@ -182,6 +182,11 @@ object Scratch {
     * into a dir refreshes it) AND neither guard fires. Non-matching
     * names are not even listed: the naming contract, not a heuristic,
     * decides what is scratch.
+    *
+    * Retention sizing: age measures the last WRITE, and a long-running
+    * READER does not refresh it — size `olderThanHours` above the
+    * longest job that could still be reading another process's scratch
+    * (same stance as the epoch `retain` window).
     */
   def vacuum(rootDir: String, olderThanHours: Double, apply: Boolean,
       nowMs: Long = System.currentTimeMillis()): Seq[VacuumEntry] = {

@@ -164,4 +164,22 @@ class DataQualitySpec extends SparkFunSuite {
     assert(math.abs(queryPsi.getAs[Double]("psi") - direct) < 1e-3,
       s"query face ${queryPsi.getAs[Double]("psi")} vs fold $direct")
   }
+
+  test("property: PSI is non-negative, zero on identical proportions, floor-safe") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val counts = Gen.listOfN(8, Gen.choose(0L, 10000L))
+    val prop = Prop.forAll(counts, counts) { (a: List[Long], b: List[Long]) =>
+      val v = DataQuality.psi(a, b)
+      // each term (p−q)·ln(p/q) has matching signs, so the fold can
+      // never go negative — including through the 1e-6 empty-bin floor
+      v >= -1e-12 &&
+        // identical proportions (same vector, and any scalar multiple)
+        // read zero
+        math.abs(DataQuality.psi(a, a)) < 1e-12 &&
+        math.abs(DataQuality.psi(a, a.map(_ * 3))) < 1e-9
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
