@@ -200,6 +200,16 @@ object SimilarityQueries {
     // Embedding-cosine near-duplicate pairs: banded sign-LSH candidates
     // (16 bands × 4 sign bits, any-band match), cheap prefilter at 0.35,
     // exact threshold at 0.4.
+    //
+    // DELIBERATELY-KEPT NAIVE GEOMETRY — the teaching baseline of
+    // `s_embed_neardup_scaled` (chooseGeometry): its 4-bit buckets grow
+    // candidate pairs quadratically. Measured cliff (r19, sf1 = 10×
+    // corpus): completes only in the 64 GB single JVM (~80 s);
+    // OOM-kills 12 GB AND 24 GB executors under local-cluster
+    // (java.lang.OutOfMemoryError: heap, executor exit 52) while the
+    // scale-safe sibling finishes in 14.7 s on the 12 GB executors.
+    // That contrast is the point — do not "fix" this query; use the
+    // sibling at scale.
     "s_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), threshold = 0.4, prefilter = 0.35)
         .orderBy("id_a", "id_b")),
