@@ -117,12 +117,11 @@ object Scratch {
     */
   final case class VacuumEntry(path: String, ageHours: Double, action: String)
 
-  private def containsCommittedEpoch(f: java.io.File): Boolean = {
-    val kids = Option(f.listFiles()).getOrElse(Array.empty)
-    kids.exists(k => k.isDirectory &&
-      EpochChild.findFirstIn(k.getName).isDefined &&
-      new java.io.File(k, "_SUCCESS").exists())
-  }
+  private def containsCommittedEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.isDirectory(p) && fs.listStatus(p).exists(k => k.isDirectory &&
+      EpochChild.findFirstIn(k.getPath.getName).isDefined &&
+      fs.exists(new org.apache.hadoop.fs.Path(k.getPath, "_SUCCESS")))
 
   /** CATALOG twin of [[vacuum]]: sweep a scratch DATABASE (the
     * `graft_scratch` convention) for leaked scratch tables — crashed
@@ -150,14 +149,26 @@ object Scratch {
         ScratchName.findFirstIn(base).isDefined }
       .groupBy(_._1)
     groups.toSeq.sortBy(_._1).map { case (base, members) =>
+      // warehouse mtime through the HADOOP filesystem (a java.io.File
+      // of an hdfs:/s3a: location would throw, get swallowed, and
+      // misread a live remote table as infinitely old); a location
+      // that genuinely cannot be statted contributes NO age sample
       val ages = members.flatMap { case (_, t) =>
         if (t.tableType == "VIEW") None
         else scala.util.Try {
           val loc = spark.sql(s"DESC FORMATTED $db.${t.name}").collect()
             .find(_.getString(0).trim == "Location").map(_.getString(1))
-          loc.map(l => new java.io.File(new java.net.URI(l)).lastModified())
+          loc.flatMap { l =>
+            val p = new org.apache.hadoop.fs.Path(l)
+            val fs = p.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime)
+            else None
+          }
         }.toOption.flatten
       }
+      // no statted storage at all (pure-view debris / vanished dirs):
+      // nothing a reader could still be using — treat as expired
       val newest = if (ages.isEmpty) 0L else ages.max
       val age = (nowMs - newest) / 3600.0e3
       val action =
@@ -191,19 +202,28 @@ object Scratch {
   def vacuum(rootDir: String, olderThanHours: Double, apply: Boolean,
       nowMs: Long = System.currentTimeMillis()): Seq[VacuumEntry] = {
     require(olderThanHours >= 0, "olderThanHours must be >= 0")
-    val entries = Option(new java.io.File(rootDir).listFiles())
-      .getOrElse(Array.empty).toSeq
-      .filter(f => ScratchName.findFirstIn(f.getName).isDefined)
-      .sortBy(_.getName)
-    entries.map { f =>
-      val age = (nowMs - f.lastModified()) / 3600.0e3
+    // Hadoop filesystem, not java.io.File: a production scratch root
+    // lives on HDFS/S3 staging (see [[root]]'s cluster note), where a
+    // File-based sweep would silently list nothing and no-op. A plain
+    // Configuration resolves local paths without a SparkSession and
+    // picks up core-site on the classpath for remote schemes.
+    val rootPath = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = rootPath.getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(rootPath)) return Nil
+    val entries = fs.listStatus(rootPath).toSeq
+      .filter(st => ScratchName.findFirstIn(st.getPath.getName).isDefined)
+      .sortBy(_.getPath.getName)
+    entries.map { st =>
+      val name = st.getPath.getName
+      val age = (nowMs - st.getModificationTime) / 3600.0e3
       val action =
-        if (f.getName.endsWith(s"_$nonce")) "skipped_live_nonce"
-        else if (containsCommittedEpoch(f)) "skipped_epoch_index"
+        if (name.endsWith(s"_$nonce")) "skipped_live_nonce"
+        else if (containsCommittedEpoch(fs, st.getPath)) "skipped_epoch_index"
         else if (age < olderThanHours) "kept_young"
         else if (!apply) "would_delete"
-        else { rm(f); "deleted" }
-      VacuumEntry(f.toString, age, action)
+        else { fs.delete(st.getPath, true); "deleted" }
+      VacuumEntry(st.getPath.toUri.getPath, age, action)
     }
   }
 }
