@@ -75,9 +75,15 @@ object IndexLock {
     */
   private[sources] def canonicalKey(spark: SparkSession, key: String): String =
     if (key.contains("/") || key.contains(":")) {
-      val p = new org.apache.hadoop.fs.Path(key)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.makeQualified(p).toString
+      // a colon-bearing key that is NOT a resolvable path (say
+      // "myindex:v2" — Hadoop reads an unknown scheme) falls back to
+      // the verbatim key: such a string has exactly one spelling, so
+      // the physical-identity unification it skips cannot apply to it
+      scala.util.Try {
+        val p = new org.apache.hadoop.fs.Path(key)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.makeQualified(p).toString
+      }.getOrElse(key)
     } else key.toLowerCase(java.util.Locale.ROOT)
 
   /** Run `body` as the sole writer of the index identified by `key`

@@ -69,5 +69,9 @@ class IndexLockSpec extends SparkFunSuite {
     IndexLock.withWriterLock(s, dir) {
       IndexLock.withWriterLock(s, s"file:$dir") { () }
     }
+    // a colon-bearing NON-path key (unknown scheme) falls back to its
+    // verbatim identity instead of throwing
+    assert(IndexLock.canonicalKey(s, "myindex:v2") == "myindex:v2")
+    IndexLock.withWriterLock(s, "myindex:v2") { () }
   }
 }
