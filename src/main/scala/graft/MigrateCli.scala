@@ -38,11 +38,13 @@ import graft.resume.Checkpoint
   * profile diffs against the last run's, exit 1 on missing columns,
   * completeness drops, cardinality swings, or numeric bounds escaping
   * the historical range beyond `--drift-tolerance`, default 0.1;
-  * `--psi-cols v1,v2` additionally records 10-bin histograms of those
-  * columns in the report, and a baseline carrying histograms arms the
-  * population-stability-index SHAPE rule — exit 1 when a column's PSI
-  * vs the baseline bins exceeds `--psi-threshold`, default 0.2 — the
-  * drift the other rules provably miss), and
+  * `--psi-cols v1,v2` additionally records shape profiles of those
+  * columns in the report — 10-bin histograms for numeric/temporal
+  * columns, top-10 category frequency mixes for string columns — and
+  * a baseline carrying either arms the population-stability-index
+  * SHAPE rule: exit 1 when a column's PSI vs the baseline bins
+  * exceeds `--psi-threshold`, default 0.2 — the drift the other rules
+  * provably miss), and
   * `curate` (the end-to-end corpus-curation pipeline over a documents
   * table: Gopher quality gate → exact dedup → MinHash near-dup
   * collapse → deterministic split, written to --dest partitioned by
@@ -103,13 +105,33 @@ object MigrateCli {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
     psiCols.foreach(c => require(src.columns.contains(c),
       s"--psi-cols column '$c' is not in the source schema"))
+    // a numeric column's shape is a fixed-bin histogram; a string
+    // column's is its top-K category frequency mix — route by dtype so
+    // `--psi-cols region,price` just works for both
+    val (numCols, catCols) = psiCols.partition { c =>
+      src.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _: org.apache.spark.sql.types.DateType => true
+        case _: org.apache.spark.sql.types.TimestampType => true
+        case _ => false
+      }
+    }
     val hists = graft.operators.DataQuality
-      .collectHistograms(src, psiCols, bins = 10)
+      .collectHistograms(src, numCols, bins = 10)
       .map(h => h.column -> h).toMap
+    val cats = graft.operators.DataQuality
+      .collectCategoryHistograms(src, catCols, topK = 10)
+      .map(c => c.column -> c).toMap
     val body = profs.map { p =>
       val histField = hists.get(p.column).fold("") { h =>
         s""", "hist": {"lo": ${h.lo}, "hi": ${h.hi},
            | "counts": ${h.counts.mkString("[", ", ", "]")}}"""
+          .stripMargin.replace("\n", "")
+      } + cats.get(p.column).fold("") { c =>
+        s""", "cats": {"categories": ${c.categories.map(js)
+            .mkString("[", ", ", "]")},
+           | "counts": ${c.counts.mkString("[", ", ", "]")},
+           | "other_count": ${c.otherCount}}"""
           .stripMargin.replace("\n", "")
       }
       s"""{"column": ${js(p.column)}, "n_rows": ${p.nRows},
@@ -160,9 +182,23 @@ object MigrateCli {
               h.getSeq[Long](h.fieldIndex("counts")).toSeq)
           }
         }
+      // a baseline row carrying a category profile activates the
+      // categorical PSI rule for that column, same protocol as hist
+      val basCats =
+        if (!baseDf.columns.contains("cats")) Nil
+        else rows.flatMap { r =>
+          Option(r.getAs[org.apache.spark.sql.Row]("cats")).map { c =>
+            graft.operators.DataQuality.CatProfile(
+              r.getAs[String]("column"),
+              c.getSeq[String](c.fieldIndex("categories")).toSeq,
+              c.getSeq[Long](c.fieldIndex("counts")).toSeq,
+              c.getAs[Long]("other_count"))
+          }
+        }
       val psiThr = args.get("psi-threshold").map(_.toDouble).getOrElse(0.2)
       graft.operators.DataQuality.drift(baseRows, profs, tol) ++
-        graft.operators.DataQuality.psiDrift(basHists, src, psiThr)
+        graft.operators.DataQuality.psiDrift(basHists, src, psiThr) ++
+        graft.operators.DataQuality.psiDriftCategorical(basCats, src, psiThr)
     }.getOrElse(Nil)
     drifts.foreach(d => System.err.println(
       s"[graft] dq DRIFT column=${d.column} metric=${d.metric} " +
@@ -214,9 +250,16 @@ object MigrateCli {
     java.nio.file.Files.writeString(out, body)
     val deleted = entries.count(_.action == "deleted")
     val pending = entries.count(_.action == "would_delete")
+    val failed = entries.count(_.action == "delete_failed")
     println(s"[graft] vacuum report=$out entries=${entries.length} " +
-      s"deleted=$deleted would_delete=$pending dry_run=${!apply}")
-    0
+      s"deleted=$deleted would_delete=$pending failed=$failed " +
+      s"dry_run=${!apply}")
+    if (failed > 0) {
+      System.err.println(
+        s"[graft] vacuum $failed entr${if (failed == 1) "y" else "ies"} " +
+          "could not be deleted (see delete_failed rows in the report)")
+      1
+    } else 0
   }
 
   def main(argv: Array[String]): Unit = {

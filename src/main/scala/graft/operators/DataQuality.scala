@@ -211,9 +211,12 @@ object DataQuality {
       bins: Int = 10): Seq[HistProfile] = {
     require(bins >= 2 && bins <= 64, s"bins must be in [2, 64] ($bins)")
     if (columns.isEmpty) return Nil
+    // same backtick-escaped constructor histogramCounts uses for the
+    // count pass — a dotted/backticked column name must resolve to the
+    // SAME column in both passes of one feature
     val boundAggs = columns.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c).cast("double")).as(s"__lo_$i"),
-        max(col(c).cast("double")).as(s"__hi_$i"))
+      Seq(min(escCol(c).cast("double")).as(s"__lo_$i"),
+        max(escCol(c).cast("double")).as(s"__hi_$i"))
     }
     val b = df.agg(boundAggs.head, boundAggs.tail: _*).head()
     val specs = columns.zipWithIndex.flatMap { case (c, i) =>
@@ -233,10 +236,16 @@ object DataQuality {
     * `bins` is passed explicitly so bounds-only profiles (empty
     * `counts`) can be counted too.
     */
+  /** Backtick-escaped column ref: a profiled column name containing a
+    * dot or backtick must parse as ONE column everywhere.
+    */
+  private def escCol(c: String): org.apache.spark.sql.Column =
+    col("`" + c.replace("`", "``") + "`")
+
   def histogramCounts(df: DataFrame, profiles: Seq[HistProfile],
       bins: Int): Map[String, Seq[Long]] = {
     if (profiles.isEmpty) return Map.empty
-    def c0(c: String) = col("`" + c.replace("`", "``") + "`")
+    def c0(c: String) = escCol(c)
     val aggs = profiles.zipWithIndex.flatMap { case (p, i) =>
       val bkt = bucketOf(c0(p.column), p.lo, p.hi, bins)
       (0 until bins).map { k =>
@@ -321,6 +330,157 @@ object DataQuality {
       .groupBy("bucket").agg(count(lit(1)).as(out))
     val joined = bucketed(base, "nb")
       .join(bucketed(cur, "nc"), Seq("bucket"), "full_outer")
+      .select(coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val tot = joined.agg(sum(col("nb")).as("tb"), sum(col("nc")).as("tc"))
+    val p = greatest(col("nb").cast("double") / col("tb").cast("double"),
+      lit(1e-6))
+    val q = greatest(col("nc").cast("double") / col("tc").cast("double"),
+      lit(1e-6))
+    joined.crossJoin(broadcast(tot))
+      .agg(round(sum((p - q) * log(p / q)), 4).as("psi"),
+        max(col("tb")).cast("long").as("n_base"),
+        max(col("tc")).cast("long").as("n_cur"))
+  }
+
+  // --- Categorical shape drift -------------------------------------
+  //
+  // The numeric PSI above bins VALUES; a categorical column's shape is
+  // its category FREQUENCY MIX, which can shift arbitrarily inside
+  // stable cardinality AND stable completeness — invisible to every
+  // profile rule (DataQualitySpec proves the miss). Bins here are the
+  // baseline's top-K categories plus one `__other__` tail bucket;
+  // binning on the BASELINE's top-K (like binning on the baseline's
+  // numeric bounds) makes "a category fell out of / rose into the
+  // head" legible as mass moving between a named bin and the tail.
+
+  /** Sentinel tail bin: every non-null value outside the baseline's
+    * top-K. Collides with a real category literally named `__other__`
+    * — acceptable for a drift DIAGNOSTIC (the mass still moves the
+    * same direction), called out here rather than hidden.
+    */
+  val OtherBin = "__other__"
+
+  /** Categorical twin of [[HistProfile]]: the baseline's top-K
+    * categories (by count desc, value asc — a total order, so two runs
+    * over one dataset profile identically), their counts, and the
+    * count of everything else. Values are compared as strings (the
+    * profile report is JSON; a numeric-coded categorical profiles by
+    * its string form).
+    */
+  final case class CatProfile(column: String, categories: Seq[String],
+      counts: Seq[Long], otherCount: Long)
+
+  /** Top-K category profiles of `columns`, ONE scan for all columns:
+    * the row is exploded to (column, value) pairs — map-side, no data
+    * copy beyond the projected columns — and a single map-combined
+    * aggregate counts each (column, value) cell; only
+    * Σ per-column distinct rows cross the wire, never row-proportional
+    * traffic. Nulls are excluded (completeness owns missing data).
+    * All-null / empty columns profile as empty (nothing to compare).
+    */
+  def collectCategoryHistograms(df: DataFrame, columns: Seq[String],
+      topK: Int = 10): Seq[CatProfile] = {
+    require(topK >= 1 && topK <= 64, s"topK must be in [1, 64] ($topK)")
+    if (columns.isEmpty) return Nil
+    val pairs = columns.flatMap(c =>
+      Seq(lit(c), escCol(c).cast("string")))
+    val counted = df
+      .select(explode(map(pairs: _*)).as(Seq("_col", "_v")))
+      .where(col("_v").isNotNull)
+      .groupBy("_col", "_v").agg(count(lit(1)).as("_n"))
+      .collect().toSeq
+      .groupBy(_.getString(0))
+    columns.flatMap { c =>
+      counted.get(c).map { rows =>
+        val byCount = rows
+          .map(r => (r.getString(1), r.getLong(2)))
+          .sortBy { case (v, n) => (-n, v) }
+        val (top, rest) = byCount.splitAt(topK)
+        CatProfile(c, top.map(_._1), top.map(_._2), rest.map(_._2).sum)
+      }
+    }
+  }
+
+  /** Counts of `df`'s values in each profile's baseline category bins
+    * (+ [[OtherBin]]), all profiles in ONE conditional-sum aggregate
+    * pass — the categorical twin of [[histogramCounts]]. Returned
+    * vectors are `categories.length + 1` long, tail bucket last.
+    */
+  def categoryCounts(df: DataFrame, profiles: Seq[CatProfile])
+      : Map[String, Seq[Long]] = {
+    if (profiles.isEmpty) return Map.empty
+    val aggs = profiles.zipWithIndex.flatMap { case (p, i) =>
+      val v = escCol(p.column).cast("string")
+      val cells = p.categories.zipWithIndex.map { case (cat, k) =>
+        (when(v === lit(cat), 1L).otherwise(0L), s"__c_${i}_$k")
+      } :+ ((when(v.isNotNull &&
+        !v.isin(p.categories.map(lit): _*), 1L).otherwise(0L),
+        s"__c_${i}_${p.categories.length}"))
+      cells.map { case (cond, nm) =>
+        coalesce(sum(cond), lit(0L)).cast("long").as(nm)
+      }
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    var off = 0
+    profiles.map { p =>
+      val width = p.categories.length + 1
+      val v = (0 until width).map(k => r.getLong(off + k))
+      off += width
+      p.column -> v
+    }.toMap
+  }
+
+  /** Categorical shape-drift findings: PSI between each baseline
+    * profile's (top-K + other) counts and `current`'s values in the
+    * same bins, findings above `threshold`. Columns missing from
+    * `current` are the presence rule's job; an empty/all-null current
+    * column is the completeness rule's (no evidence ≠ shape shift).
+    */
+  def psiDriftCategorical(baseline: Seq[CatProfile], current: DataFrame,
+      threshold: Double = 0.2): Seq[Drift] = {
+    require(threshold >= 0, "threshold must be >= 0")
+    val present = baseline.filter(p =>
+      current.columns.contains(p.column) && p.categories.nonEmpty)
+    if (present.isEmpty) return Nil
+    val cur = categoryCounts(current, present)
+    present.sortBy(_.column).flatMap { p =>
+      val cnts = cur(p.column)
+      if (cnts.sum == 0L) None
+      else {
+        val v = psi(p.counts :+ p.otherCount, cnts)
+        if (v > threshold)
+          Some(Drift(p.column, "psi_cat", threshold.toString, f"$v%.4f"))
+        else None
+      }
+    }
+  }
+
+  /** Categorical twin of [[psiBetween]]: PSI between two relations'
+    * category mixes of `valueCol`, bins = `base`'s top-K categories
+    * (count desc, value asc) + [[OtherBin]], as a 1-row
+    * `(psi, n_base, n_cur)` DataFrame — the oracle-checkable face
+    * (`a_dq_psi_cat`). Scale shape: the top-K head reduces through a
+    * TakeOrdered (K rows, never a global sort materialization) and
+    * rides a BROADCAST into both sides' map-side binning; each side
+    * shuffles ≤ K+1 bin-count rows; the fold runs over the joined bin
+    * counts. Nothing row-proportional crosses the wire.
+    */
+  def psiBetweenCategorical(base: DataFrame, cur: DataFrame,
+      valueCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1 && topK <= 64, s"topK must be in [1, 64] ($topK)")
+    val v = escCol(valueCol).cast("string")
+    val topk = base.select(v.as("_v")).where(col("_v").isNotNull)
+      .groupBy("_v").agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("_v").asc).limit(topK)
+      .select(col("_v").as("_cat"))
+    def binned(df: DataFrame, out: String) = df
+      .select(v.as("_v")).where(col("_v").isNotNull)
+      .join(broadcast(topk), col("_v") === col("_cat"), "left")
+      .select(coalesce(col("_cat"), lit(OtherBin)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val joined = binned(base, "nb")
+      .join(binned(cur, "nc"), Seq("bin"), "full_outer")
       .select(coalesce(col("nb"), lit(0L)).as("nb"),
         coalesce(col("nc"), lit(0L)).as("nc"))
     val tot = joined.agg(sum(col("nb")).as("tb"), sum(col("nc")).as("tc"))

@@ -80,6 +80,25 @@ object AdvancedQueries {
         "value", bins = 10)
     }),
 
+    // CATEGORICAL PSI (DataQuality.psiBetweenCategorical): same
+    // population-stability fold, but the bins are the BASELINE's top-K
+    // categories (count desc, value asc — a total order both engines
+    // replay) plus one `__other__` tail bucket — the shape rule for
+    // columns where "distribution" means category MIX, which can shift
+    // arbitrarily inside stable cardinality and completeness. Scale
+    // shape: the top-K head reduces via TakeOrdered (K rows) and
+    // broadcasts into both sides' MAP-SIDE binning; ≤ K+1 bin-count
+    // rows shuffle per side. Here: source mix of English documents as
+    // baseline vs non-English documents as current, K=8 (20 sources,
+    // so the tail bucket carries real mass).
+    "a_dq_psi_cat" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.DataQuality.psiBetweenCategorical(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"),
+        "source", topK = 8)
+    }),
+
     // Categorical concentration profile by GINI IMPURITY — the
     // log-free face of column entropy (1 − Σp², monotone with entropy
     // for profiling purposes; libm log would diverge between engines,
@@ -440,6 +459,28 @@ object AdvancedQueries {
         |  WHERE event_type = 'purchase' AND "value" IS NOT NULL GROUP BY 1),
         |j AS (SELECT COALESCE(bb.nb, 0) AS nb, COALESCE(cb.nc, 0) AS nc
         |  FROM bb FULL OUTER JOIN cb ON bb.bucket = cb.bucket),
+        |t AS (SELECT CAST(sum(nb) AS DOUBLE) AS tb,
+        |    CAST(sum(nc) AS DOUBLE) AS tc FROM j)
+        |SELECT round(sum(
+        |    (GREATEST(nb / tb, 1e-6) - GREATEST(nc / tc, 1e-6))
+        |    * ln(GREATEST(nb / tb, 1e-6) / GREATEST(nc / tc, 1e-6))), 4)
+        |  AS psi,
+        |  CAST(max(tb) AS BIGINT) AS n_base,
+        |  CAST(max(tc) AS BIGINT) AS n_cur
+        |FROM j, t""".stripMargin,
+    "a_dq_psi_cat" ->
+      """WITH b AS (SELECT CAST(source AS VARCHAR) AS v FROM documents
+        |  WHERE lang = 'en' AND source IS NOT NULL),
+        |c AS (SELECT CAST(source AS VARCHAR) AS v FROM documents
+        |  WHERE lang <> 'en' AND source IS NOT NULL),
+        |tk AS (SELECT v, count(*) AS n FROM b GROUP BY v
+        |  ORDER BY n DESC, v ASC LIMIT 8),
+        |bb AS (SELECT CASE WHEN v IN (SELECT v FROM tk) THEN v
+        |    ELSE '__other__' END AS bin, count(*) AS nb FROM b GROUP BY 1),
+        |cb AS (SELECT CASE WHEN v IN (SELECT v FROM tk) THEN v
+        |    ELSE '__other__' END AS bin, count(*) AS nc FROM c GROUP BY 1),
+        |j AS (SELECT COALESCE(bb.nb, 0) AS nb, COALESCE(cb.nc, 0) AS nc
+        |  FROM bb FULL OUTER JOIN cb ON bb.bin = cb.bin),
         |t AS (SELECT CAST(sum(nb) AS DOUBLE) AS tb,
         |    CAST(sum(nc) AS DOUBLE) AS tc FROM j)
         |SELECT round(sum(

@@ -159,6 +159,23 @@ object CatalogOps {
         .map(_.toLong)
       val (adopted, debris) = orphans.partition(n =>
         hasAdoptionMarker(spark, epochRef(ref, n)))
+      // an unmarked orphan ABOVE the highest marked one is not
+      // classifiable: it could be a torn write (drop it) or a complete
+      // newer epoch whose view binding was lost AFTER an earlier
+      // adoption (a partial dropEpochIndex crash, a manually dropped
+      // view) — auto-dropping the latter would silently regress the
+      // index to the stale adopted snapshot. No automatic flow
+      // produces this shape, so refuse loudly instead of guessing;
+      // unmarked orphans BELOW the adoption are provably older than
+      // its complete data and drop safely.
+      if (adopted.nonEmpty && debris.exists(_ > adopted.max))
+        throw new IllegalStateException(
+          s"publishEpoch recovery for ${ref.qualified}: unmarked orphan " +
+            s"epoch(s) ${debris.filter(_ > adopted.max).sorted.mkString(",")} " +
+            s"exist ABOVE adopted epoch ${adopted.max}; dropping them could " +
+            "regress the index to the older adopted snapshot. Inspect the " +
+            "orphans and either DROP the torn higher epochs or recreate " +
+            "the view over the newest complete one, then re-run.")
       debris.foreach(n => dropTable(spark, epochRef(ref, n)))
       if (adopted.nonEmpty)
         spark.sql(s"CREATE VIEW ${ref.qualified} AS " +

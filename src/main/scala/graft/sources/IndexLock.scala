@@ -59,22 +59,42 @@ object IndexLock {
     f"${slug}_${key.hashCode & 0x7fffffff}%08x"
   }
 
+  /** `db.table`-shaped: two or more dot-separated bare SQL
+    * identifiers. This — not "contains no separator" — is what routes
+    * a key to the catalog branch; a separator-free key that is NOT a
+    * qualified identifier pair is a relative dir and must canonicalize
+    * as a PATH (a bare `idx` taking the catalog branch would give
+    * `idx` and `./idx` two different locks for one physical dir).
+    */
+  private val CatalogKey =
+    "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)+$".r
+
   /** Canonical lock identity: LOCK IDENTITY IS PHYSICAL, not the
-    * caller's spelling. A dir-backed key (anything path-shaped — it
-    * contains a separator or URI scheme) qualifies through the Hadoop
-    * filesystem (`makeQualified`: scheme + authority + absolute path),
-    * so `idx`, `./idx`, `/abs/idx`, and `file:/abs/idx` all hash to
-    * ONE lock file; a catalog key (`db.table`) lower-cases, matching
-    * Spark's case-insensitive catalog resolution. Without this, two
+    * caller's spelling. A catalog key (`db.table` — dot-qualified
+    * identifiers, the only shape [[graft.model.TableRef.qualified]]
+    * produces) lower-cases, matching Spark's case-insensitive catalog
+    * resolution. EVERYTHING else is treated as a directory key and
+    * qualifies through the Hadoop filesystem (`makeQualified`: scheme
+    * + authority + absolute path), so `idx`, `./idx`, `/abs/idx`, and
+    * `file:/abs/idx` all hash to ONE lock file. Without this, two
     * writers addressing the same physical index via different
     * spellings would each hold "the" lock — re-admitting the
     * append-lost-during-compaction corruption the lock exists to
     * exclude. The reentrancy set keys on the canonical form too, so a
     * nested acquire under a different spelling is recognized instead
     * of flock-deadlocking against itself.
+    *
+    * UPGRADE NOTE: canonicalization changes lock-FILE names versus
+    * pre-r19 builds (and r20 changes them again for bare
+    * single-segment dir keys). Mixed-version writer processes on one
+    * machine do not exclude each other across that boundary — quiesce
+    * standing-index writers when rolling versions, exactly as for an
+    * OPTIMIZE.
     */
   private[sources] def canonicalKey(spark: SparkSession, key: String): String =
-    if (key.contains("/") || key.contains(":")) {
+    if (CatalogKey.findFirstIn(key).isDefined)
+      key.toLowerCase(java.util.Locale.ROOT)
+    else {
       // a colon-bearing key that is NOT a resolvable path (say
       // "myindex:v2" — Hadoop reads an unknown scheme) falls back to
       // the verbatim key: such a string has exactly one spelling, so
@@ -84,7 +104,7 @@ object IndexLock {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.makeQualified(p).toString
       }.getOrElse(key)
-    } else key.toLowerCase(java.util.Locale.ROOT)
+    }
 
   /** Run `body` as the sole writer of the index identified by `key`
     * (canonicalized — see [[canonicalKey]]: spelling variants of one

@@ -36,16 +36,22 @@ object Scratch {
   private val issued =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def rm(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(rm)
-    f.delete(); ()
+  // Hadoop filesystem, not java.io.File: the scratch root may live on
+  // HDFS/S3 staging (see [[root]]'s cluster note), where a File-based
+  // delete silently no-ops — Graph's per-round loop hygiene would then
+  // accrete a |V|-sized directory per round on exactly the deployments
+  // that care about leaked staging. Same lesson vacuum learned; one
+  // helper serves purge, the shutdown hook, and vacuum alike.
+  private def rmFs(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    !fs.exists(p) || fs.delete(p, true)
   }
 
   private lazy val hookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       issued.forEach { p =>
-        try rm(new java.io.File(p)) catch { case _: Exception => () }
+        try { rmFs(p); () } catch { case _: Exception => () }
       }))
     true
   }
@@ -57,7 +63,7 @@ object Scratch {
     * issued and can no longer read.
     */
   def purge(path: String): Unit = {
-    try rm(new java.io.File(path)) catch { case _: Exception => () }
+    try { rmFs(path); () } catch { case _: Exception => () }
     issued.remove(path); ()
   }
 
@@ -84,10 +90,12 @@ object Scratch {
   }
 
   /** Deterministic-within-JVM scratch path for (tag, key), deleted
-    * recursively at JVM exit.
+    * recursively at JVM exit. Hadoop `Path` composition, not
+    * `java.io.File`: a File of an `hdfs://` root collapses the scheme's
+    * double slash, breaking every downstream read on remote roots.
     */
   def dir(tag: String, key: String): String =
-    track(new java.io.File(root, name(tag, key)).toString)
+    track(new org.apache.hadoop.fs.Path(root, name(tag, key)).toString)
 
   // --- Age-based vacuum of leaked scratch ----------------------------
   //
@@ -112,10 +120,34 @@ object Scratch {
 
   private val EpochChild = "^e\\d+$".r
 
-  /** One vacuum verdict: `action` ∈ deleted | would_delete |
-    * kept_young | skipped_live_nonce | skipped_epoch_index.
+  /** One vacuum verdict: `action` ∈ deleted | delete_failed |
+    * would_delete | kept_young | skipped_live_nonce |
+    * skipped_epoch_index | skipped_stat_failed.
     */
   final case class VacuumEntry(path: String, ageHours: Double, action: String)
+
+  /** Newest mtime over `st` and its descendants down to `depth` levels
+    * (2 = entry + children + grandchildren). POSIX/HDFS dir mtime only
+    * changes on DIRECT-child create/delete, so a nested writer (the
+    * Graph checkpoint scratch dirs land files inside per-round
+    * subdirectories) never refreshes the top-level entry — aging by
+    * the entry alone could sweep another JVM's scratch mid-job. Two
+    * levels cover every shipped layout (`<entry>/<round>/<part files>`);
+    * an unreadable child contributes no sample rather than aborting
+    * the sweep.
+    */
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus, depth: Int): Long = {
+    val self = st.getModificationTime
+    if (depth <= 0 || !st.isDirectory) self
+    else {
+      val kids =
+        try fs.listStatus(st.getPath)
+        catch { case _: Exception =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+      kids.foldLeft(self)((m, k) => math.max(m, newestMtime(fs, k, depth - 1)))
+    }
+  }
 
   private def containsCommittedEpoch(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean =
@@ -136,9 +168,29 @@ object Scratch {
     * tables — so a scratch index never loses its epochs while its view
     * stays resolvable. Dry-run default, same verdicts as [[vacuum]].
     */
+  /** Default mtime stat for [[vacuumCatalog]]: warehouse-location
+    * mtime through the HADOOP filesystem; `None` = location genuinely
+    * absent. Injectable so the spec can force the THROWING branch (an
+    * S3 hiccup is not reproducible on a local warehouse).
+    */
+  private[sources] def statTableMtime(
+      spark: org.apache.spark.sql.SparkSession, qualified: String)
+      : Option[Long] = {
+    val loc = spark.sql(s"DESC FORMATTED $qualified").collect()
+      .find(_.getString(0).trim == "Location").map(_.getString(1))
+    loc.flatMap { l =>
+      val p = new org.apache.hadoop.fs.Path(l)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime)
+      else None
+    }
+  }
+
   def vacuumCatalog(spark: org.apache.spark.sql.SparkSession, db: String,
       olderThanHours: Double, apply: Boolean,
-      nowMs: Long = System.currentTimeMillis()): Seq[VacuumEntry] = {
+      nowMs: Long = System.currentTimeMillis(),
+      statMtime: (org.apache.spark.sql.SparkSession, String) => Option[Long]
+        = statTableMtime): Seq[VacuumEntry] = {
     require(olderThanHours >= 0, "olderThanHours must be >= 0")
     if (!spark.catalog.databaseExists(db)) return Nil
     val EpochSuffix = "__e\\d+$".r
@@ -151,28 +203,28 @@ object Scratch {
     groups.toSeq.sortBy(_._1).map { case (base, members) =>
       // warehouse mtime through the HADOOP filesystem (a java.io.File
       // of an hdfs:/s3a: location would throw, get swallowed, and
-      // misread a live remote table as infinitely old); a location
-      // that genuinely cannot be statted contributes NO age sample
+      // misread a live remote table as infinitely old). 'Stat THREW'
+      // (S3 hiccup, permission error, DESC parse change) is NOT the
+      // same as 'location absent': a thrown stat contributes no age
+      // sample but must never degrade to "expired" — if every member's
+      // stat failed, the group could be another JVM's LIVE scratch
+      // behind a transient fault, so skip it loudly this sweep.
+      var statFailed = false
       val ages = members.flatMap { case (_, t) =>
         if (t.tableType == "VIEW") None
-        else scala.util.Try {
-          val loc = spark.sql(s"DESC FORMATTED $db.${t.name}").collect()
-            .find(_.getString(0).trim == "Location").map(_.getString(1))
-          loc.flatMap { l =>
-            val p = new org.apache.hadoop.fs.Path(l)
-            val fs = p.getFileSystem(
-              spark.sparkContext.hadoopConfiguration)
-            if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime)
-            else None
-          }
-        }.toOption.flatten
+        else scala.util.Try(statMtime(spark, s"$db.${t.name}")) match {
+          case scala.util.Success(a) => a
+          case scala.util.Failure(_) => statFailed = true; None
+        }
       }
-      // no statted storage at all (pure-view debris / vanished dirs):
-      // nothing a reader could still be using — treat as expired
+      // no statted storage at all: with no stat FAILURES that means
+      // pure-view debris / genuinely vanished dirs — nothing a reader
+      // could still be using — treat as expired (age 0)
       val newest = if (ages.isEmpty) 0L else ages.max
       val age = (nowMs - newest) / 3600.0e3
       val action =
         if (base.endsWith(s"_$nonce")) "skipped_live_nonce"
+        else if (ages.isEmpty && statFailed) "skipped_stat_failed"
         else if (age < olderThanHours) "kept_young"
         else if (!apply) "would_delete"
         else {
@@ -189,10 +241,13 @@ object Scratch {
 
   /** Sweep `rootDir` for expired scratch entries. Returns one verdict
     * per matching entry; deletes only when `apply` AND the entry is
-    * older than `olderThanHours` (by directory mtime — every write
-    * into a dir refreshes it) AND neither guard fires. Non-matching
-    * names are not even listed: the naming contract, not a heuristic,
-    * decides what is scratch.
+    * older than `olderThanHours` AND neither guard fires. Age is the
+    * newest mtime over the entry and two levels of descendants (see
+    * [[newestMtime]] — dir mtime alone misses nested writers).
+    * Non-matching names are not even listed: the naming contract, not
+    * a heuristic, decides what is scratch. A delete the filesystem
+    * refuses (permission, concurrent mutation) reports
+    * `delete_failed`, never a false `deleted`.
     *
     * Retention sizing: age measures the last WRITE, and a long-running
     * READER does not refresh it — size `olderThanHours` above the
@@ -216,13 +271,14 @@ object Scratch {
       .sortBy(_.getPath.getName)
     entries.map { st =>
       val name = st.getPath.getName
-      val age = (nowMs - st.getModificationTime) / 3600.0e3
+      val age = (nowMs - newestMtime(fs, st, 2)) / 3600.0e3
       val action =
         if (name.endsWith(s"_$nonce")) "skipped_live_nonce"
         else if (containsCommittedEpoch(fs, st.getPath)) "skipped_epoch_index"
         else if (age < olderThanHours) "kept_young"
         else if (!apply) "would_delete"
-        else { fs.delete(st.getPath, true); "deleted" }
+        else if (fs.delete(st.getPath, true)) "deleted"
+        else "delete_failed"
       VacuumEntry(st.getPath.toUri.getPath, age, action)
     }
   }

@@ -165,6 +165,61 @@ class DataQualitySpec extends SparkFunSuite {
       s"query face ${queryPsi.getAs[Double]("psi")} vs fold $direct")
   }
 
+  test("categorical PSI catches a category-MIX shift inside stable cardinality and completeness (VERDICT r19)") {
+    val s = spark
+    import s.implicits._
+    // baseline: 4 categories, 25% each (4000 rows). current: the SAME
+    // category set (HLL bit-identical — cardinality rule provably
+    // silent), same row count, zero nulls (completeness silent), no
+    // numeric bounds at all — but 85% of the mass collapsed onto 'a'.
+    val cats = Seq("a", "b", "c", "d")
+    val base = (0 until 4000).map(i => (i.toLong, cats(i % 4)))
+      .toDF("id", "region")
+    val shifted = (0 until 4000).map { i =>
+      (i.toLong, if (i < 3400) "a" else cats(1 + (i % 3)))
+    }.toDF("id", "region")
+    val missed = DataQuality.drift(DataQuality.collectProfile(base),
+      DataQuality.collectProfile(shifted), tolerance = 0.1)
+      .filter(_.column == "region")
+    assert(missed.isEmpty,
+      s"profile rules must NOT fire on a pure mix shift: $missed")
+    // the categorical profile: top-K by (count desc, value asc)
+    val prof = DataQuality.collectCategoryHistograms(base,
+      Seq("region"), topK = 3)
+    assert(prof.map(p => (p.column, p.categories, p.counts, p.otherCount))
+      == Seq(("region", Seq("a", "b", "c"), Seq(1000L, 1000L, 1000L),
+        1000L)), prof.toString)
+    // …and the categorical PSI rule flags the collapse
+    val findings = DataQuality.psiDriftCategorical(prof, shifted,
+      threshold = 0.2)
+    assert(findings.map(d => (d.column, d.metric)) ==
+      Seq(("region", "psi_cat")), findings.toString)
+    assert(findings.head.current.toDouble > 1.0, findings.toString)
+    // an unshifted current is quiet; so is an empty one (no evidence)
+    assert(DataQuality.psiDriftCategorical(prof, base, 0.2).isEmpty)
+    assert(DataQuality.psiDriftCategorical(prof,
+      base.where(lit(false)), 0.2).isEmpty)
+    // query face ≡ driver-side fold on the same bins
+    val q = DataQuality.psiBetweenCategorical(base, shifted, "region",
+      topK = 3).collect().head
+    val direct = DataQuality.psi(
+      prof.head.counts :+ prof.head.otherCount,
+      DataQuality.categoryCounts(shifted, prof)("region"))
+    assert(q.getAs[Long]("n_base") == 4000L &&
+      q.getAs[Long]("n_cur") == 4000L)
+    assert(math.abs(q.getAs[Double]("psi") - direct) < 1e-3,
+      s"query face ${q.getAs[Double]("psi")} vs fold $direct")
+    // one scan profiles many columns; nulls excluded; ties broken by
+    // value asc so two runs profile identically
+    val multi = Seq(("x", "m"), ("y", "m"), ("x", null), ("x", "n"))
+      .toDF("c1", "c2")
+    val got = DataQuality.collectCategoryHistograms(multi,
+      Seq("c1", "c2"), topK = 1)
+    assert(got.map(p => (p.column, p.categories, p.counts, p.otherCount))
+      == Seq(("c1", Seq("x"), Seq(3L), 1L), ("c2", Seq("m"), Seq(2L), 1L)),
+      got.toString)
+  }
+
   test("property: PSI is non-negative, zero on identical proportions, floor-safe") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val counts = Gen.listOfN(8, Gen.choose(0L, 10000L))

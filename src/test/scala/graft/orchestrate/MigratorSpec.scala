@@ -496,6 +496,44 @@ class MigratorSpec extends SparkFunSuite {
         "psi-threshold" -> "1000"), 4L) == 0)
   }
 
+  test("dq categorical PSI gate: --psi-cols on a STRING column records the mix and catches a category shift") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("dqpsicat")
+    val reports = s"$dir/reports"
+    def run(path: String, extra: Map[String, String], at: Long): Int =
+      graft.MigrateCli.runDq(s,
+        Map("report-dir" -> reports) ++ extra,
+        graft.model.MigrationConfig(mode = "dq", sourcePath = path), at)
+
+    val cats = Seq("us", "eu", "ap", "sa")
+    val base = (0 until 2000).map(i => (i.toLong, cats(i % 4)))
+      .toDF("id", "region")
+    base.write.parquet(s"$dir/b.parquet")
+    // a string --psi-cols column routes to the categorical profile
+    assert(run(s"$dir/b.parquet", Map("psi-cols" -> "region"), 1L) == 0)
+    val baseline = s"$reports/dq_report_1.json"
+    val txt = Files.readString(Paths.get(baseline))
+    assert(txt.contains("\"cats\"") && txt.contains("\"categories\"") &&
+      !txt.contains("\"hist\""), txt.take(400))
+
+    // same mix re-gated: quiet
+    assert(run(s"$dir/b.parquet", Map("baseline" -> baseline), 2L) == 0)
+
+    // category MIX collapse inside identical category set / row count /
+    // completeness — only the categorical PSI rule can fail this gate
+    val collapsed = (0 until 2000).map { i =>
+      (i.toLong, if (i < 1700) "us" else cats(1 + i % 3))
+    }.toDF("id", "region")
+    collapsed.write.parquet(s"$dir/c.parquet")
+    assert(run(s"$dir/c.parquet",
+      Map("baseline" -> baseline, "drift-tolerance" -> "1"), 3L) == 1,
+      "the categorical PSI rule must fail the gate on a mix collapse")
+    assert(run(s"$dir/c.parquet",
+      Map("baseline" -> baseline, "drift-tolerance" -> "1",
+        "psi-threshold" -> "1000"), 4L) == 0)
+  }
+
   test("report JSON carries reference field names") {
     val (dir, ckpt, mig) = freshEnv()
     val dest = s"$dir/dest/lineitem"

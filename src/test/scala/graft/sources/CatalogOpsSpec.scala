@@ -229,6 +229,46 @@ class CatalogOpsSpec extends SparkFunSuite {
     } finally CatalogOps.dropEpochIndex(s, ref)
   }
 
+  test("epoch views: recovery REFUSES when unmarked orphans sit ABOVE an adopted epoch (ADVICE r19)") {
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    val ref = TableRef("graft_test", "epoch_coexist")
+    try {
+      CatalogOps.dropEpochIndex(s, ref)
+      // marked __e0 (a completed adoption) AND an unmarked __e2 ABOVE
+      // it, view unbound — a partial dropEpochIndex crash or a
+      // manually dropped view. __e2 could be a COMPLETE newer epoch
+      // whose binding was lost; auto-dropping it would silently
+      // regress the index to the stale adopted snapshot. Recovery must
+      // refuse loudly, leaving both orphans for the operator.
+      Seq((1L, "adopted")).toDF("k", "v")
+        .write.saveAsTable(CatalogOps.epochRef(ref, 0).qualified)
+      s.sql(s"ALTER TABLE ${CatalogOps.epochRef(ref, 0).qualified} " +
+        "SET TBLPROPERTIES ('graft.epoch.adopted'='true')")
+      Seq((2L, "newer")).toDF("k", "v")
+        .write.saveAsTable(CatalogOps.epochRef(ref, 2).qualified)
+      val e = intercept[IllegalStateException] {
+        CatalogOps.publishEpoch(s, ref)(t =>
+          Seq((3L, "x")).toDF("k", "v").write.saveAsTable(t.qualified))
+      }
+      assert(e.getMessage.contains("ABOVE adopted epoch 0"), e.getMessage)
+      assert(CatalogOps.tableExists(s, CatalogOps.epochRef(ref, 0)) &&
+        CatalogOps.tableExists(s, CatalogOps.epochRef(ref, 2)),
+        "refusal must not drop either orphan")
+      assert(!CatalogOps.tableExists(s, ref), "refusal must not rebind")
+      // after the operator resolves the ambiguity (here: drops the
+      // higher orphan as torn), recovery proceeds normally — rebind
+      // over the adoption, publish as the next epoch
+      CatalogOps.dropTable(s, CatalogOps.epochRef(ref, 2))
+      CatalogOps.publishEpoch(s, ref)(t =>
+        Seq((4L, "fresh")).toDF("k", "v").write.saveAsTable(t.qualified))
+      assert(CatalogOps.currentEpoch(s, ref).contains(1L))
+      assert(s.table(ref.qualified).as[(Long, String)].collect().toSeq ==
+        Seq((4L, "fresh")))
+    } finally CatalogOps.dropEpochIndex(s, ref)
+  }
+
   test("epoch views: base names carrying the reserved __e infix are rejected") {
     val s = spark
     s.sql("CREATE DATABASE IF NOT EXISTS graft_test")

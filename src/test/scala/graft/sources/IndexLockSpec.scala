@@ -74,4 +74,29 @@ class IndexLockSpec extends SparkFunSuite {
     assert(IndexLock.canonicalKey(s, "myindex:v2") == "myindex:v2")
     IndexLock.withWriterLock(s, "myindex:v2") { () }
   }
+
+  test("bare single-segment dir keys canonicalize as PATHS: all four documented spellings share one lock (VERDICT r19)") {
+    val s = spark
+    // 'idx' is NOT a db.table identifier pair, so it is a relative dir
+    // key and must qualify like './idx' — pre-r20 the bare spelling
+    // took the catalog branch (lower-cased verbatim) and got its OWN
+    // lock file: the under-locking corner the r19 advisory flagged
+    val cwd = new java.io.File(".").getCanonicalPath
+    val bare = IndexLock.canonicalKey(s, "ilk_bare_probe")
+    assert(bare == IndexLock.canonicalKey(s, "./ilk_bare_probe"), bare)
+    assert(bare == IndexLock.canonicalKey(s, s"$cwd/ilk_bare_probe"), bare)
+    assert(bare == IndexLock.canonicalKey(s, s"file:$cwd/ilk_bare_probe"),
+      bare)
+    // bare-key canonicalization must not leak case-folding: a dir name
+    // is case-SENSITIVE, unlike a catalog identifier
+    assert(IndexLock.canonicalKey(s, "Ilk_Bare_Probe") != bare,
+      "dir keys must stay case-sensitive")
+    // nested acquire across the bare and dotted-relative spellings
+    IndexLock.withWriterLock(s, "ilk_bare_probe") {
+      IndexLock.withWriterLock(s, "./ilk_bare_probe") { () }
+    }
+    // multi-part catalog identifiers still take the catalog branch
+    assert(IndexLock.canonicalKey(s, "Graft_Test.Band_IDX") ==
+      "graft_test.band_idx")
+  }
 }

@@ -72,6 +72,110 @@ class ScratchVacuumSpec extends SparkFunSuite {
     assert(own.exists() && new java.io.File(e0, "_SUCCESS").exists())
   }
 
+  test("vacuum ages by the DEEP newest mtime: a nested writer keeps its scratch alive (ADVICE r19)") {
+    val root = tmpDir("vac_nested")
+    // the Graph checkpoint layout: <entry>/<round dir>/<part files>.
+    // POSIX dir mtime only changes on DIRECT-child create/delete, so a
+    // writer landing files inside round subdirectories never refreshes
+    // the top-level entry — an entry-mtime-only sweep would delete
+    // another JVM's scratch mid-job.
+    val live = new java.io.File(root, s"graft_ck_${Hash}_$DeadNonce")
+    val round = new java.io.File(live, "r7")
+    round.mkdirs()
+    Files.writeString(Paths.get(round.toString, "part-00000"), "x")
+    val old = System.currentTimeMillis() - (48 * 3600e3).toLong
+    // entry AND round dir look ancient; only the grandchild FILE is
+    // fresh — exactly what a long-running nested writer produces
+    assert(live.setLastModified(old) && round.setLastModified(old))
+    val got = Scratch.vacuum(root, olderThanHours = 24, apply = true)
+    assert(got.map(_.action) == Seq("kept_young"), got.toString)
+    assert(new java.io.File(round, "part-00000").exists())
+  }
+
+  test("vacuum reports delete_failed (never a false 'deleted') and the CLI exits 1") {
+    val root = tmpDir("vac_fail")
+    val stuck = mk(root, s"graft_stuck_${Hash}_$DeadNonce", ageHours = 48)
+    val victim = new java.io.File(stuck, "part-00000.parquet")
+    // chattr +i makes the child undeletable even for root; skip the
+    // case (not fail it) where the filesystem lacks immutable support
+    def chattr(flag: String): Boolean =
+      new ProcessBuilder("chattr", flag, victim.toString)
+        .start().waitFor() == 0
+    assume(chattr("+i"), "chattr +i unsupported here")
+    try {
+      val got = Scratch.vacuum(root, olderThanHours = 24, apply = true)
+      assert(got.map(_.action) == Seq("delete_failed"), got.toString)
+      assert(victim.exists(), "the undeletable entry must survive")
+      // the CLI contract: "exit 0 unless a delete itself failed"
+      val reports = tmpDir("vac_fail_reports")
+      val code = graft.MigrateCli.runVacuum(
+        Map("report-dir" -> reports, "age-hours" -> "24",
+          "apply" -> "true"),
+        graft.model.MigrationConfig(mode = "vacuum", sourcePath = root))
+      assert(code == 1, "a failed delete must exit nonzero")
+      val report = new java.io.File(reports).listFiles()
+        .filter(_.getName.startsWith("vacuum_report_")).maxBy(_.getName)
+      assert(Files.readString(report.toPath).contains("delete_failed"))
+    } finally {
+      chattr("-i")
+      ()
+    }
+  }
+
+  test("vacuumCatalog: a group whose every stat THREW is skipped_stat_failed, not expired (ADVICE r19)") {
+    val s = spark
+    import s.implicits._
+    val db = "graft_scratch_statfail"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      val dead = s"graft_tmp_${Hash}_$DeadNonce"
+      Seq(1L).toDF("k").write.mode("overwrite").saveAsTable(s"$db.$dead")
+      // every member's stat RAISES (transient S3 fault, permission
+      // error): zero age samples must degrade to a loud skip, never to
+      // "expired" — the group could be another JVM's LIVE scratch
+      val got = Scratch.vacuumCatalog(s, db, olderThanHours = 0,
+        apply = true,
+        statMtime = (_, _) => throw new java.io.IOException("s3 hiccup"))
+      assert(got.map(e => (e.path.split("\\.").last, e.action)) ==
+        Seq(dead -> "skipped_stat_failed"), got.toString)
+      assert(s.catalog.tableExists(s"$db.$dead"),
+        "a stat-failed group must survive the sweep")
+      // location genuinely ABSENT (stat returned None, nothing threw):
+      // pure debris, still treated as expired
+      val gone = Scratch.vacuumCatalog(s, db, olderThanHours = 0,
+        apply = true, statMtime = (_, _) => None)
+      assert(gone.map(e => (e.path.split("\\.").last, e.action)) ==
+        Seq(dead -> "deleted"), gone.toString)
+      assert(!s.catalog.tableExists(s"$db.$dead"))
+    } finally s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
+  test("purge and the shutdown-hook path delete through the Hadoop FS (file:-scheme scratch root)") {
+    // the r19 verdict's finding: purge/rm went through java.io.File,
+    // which silently no-ops on any non-local (or scheme-spelled) root.
+    // A file:-scheme graft.scratch.dir proves the routing: the old
+    // code's java.io.File("file:/…") named a nonexistent relative path
+    // and left the scratch behind.
+    val base = tmpDir("scratch_fs_root")
+    val prev = sys.props.get("graft.scratch.dir")
+    sys.props("graft.scratch.dir") = s"file:$base"
+    try {
+      val d = Scratch.dir("fs_route", "k1")
+      assert(d.startsWith("file:"), d)
+      val sub = new java.io.File(base,
+        new org.apache.hadoop.fs.Path(d).getName)
+      new java.io.File(sub, "r1").mkdirs()
+      Files.writeString(Paths.get(sub.toString, "r1", "part-0"), "x")
+      Scratch.purge(d)
+      assert(!sub.exists(), "purge must resolve file:-scheme paths " +
+        "through the Hadoop filesystem")
+    } finally {
+      prev.fold { sys.props.remove("graft.scratch.dir"); () } { v =>
+        sys.props("graft.scratch.dir") = v; ()
+      }
+    }
+  }
+
   test("vacuumCatalog: dead-nonce tables and epoch groups dropped; own-nonce and real names kept") {
     val s = spark
     import s.implicits._
