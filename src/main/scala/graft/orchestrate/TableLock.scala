@@ -1,7 +1,7 @@
 package graft.orchestrate
 
 import java.nio.ByteBuffer
-import java.nio.channels.{FileChannel, FileLock, OverlappingFileLockException}
+import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
@@ -15,47 +15,87 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * finally-release (SURVEY.md A39 quirk); here [[withLock]] guarantees
   * release (designed fix).
   *
+  * ONE OPEN FD PER LOCK FILE PER PROCESS — the load-bearing rule.
+  * `FileChannel` locks are POSIX record locks on Linux, and POSIX drops
+  * EVERY lock a process holds on a file the moment ANY fd of that
+  * process referring to the file is closed — even a read-only probe's.
+  * A prior revision opened a verification fd right after acquiring (and
+  * a probe fd on every contended retry); each close silently released
+  * the held lock at the OS level, so two PROCESSES could both "hold"
+  * the lock — in-JVM tests stayed green because the JVM arbitrates
+  * same-process contention in its own lock table, masking the loss.
+  * Found by CrossProcessSoakSpec (two real JVMs corrupted one epoch
+  * store); mechanism isolated by a two-process probe: tryLock excludes
+  * correctly until a second fd is opened and closed. Therefore:
+  *  - same-JVM contention is arbitrated by a process-wide GATE (one
+  *    `ReentrantLock` per absolute lock path) — waiting threads never
+  *    open the file at all;
+  *  - only the gate holder opens the file (exactly one fd) and flocks
+  *    it for CROSS-process arbitration;
+  *  - [[isLocked]] takes the gate before probing, so its probe fd can
+  *    never coexist with a held lock in this process.
+  *
   * Unlink-race safety: the classic flock pitfall is deleting the lock
   * file while a waiter still holds the old inode — a third process can
-  * create and lock a fresh file at the same path, leaving two "holders".
-  * Two measures close it:
+  * create and lock a fresh file at the same path, leaving two
+  * "holders". Two measures close it:
   *  - [[release]] leaves the file in place (the flock is the mutex; the
   *    file is reusable and its pid+timestamp is refreshed per acquire);
-  *  - [[acquire]] re-verifies, after tryLock succeeds, that the path
-  *    still names the inode it locked (by probing for the JVM's own
-  *    `OverlappingFileLockException` on a second open), retrying if the
-  *    file was unlinked and recreated underneath it. This makes the
-  *    stale-file GC in [[isLocked]] safe.
+  *  - [[acquire]] verifies by INODE (fd-free stats, nothing to close)
+  *    that the path names the same file before the open and after the
+  *    lock; a GC unlink in between surfaces as a key change and the
+  *    acquire retries on a fresh open. (Residual window: the file would
+  *    have to be unlinked and recreated TWICE inside the open→lock
+  *    microseconds with the second recreation reusing the first inode
+  *    number — no shipped code path can unlink the same lock file twice
+  *    in that window, and the stale-GC deletes at most once per dead
+  *    pid.) This keeps the stale-file GC in [[isLocked]] safe.
   */
 final class TableLock(lockDir: String, db: String, table: String,
     timeoutSec: Double = 3600.0, retrySec: Double = 5.0) {
 
   val path: Path = Paths.get(lockDir, s"${db}_${table}.lock")
   @volatile private var channel: FileChannel = _
-  @volatile private var lock: FileLock = _
+  @volatile private var lock: java.nio.channels.FileLock = _
+  @volatile private var gated: Boolean = false
+
+  private def gate = TableLock.gateFor(path)
+
+  /** Inode identity of whatever `path` currently names (a stat, never
+    * an open — nothing to close, no lock to drop). None = no file.
+    */
+  private def fileKey(): Option[AnyRef] =
+    try Option(Files.readAttributes(path,
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+    catch { case _: java.io.IOException => None }
 
   /** Non-blocking probe, like the reference's `is_locked` (lock.py:76-101).
     * As in the reference, a probe that finds the lock file unheld checks
     * the recorded pid and garbage-collects the file if that process is
     * dead (or the content is unreadable), so crash leftovers don't carry
-    * stale pid/timestamp diagnostics forever.
+    * stale pid/timestamp diagnostics forever. Gate-guarded: if this
+    * process holds (or is acquiring) the lock, report true WITHOUT
+    * opening a probe fd — the probe's close would release our own lock.
     */
   def isLocked: Boolean = {
-    if (!Files.exists(path)) return false
-    val ch =
-      try FileChannel.open(path, StandardOpenOption.WRITE, StandardOpenOption.READ)
-      catch { case _: java.nio.file.NoSuchFileException => return false }
+    val g = gate
+    if (g.isHeldByCurrentThread || !g.tryLock()) return true
     try {
-      val l = try ch.tryLock()
-      catch { case _: OverlappingFileLockException => null }
-      if (l == null) true
-      else {
-        try {
-          if (isStale(ch)) Files.deleteIfExists(path)
-        } finally l.release()
-        false
-      }
-    } finally ch.close()
+      if (!Files.exists(path)) return false
+      val ch =
+        try FileChannel.open(path, StandardOpenOption.WRITE, StandardOpenOption.READ)
+        catch { case _: java.nio.file.NoSuchFileException => return false }
+      try {
+        val l = ch.tryLock()
+        if (l == null) true
+        else {
+          try {
+            if (isStale(ch)) Files.deleteIfExists(path)
+          } finally l.release()
+          false
+        }
+      } finally ch.close()
+    } finally g.unlock()
   }
 
   /** The recorded pid is dead or the content is unparseable
@@ -77,62 +117,76 @@ final class TableLock(lockDir: String, db: String, table: String,
     } catch { case _: Exception => true }
   }
 
-  /** Acquire with timeout/retry (lock.py:27-57). Returns false on timeout. */
+  /** Acquire with timeout/retry (lock.py:27-57). Returns false on timeout.
+    * Two levels: the process-wide gate first (same-JVM threads queue
+    * here, fd-free), then the flock (cross-process). Reentrancy is the
+    * CALLER's tier (graft.sources.IndexLock keys it on the canonical
+    * index identity) — a same-thread re-acquire at this tier would open
+    * a second fd on a file whose lock this process holds, so it fails
+    * loud instead of silently dropping the lock.
+    */
   def acquire(): Boolean = {
     Files.createDirectories(path.getParent)
     val deadline = System.nanoTime() + (timeoutSec * 1e9).toLong
+    val g = gate
+    if (g.isHeldByCurrentThread) {
+      // a same-thread second acquire on one path can never succeed
+      // (this thread would have to release first), and the reentrant
+      // gate would wave it through to a second fd — which would drop
+      // our own held flock. Wait out the deadline and report timeout,
+      // the same observable behavior the flock retry loop had.
+      Thread.sleep(math.max(0L, (deadline - System.nanoTime()) / 1000000L))
+      return false
+    }
+    val remaining = math.max(0L, deadline - System.nanoTime())
+    if (!g.tryLock(remaining, java.util.concurrent.TimeUnit.NANOSECONDS))
+      return false
+    // gate held: this thread is the only one in this JVM touching the
+    // file — exactly one fd exists below, and no sibling probe can
+    // close one under us
     while (true) {
-      val ch = FileChannel.open(path,
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      val l = try ch.tryLock()
-      catch { case _: OverlappingFileLockException => null }
-      if (l != null && pathStillNamesLockedFile()) {
-        val info = s"""{"pid": ${ProcessHandle.current().pid()}, "time": ${System.currentTimeMillis() / 1000}}"""
-        ch.truncate(0)
-        ch.write(ByteBuffer.wrap(info.getBytes(StandardCharsets.UTF_8)), 0L)
-        ch.force(true)
-        channel = ch
-        lock = l
-        return true
+      val k0 = fileKey().getOrElse {
+        try Files.createFile(path)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        fileKey().orNull
       }
-      if (l != null) l.release() // locked an orphaned inode — retry fresh
-      ch.close()
-      // Deadline applies to EVERY retry path. The orphaned-inode branch
-      // can recur (another process may keep unlinking/recreating the
-      // file), so without this check it could spin past the configured
-      // timeout; a short backoff keeps the spin from being a busy loop
-      // while staying much faster than the contended-path pacing.
-      if (System.nanoTime() > deadline) return false
-      if (l == null) Thread.sleep((retrySec * 1000).toLong) // contended
-      else Thread.sleep(10L) // orphan retry: brief backoff
+      if (k0 != null) {
+        val ch =
+          try FileChannel.open(path, StandardOpenOption.WRITE)
+          catch { case _: java.nio.file.NoSuchFileException => null }
+        if (ch != null) {
+          val l = ch.tryLock()
+          if (l != null && fileKey().contains(k0)) {
+            val info = s"""{"pid": ${ProcessHandle.current().pid()}, "time": ${System.currentTimeMillis() / 1000}}"""
+            ch.truncate(0)
+            ch.write(ByteBuffer.wrap(info.getBytes(StandardCharsets.UTF_8)), 0L)
+            ch.force(true)
+            channel = ch
+            lock = l
+            gated = true
+            return true
+          }
+          if (l != null) l.release() // locked an orphaned inode — retry fresh
+          ch.close()
+          if (System.nanoTime() > deadline) { g.unlock(); return false }
+          if (l == null) Thread.sleep((retrySec * 1000).toLong) // peer process holds
+          else Thread.sleep(10L) // orphan retry: brief backoff
+        } else if (System.nanoTime() > deadline) { g.unlock(); return false }
+        else Thread.sleep(10L) // file unlinked between stat and open
+      } else if (System.nanoTime() > deadline) { g.unlock(); return false }
+      else Thread.sleep(10L) // could not stat or create — brief backoff
     }
     false
   }
 
-  /** After tryLock succeeded on our channel, confirm the path still names
-    * the locked inode: a second open+tryLock on the same file throws
-    * `OverlappingFileLockException` (we already hold it); succeeding or
-    * blocking instead means the file was unlinked and recreated.
-    */
-  private def pathStillNamesLockedFile(): Boolean = {
-    val probe =
-      try FileChannel.open(path, StandardOpenOption.WRITE)
-      catch { case _: java.nio.file.NoSuchFileException => return false }
-    try {
-      val l2 = try probe.tryLock()
-      catch { case _: OverlappingFileLockException => return true }
-      if (l2 != null) l2.release()
-      false
-    } finally probe.close()
-  }
-
-  /** Release the flock; the file stays behind (see class doc — deleting
-    * it here is the unlink race the reference's release+unlink had,
-    * lock.py:59-74).
+  /** Release the flock, then the gate; the file stays behind (see class
+    * doc — deleting it here is the unlink race the reference's
+    * release+unlink had, lock.py:59-74).
     */
   def release(): Unit = {
     if (lock != null) { lock.release(); lock = null }
     if (channel != null) { channel.close(); channel = null }
+    if (gated) { gated = false; gate.unlock() }
   }
 
   /** Scoped acquire/release — the finally the reference forgot. */
@@ -141,4 +195,19 @@ final class TableLock(lockDir: String, db: String, table: String,
       throw new IllegalStateException(s"timeout acquiring lock for $db.$table")
     try body finally release()
   }
+}
+
+object TableLock {
+  /** Process-wide gates, one per ABSOLUTE lock path: same-JVM
+    * arbitration that never touches the file. Entries are one small
+    * object per distinct lock file (tables + standing indexes — a
+    * bounded set); they live for the JVM.
+    */
+  private val gates =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.locks.ReentrantLock]()
+
+  private def gateFor(p: Path): java.util.concurrent.locks.ReentrantLock =
+    gates.computeIfAbsent(p.toAbsolutePath.toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
 }
