@@ -28,8 +28,12 @@ object CrossProcessSoak {
       (loS.toLong, hiS.toLong, wavesS.toInt, everyS.toInt)
     require(lo < hi && waves >= 1, s"bad range [$lo,$hi) x $waves")
     val pid = ProcessHandle.current().pid()
-    val spark = SparkSession.builder()
-      .master("local[4]")
+    // SPARK_GRAFT_MASTER lets the chaos harness run one of these under
+    // real multi-JVM executors (local-cluster[n,c,mem]) and kill an
+    // executor mid-ingest; same classpath-shipping move as Verify/Bench
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]")
+    val b = SparkSession.builder()
+      .master(master)
       .appName(s"graft-xsoak-$lo")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -39,10 +43,24 @@ object CrossProcessSoak {
       // cycles overlap constantly, so waiting on the peer's flock is
       // the expected steady state, not a stuck-writer signal
       .config(graft.sources.IndexLock.TimeoutConf, "600")
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster"))
+      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    else b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       val emb = spark.read.parquet(embParquet)
+      // standalone (chaos-harness) convenience: seed epoch 0 over
+      // vec_id < lo when the index doesn't exist yet. The soak spec
+      // seeds before forking, so contending processes never race this.
+      val cellsPath = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+      val cfs = cellsPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!cfs.exists(cellsPath)) {
+        require(lo > 0, "seeding needs lo > 0 (seed corpus is vec_id < lo)")
+        graft.operators.Similarity.writeIvfIndex(
+          emb.filter(col("vec_id") < lo), indexPath, nlist = 8)
+        println(s"[xsoak] pid=$pid seeded [0,$lo)")
+      }
       val per = math.max(1L, (hi - lo) / waves)
       (0 until waves).foreach { w =>
         val a = lo + w * per
