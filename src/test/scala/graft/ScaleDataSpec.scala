@@ -86,6 +86,54 @@ class ScaleDataSpec extends SparkFunSuite {
     assert((0L until n.toLong).exists(i => !orig(i).sameElements(flip(i))))
   }
 
+  test("copyPermutation: valid bijections, shift-compatible below 26, discordant") {
+    val alphabet = ('a' to 'z').mkString
+    val perms = (0 until 100).map(ScaleData.copyPermutation)
+    // every copy map is a permutation of a-z
+    perms.foreach(p => assert(p.sorted == alphabet, s"not a bijection: $p"))
+    // copies 0..25 are the historical plain Caesar shifts (content-hash
+    // compatibility with the r9..r19 scaled corpora)
+    (0 until 26).foreach { i =>
+      assert(perms(i) == alphabet.drop(i) + alphabet.take(i))
+    }
+    def agreements(a: String, b: String): Int = a.zip(b).count { case (x, y) => x == y }
+    // same-group pairs: discordant at EVERY letter (provable leg)
+    for (g <- 0 until 3; i <- 0 until 26; j <- (i + 1) until 26)
+      assert(agreements(perms(g * 26 + i), perms(g * 26 + j)) == 0)
+    // cross-group pairs: a random relabel composed with a shift agrees at
+    // ~1 letter in expectation; bound the worst pair so a degenerate seed
+    // (the vowel-permutation failure mode) can never sneak back in
+    val worst = (for (i <- 0 until 100; j <- (i + 1) until 100)
+      yield agreements(perms(i), perms(j))).max
+    assert(worst <= 6, s"agreement set too large: $worst letters")
+  }
+
+  test("factor > 26: cross-copy shingle disjointness holds on real corpus text") {
+    // The statistical leg of the design, checked on the actual data at
+    // factor 30 (copies span two shuffle groups). Cross-group
+    // permutations agree at ~1 letter, so a SINGLE-LETTER word can
+    // coincide across copies (observed: 'i'/'j'/'s'/'v', one pair each) —
+    // but the dedup/contamination candidates come from word 3-GRAM
+    // shingles, which collide only if three CONSECUTIVE words all
+    // collide. Assert the property the scale measurements depend on: no
+    // shingle appears in more than one copy, hence LSH candidate counts
+    // stay linear in the number of copies.
+    val dir = tmpDir("scale30x_docs")
+    ScaleData.generate(spark, sf0001, dir, 30, Some(Set("documents")))
+    assert(!new java.io.File(s"$dir/orders.parquet").exists(),
+      "table subset leaked: orders generated")
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+    val stride = src.agg(max("doc_id")).head().getLong(0) + 1
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(docs.count() == 30 * src.count())
+    val crossCopy = graft.operators.Dedup
+      .shingleRelation(docs, "doc_id", "text")
+      .select((col("id") / lit(stride)).cast("long").as("copy"), col("shingle"))
+      .groupBy("shingle").agg(countDistinct("copy").as("copies"))
+      .filter(col("copies") > 1)
+    assert(crossCopy.count() == 0, "a shingle leaked across copies")
+  }
+
   test("regeneration is deterministic: per-table content hashes reproduce") {
     // The scaled datasets live in /tmp (ephemeral), so the SCALING.md
     // evidence is only reproducible if a REGENERATED dataset provably
