@@ -133,7 +133,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     val spark = (if (master.startsWith("local-cluster"))
-      b0.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      b0.config("spark.executor.extraClassPath", SparkLaunch.executorClasspath)
     else b0).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

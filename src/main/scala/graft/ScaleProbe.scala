@@ -50,6 +50,50 @@ object ScaleProbe {
       println("=== executed plan (post-AQE) ===")
       println(df.queryExecution.executedPlan.toString.take(60000))
     }
+    // Law-bearing COUNTS (not timings) at one SF dir: the quantities the
+    // 100 TB claims say track the corpus linearly. Run at each scale
+    // decade and ratio the counts — a wall-clock ratio says how this BOX
+    // behaved; a candidate-count ratio is the algorithm's law itself,
+    // host-independent. Prints one JSON line.
+    if (what == "lawcounts") {
+      val docs = Sources.table(spark, sfDir, "documents")
+      val nDocs = docs.count()
+      val rel = Dedup.shingleRelation(docs, "doc_id", "text")
+      val nShingle = rel.count()
+      // d_minhash's exact stages: 6 bands x 2 rows, verify at 0.5
+      val nCand = Dedup.lshCandidates(Dedup.bandsFromRelation(rel, 6, 2)).count()
+      val nPairs = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5).count()
+      val e = Sources.table(spark, sfDir, "embeddings")
+      val nEmb = e.count()
+      // s_embed_neardup_scaled's candidate stage under the geometry
+      // chooseGeometry picks for THIS corpus size (the query's budget law)
+      val geom = Similarity.chooseGeometry(n = nEmb, threshold = 0.9,
+        recallTarget = 0.9)
+      val bits = geom.bands * geom.bandBits
+      val sig = e.select(col("vec_id").as("id"),
+        Similarity.signSignature(col("embedding"), bits).as("sig"))
+      val bandStructs = (0 until geom.bands).map { b =>
+        struct(lit(b).as("band"),
+          col("sig").substr(b * geom.bandBits + 1, geom.bandBits).as("key"))
+      }
+      val probes = sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val nEmbCand = probes.as("x").join(probes.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id"), col("y.id")).distinct().count()
+      // d_semantic's verify budget: sum |cell|*(|cell|-1)/2 over the
+      // query's own k-means cells (nlist=16, iters=2)
+      val cents = Similarity.trainCentroidsLiteral(e, 16, 2, "vec_id", "embedding")
+      val cellPairs = Similarity.assignCells(e, cents, "vec_id", "embedding")
+        .groupBy("cell").count()
+        .agg(sum(col("count") * (col("count") - lit(1)) / lit(2)).cast("long"))
+        .head().getLong(0)
+      println(s"""{"sf":"$sfDir","docs":$nDocs,"shingle_rows":$nShingle,""" +
+        s""""minhash_candidates":$nCand,"minhash_pairs":$nPairs,""" +
+        s""""embeddings":$nEmb,"geom":"${geom.bands}x${geom.bandBits}",""" +
+        s""""embed_candidates":$nEmbCand,"semantic_cell_pairs":$cellPairs}""")
+    }
     if (what == "spanstages") {
       import org.apache.spark.sql.functions.{substring => ssub, _}
       val docs = Sources.table(spark, sfDir, "documents")

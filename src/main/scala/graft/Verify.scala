@@ -22,7 +22,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = (if (master.startsWith("local-cluster"))
-      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      b.config("spark.executor.extraClassPath", SparkLaunch.executorClasspath)
     else b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

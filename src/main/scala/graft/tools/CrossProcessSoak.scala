@@ -44,7 +44,7 @@ object CrossProcessSoak {
       // the expected steady state, not a stuck-writer signal
       .config(graft.sources.IndexLock.TimeoutConf, "600")
     val spark = (if (master.startsWith("local-cluster"))
-      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      b.config("spark.executor.extraClassPath", graft.SparkLaunch.executorClasspath)
     else b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
