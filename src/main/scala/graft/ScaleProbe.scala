@@ -89,10 +89,41 @@ object ScaleProbe {
         .groupBy("cell").count()
         .agg(sum(col("count") * (col("count") - lit(1)) / lit(2)).cast("long"))
         .head().getLong(0)
+      // The r20 FIXES' laws, measured beside the quadratics they
+      // replace: the width-scaled geometry's candidates (constant
+      // per-item budget → linear) and the √n-cell verify pairs (n^1.5).
+      val wGeom = Similarity.chooseGeometryWide(nEmb, threshold = 0.9,
+        recallTarget = 0.9)
+      val wPlanes = Similarity.rademacherPlanes(
+        wGeom.bands * wGeom.bandBits, 64, 42L)
+      val wSig = e.select(col("vec_id").as("id"),
+        graft.plans.FloatVecOps.rademacherSig(col("embedding"), wPlanes)
+          .as("sig"))
+      val wStructs = (0 until wGeom.bands).map { b =>
+        struct(lit(b).as("band"),
+          col("sig").substr(b * wGeom.bandBits + 1, wGeom.bandBits).as("key"))
+      }
+      val wProbes = wSig.select(col("id"), explode(array(wStructs: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val nWideCand = wProbes.as("x").join(wProbes.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id"), col("y.id")).distinct().count()
+      val autoNlist = Dedup.chooseNlist(nEmb)
+      val autoCents = Similarity.trainCentroidsLiteral(
+        e, autoNlist, 2, "vec_id", "embedding")
+      val autoCellPairs = Similarity.assignCells(
+          e, autoCents, "vec_id", "embedding")
+        .groupBy("cell").count()
+        .agg(sum(col("count") * (col("count") - lit(1)) / lit(2)).cast("long"))
+        .head().getLong(0)
       println(s"""{"sf":"$sfDir","docs":$nDocs,"shingle_rows":$nShingle,""" +
         s""""minhash_candidates":$nCand,"minhash_pairs":$nPairs,""" +
         s""""embeddings":$nEmb,"geom":"${geom.bands}x${geom.bandBits}",""" +
-        s""""embed_candidates":$nEmbCand,"semantic_cell_pairs":$cellPairs}""")
+        s""""embed_candidates":$nEmbCand,"semantic_cell_pairs":$cellPairs,""" +
+        s""""wide_geom":"${wGeom.bands}x${wGeom.bandBits}",""" +
+        s""""wide_candidates":$nWideCand,"auto_nlist":$autoNlist,""" +
+        s""""auto_cell_pairs":$autoCellPairs}""")
     }
     if (what == "spanstages") {
       import org.apache.spark.sql.functions.{substring => ssub, _}

@@ -810,6 +810,47 @@ object Dedup {
         col("witness").isNull.as("keep"))
   }
 
+  /** Cell count for [[semanticDedupAuto]]: `⌈√(n·r/2)⌉` clamped to
+    * `[minNlist, maxNlist]`, with `r` = the cost of verifying one
+    * in-cell pair relative to one assignment cosine.
+    *
+    * Why √n: with `nlist` cells the operator pays `n·nlist` cosines to
+    * ASSIGN and `~n²/(2·nlist)` pair verifications INSIDE cells — a
+    * FIXED nlist makes the verify side quadratic (measured on this
+    * repo's sf0.1→sf1→sf10 decades at nlist=16: 124.6k → 12.49M →
+    * 1.25G cell pairs, exactly 100× per decade, which at the third
+    * decade turned an 11 s query into 407 s). Minimizing
+    * `n·nlist + r·n²/(2·nlist)` gives `nlist* = √(n·r/2)`, so the
+    * total grows as `n^1.5` — the best a flat centroid list can do;
+    * truly linear ingest belongs to the persisted-index incremental
+    * path ([[semanticDedupAgainstIndex]]), whose per-batch cost rides
+    * the batch, not the corpus. The floor keeps small corpora on the
+    * oracle-replayed 16-cell recipe ([[semanticDedup]]'s default); the
+    * cap bounds the collected centroid literal (4096·dim floats ≈ 1 MB
+    * broadcast).
+    */
+  def chooseNlist(n: Long, verifyCostRatio: Double = 0.5,
+      minNlist: Int = 16, maxNlist: Int = 4096): Int = {
+    require(n >= 0 && verifyCostRatio > 0 && minNlist > 0 &&
+      maxNlist >= minNlist, "bad inputs")
+    math.min(maxNlist, math.max(minNlist,
+      math.ceil(math.sqrt(n.toDouble * verifyCostRatio / 2.0)).toInt))
+  }
+
+  /** [[semanticDedup]] with the cell count CHOSEN FOR THE CORPUS
+    * ([[chooseNlist]]) instead of the fixed teaching default. EAGER at
+    * plan-build time twice over: the corpus is counted here (the
+    * cell-count input), and Lloyd training then runs inside
+    * [[Similarity.trainCentroidsLiteral]] — the same
+    * train-then-search contract, so don't build these speculatively.
+    * At the oracle SF the count resolves `nlist` to the same 16 cells
+    * as [[semanticDedup]]'s default, which is what keeps this variant
+    * hash-checkable against the identical DuckDB replay.
+    */
+  def semanticDedupAuto(emb: DataFrame, tau: Double, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semanticDedup(emb, tau, chooseNlist(emb.count()), iters, idCol, vecCol)
+
   /** INCREMENTAL [[semanticDedup]]: an arriving batch checked against a
     * standing corpus — the semantic twin of [[minhashNearDupsAgainst]].
     * Cells come from the CORPUS's seeded centroids (the

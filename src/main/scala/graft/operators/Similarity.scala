@@ -1157,6 +1157,114 @@ object Similarity {
     options.minBy(_.expectedCandidates) // .reverse above = ties prefer more bits
   }
 
+  /** [[chooseGeometry]]'s WIDTH-SCALED sibling: geometry for
+    * [[nearDupPairsWide]], where the signature is `bands·bandBits`
+    * seeded Rademacher hyperplanes ([[rademacherPlanes]]) rather than a
+    * partition of the raw `dim` sign bits — so `bandBits` can keep
+    * growing with the corpus instead of stopping at `log₂` of the
+    * vector width.
+    *
+    * Why this is the 100 TB form: ANY fixed geometry has expected
+    * candidates ~ `bands·n²/2^bits` — quadratic in n (measured: this
+    * repo's 8×8 geometry read 61.6k → 6.16M → 616.5M candidates across
+    * the sf0.1→sf1→sf10 decades, exactly 100× per decade). Holding
+    * CANDIDATES-PER-ITEM constant instead requires `2^bits ∝ n`, i.e.
+    * `bits ≈ log₂ n` — and recall at the threshold is then restored by
+    * growing `bands` (OR-amplification), paying signature width, which
+    * is LINEAR work per row. Standard S-curve tuning (Leskovec/
+    * Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3).
+    *
+    * Selection rule: for ascending `bits`, `bands` is the smallest
+    * count reaching `recallTarget` (so recall ≥ target by
+    * construction); the first `bits` whose uniform-bucket
+    * candidates-per-item `bands·n/2^bits` fits `candidatesPerItem`
+    * wins (it is also the narrowest feasible signature — both
+    * candidate volume and signature cost fall/rise monotonically).
+    * When nothing fits within `maxBandBits`/`maxBands`, the
+    * least-candidates geometry is returned with
+    * `withinBudget = false` — the same use-IVF-probing signal as
+    * [[chooseGeometry]].
+    *
+    * Cost awareness: holding BOTH recall and the per-item budget,
+    * `bands ≈ ln(1/(1−recall))/pᵇⁱᵗˢ` — signature width grows faster
+    * than `log n` (e.g. ~3.4k planes at n=2·10⁷, ~15k at n=2·10⁹ for
+    * threshold 0.9). The signature is still map-side linear work,
+    * computed once per row and persistable with the corpus, but past
+    * ~10⁹ items per run you'd either relax `candidatesPerItem`
+    * (candidates are cheap to verify relative to a 15k-plane
+    * signature) or move to IVF probing.
+    */
+  def chooseGeometryWide(n: Long, threshold: Double, recallTarget: Double,
+      candidatesPerItem: Double = 64.0, maxBandBits: Int = 40,
+      maxBands: Int = 512): Geometry = {
+    require(n > 0 && threshold > 0.0 && threshold < 1.0,
+      "chooseGeometryWide needs n > 0 and a threshold in (0, 1) — at " +
+        "cos ≤ 0 sign agreement p ≤ 1/2 and wider bands no longer " +
+        "shrink candidates; that regime belongs to IVF probing")
+    require(recallTarget > 0.0 && recallTarget < 1.0, "bad recall target")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val options = (1 to maxBandBits).flatMap { bits =>
+      val pb = math.pow(p, bits.toDouble)
+      val bands = math.max(1,
+        math.ceil(math.log1p(-recallTarget) / math.log1p(-pb)).toInt)
+      if (bands > maxBands) None
+      else {
+        val perItem = bands.toDouble * n.toDouble / math.pow(2.0, bits.toDouble)
+        Some(Geometry(bands, bits, perItem * n.toDouble / 2.0,
+          bandRecall(threshold, bands, bits), perItem <= candidatesPerItem))
+      }
+    }
+    require(options.nonEmpty,
+      s"no geometry within $maxBands bands reaches recall $recallTarget " +
+        s"at threshold $threshold — lower the target or use IVF probing")
+    options.find(_.withinBudget).getOrElse(
+      options.minBy(_.expectedCandidates))
+  }
+
+  /** Seeded Rademacher (±1) hyperplane matrix — collected model state
+    * in the [[trainCentroidsLiteral]] size class: `bits` planes × `dim`
+    * entries, sign p,j drawn from the splitmix64 finalizer of
+    * `seed + p·dim + j` (Steele et al. 2014) so every process, every
+    * round, and the oracle-SQL generator all derive the SAME planes
+    * from `(bits, dim, seed)` — no RNG state, no shipped files.
+    */
+  def rademacherPlanes(bits: Int, dim: Int,
+      seed: Long = 42L): Array[Array[Byte]] = {
+    require(bits > 0 && dim > 0, "bad plane shape")
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(bits, dim)((p, j) =>
+      if (mix(seed + p.toLong * dim + j) < 0L) (-1).toByte else 1.toByte)
+  }
+
+  /** [[nearDupPairs]] over a WIDE Rademacher signature — the variant
+    * whose candidate volume stays linear in corpus size when paired
+    * with [[chooseGeometryWide]] (which see, for the calculus and the
+    * measured quadratic cliff it replaces). Pipeline after the
+    * signature is IDENTICAL to [[nearDupPairs]] (shared
+    * [[bandedPairs]]): slim (band, key) self-join candidates, codegen
+    * double-cosine prefilter, exact-decimal rerank. The signature
+    * itself is one native codegen expression
+    * ([[graft.plans.RademacherSig]]) — `bands·bandBits·dim`
+    * multiply-adds per row, linear map-side work that at 100 TB would
+    * be computed once and persisted with the corpus like the band
+    * index ([[graft.operators.Dedup.writeBandIndex]]).
+    */
+  def nearDupPairsWide(df: DataFrame, threshold: Double, prefilter: Double,
+      geometry: Geometry, seed: Long = 42L, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.FloatVecOps.{floatNorm2, rademacherSig}
+    val planes = rademacherPlanes(geometry.bands * geometry.bandBits, dim, seed)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      rademacherSig(col(vecCol), planes).as("sig"),
+      sqrt(floatNorm2(col(vecCol))).as("nrm"))
+    bandedPairs(base, geometry.bands, geometry.bandBits, threshold, prefilter)
+  }
+
   /** Embedding near-duplicate pairs via OR-amplified banded sign-LSH —
     * the 100-TB shape (round 1 was an all-pairs theta join; this replaces
     * it). Every vector's 64-bit sign signature splits into `bands` bands
@@ -1180,11 +1288,22 @@ object Similarity {
   def nearDupPairs(df: DataFrame, threshold: Double, prefilter: Double,
       bands: Int = 16, bandBits: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.plans.FloatVecOps.{floatDot, floatNorm2}
+    import graft.plans.FloatVecOps.floatNorm2
     // Norms computed once per ROW; vectors stay OUT of the candidate join.
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       signSignature(col(vecCol), bands * bandBits).as("sig"),
       sqrt(floatNorm2(col(vecCol))).as("nrm"))
+    bandedPairs(base, bands, bandBits, threshold, prefilter)
+  }
+
+  /** Shared band-join + verify pipeline of [[nearDupPairs]] /
+    * [[nearDupPairsWide]]: split `sig` into `bands` keys, self-join on
+    * (band, key), distinct, then codegen double-cosine prefilter and
+    * exact-decimal rerank of candidates only.
+    */
+  private def bandedPairs(base: DataFrame, bands: Int, bandBits: Int,
+      threshold: Double, prefilter: Double): DataFrame = {
+    import graft.plans.FloatVecOps.floatDot
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         col("sig").substr(b * bandBits + 1, bandBits).as("key"))

@@ -150,6 +150,12 @@ object SimilarityQueries {
   /** Oracle CTE: exact-decimal cosine for candidate (qid, vid) pairs laid
     * out by the enclosing query as cand(qid, vid, qvec, cvec).
     */
+  /** Seed of the wide-geometry Rademacher planes — one constant shared
+    * by the `s_embed_neardup_wide` query and its oracle generator, so
+    * the two sides can never derive different hyperplanes.
+    */
+  private val WidePlaneSeed = 42L
+
   private val cosCte: String =
     """terms AS (SELECT qid, vid,
       |    CAST(CAST(qvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)
@@ -164,6 +170,64 @@ object SimilarityQueries {
       |      / (sqrt(CAST(sum(qq) AS DOUBLE)) * sqrt(CAST(sum(cc) AS DOUBLE))),
       |      6) AS cos
       |  FROM terms GROUP BY qid, vid)""".stripMargin
+
+  /** Shared oracle of `d_semantic` and `d_semantic_auto` (the latter's
+    * chooseNlist resolves to the same 16 cells at the oracle corpus).
+    */
+  private lazy val dSemanticOracleSql: String =
+    s"""WITH $trainedAssignSql,
+      |cand AS (SELECT x.vid AS qid, y.vid AS vid,
+      |    xe.embedding AS qvec, ye.embedding AS cvec
+      |  FROM assignedF x
+      |  JOIN assignedF y ON x.cell = y.cell AND x.vid < y.vid
+      |  JOIN embeddings xe ON xe.vec_id = x.vid
+      |  JOIN embeddings ye ON ye.vec_id = y.vid),
+      |$cosCte,
+      |wit AS (SELECT vid, min(qid) AS witness
+      |  FROM scored WHERE cos >= 0.4 GROUP BY vid)
+      |SELECT a.vid AS vec_id, a.cell, w.witness,
+      |  w.witness IS NULL AS keep
+      |FROM assignedF a LEFT JOIN wit w ON a.vid = w.vid
+      |ORDER BY vec_id""".stripMargin
+
+  /** Oracle of `s_embed_neardup_wide`, GENERATED for the geometry and
+    * Rademacher planes at the ORACLE corpus size (sf0.01: 500 vectors —
+    * the driver's correctness SF; see the query's comment). Each
+    * signature bit is a left-associated ± chain of the vector's dims
+    * cast to DOUBLE — IEEE-identical to [[graft.plans.RademacherSig]]'s
+    * sequential double accumulation, because multiplying by ±1 and
+    * adding 0.0 are exact.
+    */
+  private lazy val wideOracleSql: String = {
+    val geom = Similarity.chooseGeometryWide(
+      n = 500L, threshold = 0.9, recallTarget = 0.9)
+    val planes = Similarity.rademacherPlanes(
+      geom.bands * geom.bandBits, 64, WidePlaneSeed)
+    val sig = planes.map { row =>
+      val sum = row.zipWithIndex.map { case (sgn, j) =>
+        val term = s"CAST(embedding[${j + 1}] AS DOUBLE)"
+        if (j == 0) { if (sgn > 0) term else s"- $term" }
+        else { if (sgn > 0) s" + $term" else s" - $term" }
+      }.mkString
+      s"(CASE WHEN $sum > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val anyBand = (0 until geom.bands)
+      .map(b => s"substring(a.sig, ${b * geom.bandBits + 1}, " +
+        s"${geom.bandBits}) = substring(b.sig, " +
+        s"${b * geom.bandBits + 1}, ${geom.bandBits})")
+      .mkString(" OR ")
+    s"""WITH v AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+      |cand AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+      |    a.embedding AS qvec, b.embedding AS cvec
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |    AND ($anyBand)
+      |  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 8)
+      |    >= 0.35),
+      |$cosCte
+      |SELECT qid AS id_a, vid AS id_b, cos
+      |FROM scored WHERE cos >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact ANN baseline: top-10 cosine neighbors of query vectors 0-2.
@@ -225,6 +289,21 @@ object SimilarityQueries {
           col("keep"))
         .orderBy("vec_id")),
 
+    // The CELL-SCALED form of the same operator: nlist grows as √n
+    // (Dedup.chooseNlist) instead of staying at the teaching default —
+    // the fix for the measured quadratic (124.6k → 12.49M → 1.25G cell
+    // pairs at fixed nlist=16 across sf0.1→sf1→sf10; 11 s → 407 s at
+    // the third decade). At the oracle corpus (sf0.01, 500 vectors)
+    // chooseNlist resolves to the SAME 16 cells, so this shares
+    // d_semantic's oracle verbatim — at larger corpora the query runs
+    // the right nlist for that n (23 at sf0.1, 71 at sf1, 224 at the
+    // 100× corpus) and total work rides n^1.5, not n².
+    "d_semantic_auto" -> ((s, dir) =>
+      graft.operators.Dedup.semanticDedupAuto(emb(s, dir), tau = 0.4)
+        .select(col("vid").as("vec_id"), col("cell"), col("witness"),
+          col("keep"))
+        .orderBy("vec_id")),
+
     // INCREMENTAL semantic dedup: the last 100 vectors arrive as a
     // batch against the standing corpus (the d_incremental cut idiom).
     // Cells are the corpus's SEEDED centroids — the writeIvfIndex
@@ -263,6 +342,28 @@ object SimilarityQueries {
         s"oracle SQL assumes the 8×8 banding; chooseGeometry picked $geom")
       Similarity.nearDupPairs(e, threshold = 0.4, prefilter = 0.35,
         geom, idCol = "vec_id", vecCol = "embedding")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // The WIDTH-SCALED geometry of the same operator: bandBits keeps
+    // growing with n (seeded Rademacher hyperplanes, not raw dim
+    // signs), which is what keeps candidates-per-item CONSTANT — the
+    // third-decade lawcounts run measured the fixed 8×8 geometry at
+    // 61.6k → 6.16M → 616.5M candidates (exactly 100× per decade,
+    // quadratic; the sf10 run OOM-killed 8 GB executors) where this
+    // geometry's budget holds ≤64 candidates/item at EVERY n by
+    // construction. The geometry is n-adaptive BY DESIGN (4 bands × 5
+    // bits at the 500-vector oracle corpus; 31×17 at the 100× corpus),
+    // so the oracle SQL below is generated for the geometry AND planes
+    // at the ORACLE'S corpus size — oracle comparisons run at sf0.01
+    // (the driver's correctness SF); at other SFs the query simply
+    // runs the right geometry for that n.
+    "s_embed_neardup_wide" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val geom = Similarity.chooseGeometryWide(
+        n = embCount(s, dir), threshold = 0.9, recallTarget = 0.9)
+      Similarity.nearDupPairsWide(e, threshold = 0.4, prefilter = 0.35,
+        geom, seed = WidePlaneSeed, idCol = "vec_id", vecCol = "embedding")
         .orderBy("id_a", "id_b")
     }),
 
@@ -1203,6 +1304,7 @@ object SimilarityQueries {
         |FROM scored WHERE cos >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
     },
+    "s_embed_neardup_wide" -> wideOracleSql,
     "s_ann_recall" -> {
       val bucket = lshBucketSql _
       s"""WITH bcand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
@@ -1345,21 +1447,11 @@ object SimilarityQueries {
         |FROM assigned b JOIN cut ON b.vid >= cut.c
         |LEFT JOIN wit w ON b.vid = w.qid
         |ORDER BY vec_id""".stripMargin,
-    "d_semantic" ->
-      s"""WITH $trainedAssignSql,
-        |cand AS (SELECT x.vid AS qid, y.vid AS vid,
-        |    xe.embedding AS qvec, ye.embedding AS cvec
-        |  FROM assignedF x
-        |  JOIN assignedF y ON x.cell = y.cell AND x.vid < y.vid
-        |  JOIN embeddings xe ON xe.vec_id = x.vid
-        |  JOIN embeddings ye ON ye.vec_id = y.vid),
-        |$cosCte,
-        |wit AS (SELECT vid, min(qid) AS witness
-        |  FROM scored WHERE cos >= 0.4 GROUP BY vid)
-        |SELECT a.vid AS vec_id, a.cell, w.witness,
-        |  w.witness IS NULL AS keep
-        |FROM assignedF a LEFT JOIN wit w ON a.vid = w.vid
-        |ORDER BY vec_id""".stripMargin,
+    "d_semantic" -> dSemanticOracleSql,
+    // d_semantic_auto: chooseNlist at the oracle corpus (500 vectors)
+    // resolves to the same 16 cells as d_semantic's default, so the
+    // replay is IDENTICAL by construction (see the query's comment).
+    "d_semantic_auto" -> dSemanticOracleSql,
     "s_pq_recon" ->
       s"""WITH $pqCtesSql
         |SELECT vid AS vec_id,

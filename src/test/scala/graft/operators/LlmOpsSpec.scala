@@ -861,6 +861,91 @@ class LlmOpsSpec extends SparkFunSuite {
     assert(viaGeom == explicit && viaGeom.nonEmpty)
   }
 
+  test("chooseGeometryWide: candidates-per-item stays constant across decades") {
+    // the law the fixed geometries break (measured 100×/decade in
+    // SCALING.md r20): with width-scaled banding, per-item candidates
+    // are ≤ budget at EVERY n, recall ≥ target by construction, and
+    // the lever is bandBits ≈ log₂ n
+    val ns = Seq(500L, 2000L, 20000L, 200000L, 20000000L, 2000000000L)
+    val geoms = ns.map(n => Similarity.chooseGeometryWide(n, 0.9, 0.9))
+    geoms.zip(ns).foreach { case (g, n) =>
+      assert(g.withinBudget, s"n=$n got $g")
+      assert(g.recall >= 0.9, s"n=$n got $g")
+      assert(2.0 * g.expectedCandidates / n <= 64.0, s"n=$n got $g")
+    }
+    // bits grow (weakly) with n — the only lever that survives scale
+    assert(geoms.map(_.bandBits) == geoms.map(_.bandBits).sorted)
+    assert(geoms.last.bandBits > geoms.head.bandBits)
+    // the oracle anchor the generated s_embed_neardup_wide SQL assumes
+    val anchor = Similarity.chooseGeometryWide(500L, 0.9, 0.9)
+    assert(anchor.bands == 4 && anchor.bandBits == 5, s"got $anchor")
+    // at a cos ≤ 0 threshold wider bands no longer shrink candidates —
+    // contract error, the use-IVF signal
+    assertThrows[IllegalArgumentException] {
+      Similarity.chooseGeometryWide(1000L, -0.1, 0.9)
+    }
+  }
+
+  test("rademacherPlanes: seeded, deterministic, ±1") {
+    val a = Similarity.rademacherPlanes(20, 64, 42L)
+    val b = Similarity.rademacherPlanes(20, 64, 42L)
+    assert(a.length == 20 && a.forall(_.length == 64))
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    assert(a.flatten.forall(s => s == 1 || s == -1))
+    // a different seed gives different planes (not a constant function)
+    val c = Similarity.rademacherPlanes(20, 64, 43L)
+    assert(a.zip(c).exists { case (x, y) => !x.sameElements(y) })
+    // roughly balanced signs (splitmix64 is uniform; 1280 draws)
+    val pos = a.flatten.count(_ == 1)
+    assert(pos > 1280 * 0.4 && pos < 1280 * 0.6, s"pos=$pos")
+  }
+
+  test("RademacherSig codegen matches the Scala reference arithmetic") {
+    val planes = Similarity.rademacherPlanes(20, 64, 42L)
+    val got = emb.select(col("vec_id"),
+        graft.plans.FloatVecOps.rademacherSig(col("embedding"), planes)
+          .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = emb.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val v = r.getSeq[Float](1)
+      r.getLong(0) -> planes.map { row =>
+        var acc = 0.0
+        v.indices.foreach(i => acc += row(i) * v(i).toDouble)
+        if (acc > 0.0) '1' else '0'
+      }.mkString
+    }.toMap
+    assert(got == want && got.nonEmpty)
+    assert(got.values.forall(_.length == 20))
+  }
+
+  test("nearDupPairsWide: exact dups always captured, all pairs verify exactly") {
+    val s = graft.SparkTestBase.spark
+    // plant exact duplicates of real vectors under fresh ids: cos = 1 →
+    // every band matches → capture is certain at any geometry
+    val base = emb.select("vec_id", "embedding").limit(100)
+    val dups = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionAll(dups)
+    val geom = Similarity.chooseGeometryWide(200L, 0.9, 0.9)
+    val out = Similarity.nearDupPairsWide(corpus, threshold = 0.9,
+      prefilter = 0.85, geom).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((i, i + 100000L)), s"planted dup $i missing")
+    }
+    // sound: every emitted pair's exact-decimal cosine clears the
+    // threshold, and no pair appears that brute force would reject
+    assert(out.forall(_.getDouble(2) >= 0.9))
+    val brute = corpus.as("a").join(corpus.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosineExact(col("a.embedding"), col("b.embedding"))
+          .as("cos"))
+      .filter(col("cos") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(brute))
+  }
+
   // ---- MMR ----
 
   test("mmrRerank: demotes the redundant near-twin that plain top-k ranks second") {

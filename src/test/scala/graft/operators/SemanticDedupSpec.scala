@@ -178,6 +178,31 @@ class SemanticDedupSpec extends SparkFunSuite {
       s"no witness from the appended wave in ${rows(viaIndex)}")
   }
 
+  test("chooseNlist: √n growth, clamps, and the oracle anchor") {
+    // at the oracle corpus sizes the choice collapses onto the
+    // 16-cell teaching recipe — what lets d_semantic_auto share
+    // d_semantic's DuckDB replay verbatim
+    assert(Dedup.chooseNlist(50L) == 16)
+    assert(Dedup.chooseNlist(500L) == 16)
+    // the measured-quadratic fix: √n cells at the scale decades
+    assert(Dedup.chooseNlist(20000L) == 71)
+    assert(Dedup.chooseNlist(200000L) == 224)
+    // the n^1.5 law: nlist grows as √n (×10 data → ~×3.16 cells)
+    val r = Dedup.chooseNlist(2000000L).toDouble / Dedup.chooseNlist(20000L)
+    assert(r > 9.0 && r < 11.0, s"ratio $r")
+    // cap bounds the collected centroid literal
+    assert(Dedup.chooseNlist(100000000000L) == 4096)
+    assertThrows[IllegalArgumentException] { Dedup.chooseNlist(-1L) }
+  }
+
+  test("semanticDedupAuto == semanticDedup(16) at the oracle corpus size") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vid").collect().map(_.toString).toSeq
+    assert(rows(Dedup.semanticDedupAuto(emb, tau = 0.4)) ==
+      rows(Dedup.semanticDedup(emb, tau = 0.4)))
+  }
+
   test("plan shape: pair search shuffles on cell, no cartesian product") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
