@@ -57,6 +57,16 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s_embed_neardup_wide: equality-join candidates; one signature exchange reused") {
+    val p = plan("s_embed_neardup_wide")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the band self-join must canonicalize both sides onto ONE
+    // (band, key) exchange (ReuseExchange), like d_minhash's — the
+    // wide signature changes the key WIDTH, never the plan shape
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("e_funnel_cohort: conditional-min chain runs without window operators") {
     val p = plan("e_funnel_cohort")
     assert(!p.contains("Window"), p)
