@@ -119,14 +119,14 @@ object Dedup {
   def bandsFromRelation(rel: DataFrame,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    // One md5, projected once; Catalyst CSE would share the digest
-    // between the two substrings anyway, but the explicit projection
-    // keeps the plan (and the oracle SQL mirroring it) readable.
-    val hashed = rel.select(col("id"),
-      conv(substring(md5(col("shingle")), 1, 8), 16, 10)
-        .cast("long").as("h1"),
-      conv(substring(md5(col("shingle")), 9, 8), 16, 10)
-        .cast("long").as("h2"))
+    // Fused md5 pair (graft.plans.Md5HashPair): one digest yields both
+    // 32-bit halves with the exact conv/substring-chain values the
+    // oracle SQL spells — no hex string, no conv round-trip.
+    val hashed = rel
+      .select(col("id"),
+        graft.plans.HashOps.md5Pair(col("shingle")).as("__hp"))
+      .select(col("id"),
+        col("__hp.h1").as("h1"), col("__hp.h2").as("h2"))
     val minCols = (0 until k).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
     val sigs = hashed.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
@@ -174,10 +174,12 @@ object Dedup {
           .otherwise(array().cast("array<string>")))
         .as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .select(col("id"), transform(col("__sh"), s => struct(
-        conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("h2")))
-        .as("__hs"))
+      // Fused md5 pair: higher-order-function lambdas evaluate
+      // INTERPRETED (no codegen, no common-subexpression elimination),
+      // so the chain form here paid TWO full DigestUtils walks plus
+      // conv string round-trips per shingle; Md5HashPair digests once.
+      .select(col("id"), transform(col("__sh"),
+        s => graft.plans.HashOps.md5Pair(s)).as("__hs"))
     val mins = staged.select(col("id") +: (0 until k).map(i =>
       array_min(transform(col("__hs"), p =>
         p.getField("h1") + lit(i.toLong) * p.getField("h2"))).as(s"m$i")): _*)

@@ -153,7 +153,19 @@ object Graph {
     val withDeg = staged.join(denorm, "src")
     val ref =
       if (!useBucketed) {
-        withDeg.write.mode("overwrite").parquet(s"$scratch/edges")
+        // Scale-adaptive fan-out of the STANDING artifact (guide §2.5
+        // input skew): the broadcast-ranks path scans this file once
+        // per rank round with the join+partial-agg fused map-side, so
+        // a single-file landing (tiny |E|, AQE-coalesced write) makes
+        // EVERY round single-task. Landing ≥ `buckets` hash-split
+        // files makes each round's map work parallel for free —
+        // condition on the plan's own partitioning so a large |E|
+        // (already many partitions) never repartitions downward.
+        val fanned =
+          if (withDeg.rdd.getNumPartitions < buckets)
+            withDeg.repartition(buckets, col("src"))
+          else withDeg
+        fanned.write.mode("overwrite").parquet(s"$scratch/edges")
         s"$scratch/edges"
       } else {
         spark.sql("CREATE DATABASE IF NOT EXISTS graft_scratch")

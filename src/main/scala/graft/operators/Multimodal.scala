@@ -434,12 +434,38 @@ object Multimodal {
       i += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(
+    // Same JDK WAVE container writer AudioSystem.write dispatches to,
+    // called directly: the AudioSystem facade serializes every call on
+    // its synchronized provider registry, which turns the per-row
+    // synthesis of a fanned-out partition into a JVM-wide convoy (the
+    // PcmAudioDecoder reader-side fix, mirrored). Identical bytes —
+    // AudioSystem.write is exactly "first registered writer supporting
+    // WAVE", which this is.
+    wavWriter.write(
       new AudioInputStream(
         new java.io.ByteArrayInputStream(pcm.array()), fmt,
         nSamples.toLong),
       AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
+  }
+
+  /** The JDK's registered WAVE [[javax.sound.sampled.spi.AudioFileWriter]],
+    * resolved once through the public SPI (stateless — its write methods
+    * use only locals, so one instance serves all threads without the
+    * AudioSystem registry lock).
+    */
+  @transient private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter],
+        getClass.getClassLoader).iterator()
+    var found: javax.sound.sampled.spi.AudioFileWriter = null
+    while (found == null && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        found = w
+    }
+    require(found != null, "no WAVE AudioFileWriter registered")
+    found
   }
 
   def syntheticAvi(nFrames: Int, w: Int, h: Int,
@@ -566,13 +592,49 @@ object Multimodal {
     * holds.
     */
   private final class PcmAudioDecoder extends Serializable {
+    // The registered AudioFileReader providers, resolved ONCE per
+    // decoder instance (= per partition) through the public SPI —
+    // the exact provider set AudioSystem.getAudioInputStream consults,
+    // minus its globally SYNCHRONIZED registry: the per-row
+    // AudioSystem call serializes concurrent decode tasks on one JVM
+    // lock (measured: fanning the scan out 32-way made mm_audio
+    // SLOWER through that lock). Same decode classes, same first-
+    // reader-wins semantics, no shared state.
+    @transient private lazy val readerList: List[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+          getClass.getClassLoader)
+        .iterator()
+      val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) {
+        val r = it.next()
+        // SoftMidiAudioFileReader SYNTHESIZES PCM from MIDI — outside
+        // this decoder's PCM-container contract (a MIDI payload is
+        // "not PCM" → zero vector, like any other non-PCM kind) — and
+        // its accept probe calls MidiSystem.getSequence, which takes
+        // the JVM-GLOBAL JDK13Services registry lock on EVERY corrupt
+        // payload: thread dumps of the fanned-out decode showed all 32
+        // tasks convoyed on that one monitor.
+        if (!r.getClass.getName.contains("Midi")) b += r
+      }
+      // WAVE reader first: it accepts the overwhelmingly common case
+      // without the other readers' rejection probes running at all.
+      b.result().sortBy(r => if (r.getClass.getName.contains("Wave")) 0 else 1)
+    }
+    private def open(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      var rs = readerList
+      while (rs.nonEmpty) {
+        try return rs.head.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => () }
+        rs = rs.tail
+      }
+      null
+    }
     def decode(payload: Array[Byte]): Array[Float] = {
       val zero = new Array[Float](8)
       if (payload.isEmpty) return zero
-      val ais =
-        try javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val ais = open(payload)
       if (ais == null) return zero
       try {
         val fmt = ais.getFormat

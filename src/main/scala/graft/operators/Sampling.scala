@@ -32,9 +32,12 @@ object Sampling {
       factKeys: Seq[String], posCol: String, dimKey: String,
       salt: String = "neg"): DataFrame = {
     val mp = dim.agg(max(col(dimKey)).as("__mp"))
-    val h = conv(substring(md5(concat_ws(":",
-      lit(salt) +: factKeys.map(c => col(c).cast("string")): _*)), 1, 8),
-      16, 10).cast("long")
+    // Fused md5-prefix (graft.plans.Md5PrefixLong): same value as
+    // conv(substring(md5(…), 1, 8), 16, 10).cast("long") — the recipe
+    // the scaladoc and the DuckDB oracle spell — one digest, no hex /
+    // conv string round-trips (optimization guide §1.2 per-task work).
+    val h = graft.plans.HashOps.md5PrefixLong(concat_ws(":",
+      lit(salt) +: factKeys.map(c => col(c).cast("string")): _*), 1, 8)
     fact.crossJoin(broadcast(mp))
       .select(factKeys.map(col) :+ col(posCol).as("pos_key") :+
         (lit(1L) + pmod(h, col("__mp"))).as("neg_key"): _*)

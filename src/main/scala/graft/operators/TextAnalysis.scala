@@ -244,7 +244,10 @@ object TextAnalysis {
     * corpus growth.
     */
   def hashBand256(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 2), 16, 10)
+    // fused md5-prefix — same value as the conv/substring chain
+    // (graft.plans.Md5PrefixLong scaladoc), one digest, no hex strings
+    graft.plans.HashOps
+      .md5PrefixLong(concat(lit(salt), id.cast("string")), 1, 2)
       .cast("int")
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
@@ -358,7 +361,9 @@ object TextAnalysis {
     * streaming importance gate so the feature space can never drift.
     */
   def dsirBucket(bigram: Column): Column =
-    pmod(conv(substring(md5(concat(lit("dsir:"), bigram)), 1, 4), 16, 10)
+    // fused md5-prefix — same value as the conv/substring chain
+    pmod(graft.plans.HashOps
+      .md5PrefixLong(concat(lit("dsir:"), bigram), 1, 4)
       .cast("int"), lit(64))
 
   /** Per-row DSIR feature-weight array: each word bigram looked up in

@@ -13,6 +13,15 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String) = Sources.table(s, dir, "documents")
 
+  /** Scale-adaptive fan-out (Sources.fannedTable scaladoc) for the
+    * queries whose scan-fused shingling/gram work dominates (the
+    * testdata file is single-row-group → a 1-task scan). Selective by
+    * measurement — see OPTIMIZATION_r20.md. No-op at production
+    * split counts.
+    */
+  private def docsF(s: SparkSession, dir: String) =
+    Sources.fannedTable(s, dir, "documents", "doc_id")
+
   /** The oracle-checked d_minhash pair relation, STAGED once per JVM
     * per dataset dir and shared by every downstream consumer (both
     * doc-graph index builds in GraphQueries, the per-source audit):
@@ -240,7 +249,7 @@ object DedupQueries {
     // merge. Catches duplicated passages inside otherwise-unique
     // documents — the mode doc-level Jaccard and MinHash both miss.
     "d_spans" -> ((s, dir) =>
-      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text",
+      Dedup.duplicatedSpans(docsF(s, dir), "doc_id", "text",
         gramLen = 30, minDocs = 2)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "span_start")),
@@ -282,7 +291,7 @@ object DedupQueries {
       // 14×-at-10× wall without the reuse; plan-asserted in
       // PlanShapeSpec).
       val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      val fp = Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text")
+      val fp = Dedup.winnowFingerprints(docsF(s, dir), "doc_id", "text")
         .select("id", "fp").distinct()
         .withColumn("df", count(lit(1)).over(byFp))
         .filter(col("df") <= 10)

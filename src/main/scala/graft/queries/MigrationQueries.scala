@@ -170,10 +170,12 @@ object MigrationQueries {
       def state(df: DataFrame, cnt: String, ck: String) = df
         .groupBy(monthStr(col("l_shipdate")).as("part"))
         .agg(count(lit(1)).as(cnt),
-          sum(conv(substring(md5(concat_ws("|",
+          // fused md5-prefix (graft.plans.Md5PrefixLong) — same value
+          // as the conv/substring chain the oracle SQL spells
+          sum(graft.plans.HashOps.md5PrefixLong(concat_ws("|",
             col("l_orderkey").cast("string"),
             col("l_linenumber").cast("string"),
-            col("l_quantity").cast("long").cast("string"))), 1, 8), 16, 10)
+            col("l_quantity").cast("long").cast("string")), 1, 8)
             .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(ck))
       state(src, "src_count", "src_ck")
         .join(state(dst, "dst_count", "dst_ck"), Seq("part"), "full_outer")

@@ -203,10 +203,21 @@ object RelationalQueries {
       import org.apache.spark.sql.expressions.Window
       val scratch = graft.sources.Scratch.dir("qrec_edges",
         dir + ":" + java.util.UUID.randomUUID())
-      t(s, dir, "orders")
+      // Land the staged relation hash-split on the JOIN KEY across
+      // ≥ defaultParallelism files (never fewer partitions than the
+      // plan already has): AQE's post-window coalesce would otherwise
+      // land ONE tiny file, and every UnionLoop round's broadcast-join
+      // scan of it would run single-task (guide §2.5 input skew). At
+      // production scale shuffle.partitions ≥ parallelism keeps this a
+      // no-downsize no-op.
+      val stagedEdges = t(s, dir, "orders")
         .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
           lag(col("o_orderkey"), 1).over(Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_orderdate"), col("o_orderkey"))).as("prev_ok"))
+      stagedEdges.repartition(
+        math.max(s.sparkContext.defaultParallelism,
+          s.conf.get("spark.sql.shuffle.partitions").toInt),
+        col("prev_ok"))
         .write.mode("overwrite").parquet(scratch)
       val edges = s.read.parquet(scratch)
       val view = "edges_qrec_" +

@@ -16,7 +16,12 @@ import graft.sources.Sources
   */
 object SimilarityQueries {
 
-  private def emb(s: SparkSession, dir: String) = Sources.table(s, dir, "embeddings")
+  // Scale-adaptive fan-out (Sources.fannedTable scaladoc): distance
+  // kernels (dot products, PQ/SQ8 codecs, signatures) fuse into the
+  // scan; the single-row-group testdata file would run them on ONE
+  // core. No-op at production split counts.
+  private def emb(s: SparkSession, dir: String) =
+    Sources.fannedTable(s, dir, "embeddings", "vec_id")
 
   private val QueryIds = Seq(0L, 1L, 2L)
 

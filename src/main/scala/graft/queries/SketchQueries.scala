@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.Joins
+import graft.plans.HashOps
 import graft.sources.Sources
 
 /** Sketch/approximate operators and the as-of join.
@@ -142,8 +143,8 @@ object SketchQueries {
     "x_rs_quantiles" -> ((s, dir) => {
       val k = 128
       val rs = udaf(new graft.functions.ReservoirSketch(k))
-      val h = conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
-        16, 10).cast("long")
+      // fused md5-prefix — same value as the conv/substring chain
+      val h = HashOps.md5PrefixLong(col("o_orderkey").cast("string"), 1, 8)
       val o = t(s, dir, "orders")
         .select(col("o_orderstatus"), h.as("h"), col("o_totalprice").as("v"))
       val samp = o.groupBy("o_orderstatus")
@@ -181,8 +182,8 @@ object SketchQueries {
       val li = t(s, dir, "lineitem")
       val k = 64
       val kmv = udaf(new graft.functions.KmvSketch(k))
-      val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
-        .cast("long")
+      // fused md5-prefix — same value as the conv/substring chain
+      val h = HashOps.md5PrefixLong(col("l_orderkey").cast("string"), 1, 8)
       val estRaw = col("est_raw")
       li.select(col("l_returnflag"), h.as("h"), col("l_orderkey"))
         .groupBy("l_returnflag")
@@ -217,8 +218,8 @@ object SketchQueries {
           col("l_shipdate") < lit(hi).cast("timestamp"))
         .select(col("l_orderkey")).distinct()
       def sketch(df: DataFrame) = df
-        .select(conv(substring(md5(col("l_orderkey").cast("string")), 1, 8),
-          16, 10).cast("long").as("h"))
+        .select(HashOps.md5PrefixLong(col("l_orderkey").cast("string"), 1, 8)
+          .as("h"))
         .distinct().orderBy("h").limit(k)
       val (aKeys, bKeys) = (keys("1995-01-01", "1996-01-01"),
         keys("1995-07-01", "1997-01-01"))
@@ -298,9 +299,11 @@ object SketchQueries {
       val w = 64
       val d = 4
       val key = col("user_id").cast("string")
-      val hashed = t(s, dir, "events").select(col("user_id"),
-        conv(substring(md5(key), 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(key), 9, 8), 16, 10).cast("long").as("h2"))
+      // fused md5 pair — one digest, both chain-equal halves
+      val hashed = t(s, dir, "events")
+        .select(col("user_id"), HashOps.md5Pair(key).as("__hp"))
+        .select(col("user_id"),
+          col("__hp.h1").as("h1"), col("__hp.h2").as("h2"))
       val cells = hashed
         .select(explode(sequence(lit(0), lit(d - 1))).as("r"),
           col("h1"), col("h2"))
@@ -335,8 +338,8 @@ object SketchQueries {
     "x_kmv_windowed" -> ((s, dir) => {
       val k = 64
       val ev = t(s, dir, "events")
-      val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
+      // fused md5-prefix — same value as the conv/substring chain
+      val h = HashOps.md5PrefixLong(col("user_id").cast("string"), 1, 8)
       val dh = ev.select(to_date(col("ts")).as("day"), h.as("h")).distinct()
       val wDay = Window.partitionBy(col("day")).orderBy(col("h"))
       val dk = dh.withColumn("rn", row_number().over(wDay))

@@ -13,6 +13,20 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Sources.table(s, dir, "documents")
 
+  /** Scale-adaptive fan-out (Sources.fannedTable scaladoc) for the
+    * queries whose per-row map work dominates their wall-clock
+    * (n-gram expressions, JPEG/MJPEG decodes, winnowing): the testdata
+    * layout is one single-row-group file — a 1-task scan that runs the
+    * whole map stage on one core of 32. Applied SELECTIVELY, by
+    * measurement (OPTIMIZATION_r20.md): the cheap map queries lose
+    * more to the extra exchange than they gain in parallelism, and
+    * mm_audio's javax.sound decode SERIALIZES on the provider
+    * registry lock — fanning it out adds contention, not parallelism.
+    * No-op at production split counts.
+    */
+  private def docsF(s: SparkSession, dir: String) =
+    Sources.fannedTable(s, dir, "documents", "doc_id")
+
   /** Standing train-split shingle index for
     * `t_contamination_incremental`, built once per JVM per dataset
     * (the builtIvfPqIndex pattern: atomic computeIfAbsent; the table
@@ -278,7 +292,7 @@ object TextQueries {
     // on the per-row array): fuses into the scan with zero shuffles,
     // like the rest of the t_* quality columns.
     "t_repetition" -> ((s, dir) =>
-      docs(s, dir).select(
+      docsF(s, dir).select(
         col("doc_id"),
         TA.wordCount(col("text")).as("n_words"),
         round(TA.dupFraction(TA.wordBigrams(col("text"))), 6)
@@ -761,7 +775,7 @@ object TextQueries {
     // [[graft.operators.Dedup.winnowFingerprints]]; `d_winnow_pairs`
     // runs the MOSS match step over the same selection.
     "t_winnow" -> ((s, dir) =>
-      graft.operators.Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text")
+      graft.operators.Dedup.winnowFingerprints(docsF(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "fp_pos")),
 
@@ -860,9 +874,10 @@ object TextQueries {
     // one final rounded IEEE division, hash-exact.
     "t_ngram_novelty" -> ((s, dir) => {
       val staged = graft.sources.Scratch.dir("novelty", dir)
-      val shard = pmod(conv(substring(md5(concat(lit("epoch0:"),
-        col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int"),
-        lit(4))
+      // fused md5-prefix — same value as the conv/substring chain
+      val shard = pmod(graft.plans.HashOps.md5PrefixLong(
+        concat(lit("epoch0:"), col("doc_id").cast("string")), 1, 2)
+        .cast("int"), lit(4))
       docs(s, dir)
         .select(shard.as("shard"),
           explode(TA.wordBigrams(col("text"))).as("bg"))
@@ -1024,7 +1039,7 @@ object TextQueries {
       import s.implicits._
       val leftDark = ("0000" + "1111") * 8       // even frames: dark left half
       val topDark = "0" * 32 + "1" * 32          // odd frames: dark top half
-      val media = docs(s, dir)
+      val media = docsF(s, dir)
         .select(col("doc_id"), col("n_chars"), col("text"))
         .map { r =>
           val id = r.getLong(0)
@@ -1061,7 +1076,7 @@ object TextQueries {
     "mm_audio" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val media = docs(s, dir)
+      val media = docsF(s, dir)
         .select(col("doc_id"), col("n_chars"), col("text"))
         .map { r =>
           val id = r.getLong(0)
@@ -1144,7 +1159,7 @@ object TextQueries {
     "mm_neardup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val media = docs(s, dir)
+      val media = docsF(s, dir)
         .select(col("doc_id"), col("n_chars"))
         .map { r =>
           (r.getLong(0),

@@ -53,6 +53,52 @@ object Sources {
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Cached total byte size of a parquet path (a file-metadata stat
+    * memo — never data). Used by [[fannedTable]]'s split estimate.
+    */
+  private val pathBytes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def bytesOf(spark: SparkSession, path: String): Long =
+    pathBytes.computeIfAbsent(path, { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      java.lang.Long.valueOf(fs.getContentSummary(hp).getLength)
+    }).longValue()
+
+  /** Scale-adaptive scan FAN-OUT (optimization guide §2.5, "input
+    * skew: one huge unsplittable file"): read `$dir/$name.parquet`
+    * and, iff the scan would starve the cluster — fewer splits than
+    * half the default parallelism, by the standard
+    * bytes/maxPartitionBytes estimate — hash-repartition on `key` so
+    * compute-heavy map-fused work (n-gram expressions, codec decodes,
+    * per-shingle hashing) spreads across every core.
+    *
+    * The condition derives from the INPUT, not a local constant: a
+    * production 100 TB table scans as ~10⁶ splits and this is a
+    * no-op with zero added exchange; it fires exactly when the input
+    * is so few-splits (single-file single-row-group testdata, a
+    * gzip'd drop, one fat unsplittable file) that moving the small
+    * input once costs less than computing on idle cores. Hash (not
+    * round-robin) partitioning keeps row→partition assignment a pure
+    * function of the data — no sort-before-repartition pass, and
+    * retry-safe at scale (SPARK-38388's lesson). Results are
+    * unaffected by construction: every aggregate on these paths is
+    * order-insensitive exact arithmetic (the repo's determinism
+    * contract) and every declared query orders its own output.
+    */
+  def fannedTable(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame = {
+    val df = table(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(128L * 1024 * 1024)
+    val estSplits =
+      math.max(1L, bytesOf(spark, s"$dir/$name.parquet") / maxSplit)
+    if (estSplits * 2 >= p) df
+    else df.repartition(p, org.apache.spark.sql.functions.col(key))
+  }
+
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
 

@@ -273,9 +273,9 @@ object DocStreams {
     val rows = stream.select(
         col("lang"),
         TextAnalysis.qualityBucket(col("text")).as("bucket"),
-        conv(substring(
-          md5(concat(lit("ev:"), col("doc_id").cast("string"))), 1, 8),
-          16, 10).cast("long").as("h"),
+        // fused md5-prefix — same value as the conv/substring chain
+        graft.plans.HashOps.md5PrefixLong(
+          concat(lit("ev:"), col("doc_id").cast("string")), 1, 8).as("h"),
         col("doc_id"))
       .as[(String, String, Long, Long)]
     rows.groupByKey { case (lang, bucket, _, _) => (lang, bucket) }
