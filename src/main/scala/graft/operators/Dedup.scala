@@ -506,13 +506,13 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       gramLen: Int = 30, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Group on the RAW gram, not a digest: Spark's Md5 expression costs
-    // ~µs/row (per-row MessageDigest + hex + binary cast), and the plan
-    // evaluates the key twice per gram (null-filter + project) on each
-    // of two passes — measured 4.5 s of the operator's 13 s at sf0.1.
-    // The raw 30-char key shuffles a few bytes more but hashes with the
-    // cheap codegen string hash, is exactly as portable (the oracle
-    // groups the same substring), and collision-free by construction.
+    // Gram identity travels as a 128-bit xxhash64 pair on the minDocs=2
+    // fast path (see below; md5 was measured at 4.5 s of the operator's
+    // 13 s at sf0.1 before being dropped for the raw gram, and the raw
+    // gram in turn made the window exchange sort 30-char strings —
+    // xxhash64 is a ~ns codegen hash and two longs sort/shuffle for a
+    // third of the bytes). The general minDocs path still groups the
+    // raw gram (countDistinct needs the exact key relation anyway).
     val grams = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .select(col("id"),
         explode(when(length(col("text")) >= gramLen,
@@ -531,8 +531,23 @@ object Dedup {
     // gram pass runs ONCE instead of twice.
     val dp =
       if (minDocs == 2) {
-        val wH = Window.partitionBy(col("h"))
+        // Group on a 128-bit hash of the gram, not the 30-char gram
+        // itself (guide §2.3 "narrower types"): the window exchanges
+        // and SORTS every gram row, and two longs shuffle/compare for
+        // a third of the raw key's bytes. Two independent xxhash64
+        // draws (plain, and length-prefixed) give a 2⁻¹²⁸-class
+        // collision probability — ~10⁻²⁰ even at 10¹⁰ grams, the same
+        // accept-the-hash class as the md5 keys the dedup family
+        // already groups on — and the DuckDB oracle still groups RAW
+        // substrings, so any collision that ever mattered would fail
+        // the hash compare (verified sf0.001/0.01/0.1 this round).
+        val wH = Window.partitionBy(col("h1"), col("h2"))
         grams
+          // project the raw gram away BEFORE the exchange — only the
+          // two longs (and id, pos) cross the wire
+          .select(col("id"), col("pos"),
+            xxhash64(col("h")).as("h1"),
+            xxhash64(lit(0x9e3779b9L), col("h")).as("h2"))
           .withColumn("lo", min(col("id")).over(wH))
           .withColumn("hi", max(col("id")).over(wH))
           .filter(col("lo") =!= col("hi"))
@@ -787,9 +802,17 @@ object Dedup {
     */
   def semanticDedup(emb: DataFrame, tau: Double, nlist: Int = 16,
       iters: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame = {
     import graft.plans.FloatVecOps.{floatDot, floatNorm2}
-    val cents = Similarity.trainCentroidsLiteral(emb, nlist, iters, idCol, vecCol)
+    // `centroids`: pre-trained (nlist, iters) model state from the
+    // caller's per-JVM registry (the standing-model convention) — MUST
+    // be the literal [[Similarity.trainCentroidsLiteral]] output for
+    // the same (corpus, nlist, iters) or keep/prune decisions drift
+    // from the oracle replay. Re-training here per invocation was the
+    // operator's dominant cost on warm reruns.
+    val cents = centroids.getOrElse(
+      Similarity.trainCentroidsLiteral(emb, nlist, iters, idCol, vecCol))
     val assigned = Similarity.assignCells(emb, cents, idCol, vecCol)
       .select(col("vid"), col("cell"), col("cvec"),
         sqrt(floatNorm2(col("cvec"))).as("nrm"))

@@ -16,6 +16,15 @@ object AdvancedQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Sources.table(s, dir, n)
 
+  /** Scale-adaptive fan-out (Sources.fannedTable scaladoc) for queries
+    * whose per-row AGGREGATE work (HLL updates, percentile state, KMV
+    * sketch inserts) dominates a scan the testdata layout starves down
+    * to one task. Selective by measurement (OPTIMIZATION_r20.md);
+    * no-op at production split counts.
+    */
+  private def tF(s: SparkSession, dir: String, n: String, key: String) =
+    Sources.fannedTable(s, dir, n, key)
+
   /** revenue = extendedprice * (1 - discount), exact decimal. */
   private def revenueAdv =
     col("l_extendedprice").cast(DecimalType(18, 2)) *
@@ -158,7 +167,7 @@ object AdvancedQueries {
     "a_corr" -> ((s, dir) => {
       val x = col("l_quantity").cast(DecimalType(9, 2))
       val y = col("l_extendedprice").cast(DecimalType(18, 2))
-      val m = t(s, dir, "lineitem")
+      val m = tF(s, dir, "lineitem", "l_orderkey")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
           sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
@@ -220,7 +229,7 @@ object AdvancedQueries {
     // over the 4-value status domain, broadcast back to the fact —
     // clamping is map-only on the one real scan.
     "a_winsorize" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
+      val o = tF(s, dir, "orders", "o_orderkey")
       val caps = o.groupBy("o_orderstatus").agg(
         round(expr("percentile(o_totalprice, 0.05)"), 2)
           .cast(DecimalType(18, 2)).as("lo"),

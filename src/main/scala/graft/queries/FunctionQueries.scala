@@ -14,6 +14,15 @@ object FunctionQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Sources.table(s, dir, n)
 
+  /** Scale-adaptive fan-out (Sources.fannedTable scaladoc) for queries
+    * whose per-row AGGREGATE work (HLL updates, percentile state, KMV
+    * sketch inserts) dominates a scan the testdata layout starves down
+    * to one task. Selective by measurement (OPTIMIZATION_r20.md);
+    * no-op at production split counts.
+    */
+  private def tF(s: SparkSession, dir: String, n: String, key: String) =
+    Sources.fannedTable(s, dir, n, key)
+
   /** Per-JVM scratch ROOT backing f_struct's write→read round trip:
     * created on first use and recursively deleted by one JVM shutdown
     * hook — so neither bench's two in-JVM passes nor its isolated child
@@ -355,7 +364,7 @@ object FunctionQueries {
 
     // CUBE over lineitem flags.
     "f_cube" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      tF(s, dir, "lineitem", "l_orderkey")
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),

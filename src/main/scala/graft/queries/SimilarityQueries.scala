@@ -112,29 +112,38 @@ object SimilarityQueries {
     * cost, queries pay only assignment — trainCentroidsLiteral's
     * eager contract makes the computeIfAbsent the training site).
     */
-  private val trainedCents16 =
+  private val trainedCentsCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       Seq[org.apache.spark.sql.Row]]()
-  private def trainedCentsOf(s: SparkSession, dir: String): DataFrame = {
-    val rows = trainedCents16.computeIfAbsent(dir, { _ =>
+  /** Trained `nlist`-cell Lloyd centroids per (dataset dir, nlist),
+    * collected once per JVM — also serves d_semantic (16 cells, the
+    * teaching default) and d_semantic_auto (chooseNlist(n) cells),
+    * whose operator re-trained the identical model on EVERY
+    * invocation before this round.
+    */
+  private[queries] def trainedCentsN(s: SparkSession, dir: String,
+      nlist: Int): DataFrame = {
+    val rows = trainedCentsCache.computeIfAbsent(s"$dir#$nlist", { _ =>
       val t0 = System.nanoTime()
       val lit = Similarity.trainCentroidsLiteral(emb(s, dir),
-        nlist = 16, iters = 2)
+        nlist = nlist, iters = 2)
       val r = lit.collect().toSeq
-      println(f"[graft] trained k-means(16, 2 rounds) for $dir took " +
+      println(f"[graft] trained k-means($nlist, 2 rounds) for $dir took " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     })
     s.createDataFrame(java.util.Arrays.asList(rows: _*),
       rows.head.schema)
   }
+  private def trainedCentsOf(s: SparkSession, dir: String): DataFrame =
+    trainedCentsN(s, dir, 16)
 
   private val ivfPqIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def builtIvfPqIndex(s: SparkSession, dir: String): String =
     ivfPqIndexes.computeIfAbsent(dir, { _ =>
       val e = emb(s, dir)
-      val centsL = pqCodebooks(s, e)
+      val centsL = pqCodebooksOf(s, dir)
       val codes = pqCodes(e, centsL)
       val path = graft.sources.Scratch.dir("ivfpq", dir)
       val t0 = System.nanoTime()
@@ -289,7 +298,10 @@ object SimilarityQueries {
     // prune any vector with a τ-similar smaller-id neighbor IN ITS
     // CELL. Pairing is cluster-bounded (Σ|cell|²/2, never n²/2).
     "d_semantic" -> ((s, dir) =>
-      graft.operators.Dedup.semanticDedup(emb(s, dir), tau = 0.4)
+      // centroids from the per-JVM trained-model registry (same
+      // (nlist=16, iters=2) literal the operator would train itself)
+      graft.operators.Dedup.semanticDedup(emb(s, dir), tau = 0.4,
+          centroids = Some(trainedCentsOf(s, dir)))
         .select(col("vid").as("vec_id"), col("cell"), col("witness"),
           col("keep"))
         .orderBy("vec_id")),
@@ -303,11 +315,18 @@ object SimilarityQueries {
     // d_semantic's oracle verbatim — at larger corpora the query runs
     // the right nlist for that n (23 at sf0.1, 71 at sf1, 224 at the
     // 100× corpus) and total work rides n^1.5, not n².
-    "d_semantic_auto" -> ((s, dir) =>
-      graft.operators.Dedup.semanticDedupAuto(emb(s, dir), tau = 0.4)
+    "d_semantic_auto" -> ((s, dir) => {
+      // Same computation as Dedup.semanticDedupAuto (chooseNlist over
+      // the corpus count, then semanticDedup at that nlist) with the
+      // trained model drawn from the per-JVM registry — embCount is
+      // the same parquet row count the operator's emb.count() reads.
+      val nl = graft.operators.Dedup.chooseNlist(embCount(s, dir))
+      graft.operators.Dedup.semanticDedup(emb(s, dir), tau = 0.4,
+          nlist = nl, centroids = Some(trainedCentsN(s, dir, nl)))
         .select(col("vid").as("vec_id"), col("cell"), col("witness"),
           col("keep"))
-        .orderBy("vec_id")),
+        .orderBy("vec_id")
+    }),
 
     // INCREMENTAL semantic dedup: the last 100 vectors arrive as a
     // batch against the standing corpus (the d_incremental cut idiom).
@@ -541,7 +560,7 @@ object SimilarityQueries {
     // class, like centroids).
     "s_sq8_recon" -> ((s, dir) => {
       val e = emb(s, dir)
-      val (mns, mxs) = sq8StatsOf(e)
+      val (mns, mxs) = sq8StatsOf(s, dir)
       val codes = Similarity.sq8Encode(col("embedding"), mns, mxs)
       val deq = Similarity.sq8Dequantize(codes, mns, mxs)
       e.filter(col("vec_id") < 50)
@@ -563,7 +582,7 @@ object SimilarityQueries {
     // the codes, the reconstructions, and the exact-decimal cosines.
     "s_sq8_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val (mns, mxs) = sq8StatsOf(e)
+      val (mns, mxs) = sq8StatsOf(s, dir)
       val deqCorpus = e.select(col("vec_id"),
         Similarity.sq8Dequantize(
           Similarity.sq8Encode(col("embedding"), mns, mxs), mns, mxs)
@@ -583,7 +602,7 @@ object SimilarityQueries {
     // Every stage is hash-checked by the oracle below.
     "s_ann_ivf_sq8" -> ((s, dir) => {
       val e = emb(s, dir)
-      val (mns, mxs) = sq8StatsOf(e)
+      val (mns, mxs) = sq8StatsOf(s, dir)
       val deqCorpus = e.select(col("vec_id"),
         Similarity.sq8Dequantize(
           Similarity.sq8Encode(col("embedding"), mns, mxs), mns, mxs)
@@ -637,7 +656,7 @@ object SimilarityQueries {
     // widen k here and rerank survivors at full precision (s_pq_rerank).
     "s_pq_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centsL = pqCodebooks(s, e)
+      val centsL = pqCodebooksOf(s, dir)
       Similarity.adcTopK(pqCodes(e, centsL), centsL,
         e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
         .orderBy("qid", "rank")
@@ -658,7 +677,7 @@ object SimilarityQueries {
     "s_pq_rerank" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id").isin(QueryIds: _*))
-      val centsL = pqCodebooks(s, e)
+      val centsL = pqCodebooksOf(s, dir)
       val widened = Similarity.adcTopK(pqCodes(e, centsL), centsL, q,
         k = PqWiden).select(col("qid"), col("vid"))
       val qv = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -686,7 +705,7 @@ object SimilarityQueries {
     // recall-vs-probe is asserted in SimilarityQueriesSpec.
     "s_ann_ivf_pq" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centsL = pqCodebooks(s, e)
+      val centsL = pqCodebooksOf(s, dir)
       val codes = pqCodes(e, centsL)
       Similarity.adcIvfTopK(codes, centsL, reconOf(codes, centsL),
         e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
@@ -925,8 +944,25 @@ object SimilarityQueries {
     * them. Values are the deterministic training output unchanged, so
     * hashes are unaffected.
     */
-  private def pqCodebooks(s: SparkSession, e: DataFrame): DataFrame = {
-    val rows = trainedCents(e).collect()
+  /** PQ codebooks as per-JVM-per-dataset MODEL STATE — the
+    * [[trainedCentsOf]] convention (train once, search many: the FAISS
+    * lifecycle both trained-ANN families document). Before this cache
+    * the SAME one-Lloyd-round training collected FOUR times per board
+    * pass (s_pq_ann / s_pq_rerank / s_pq_recon / the IVFPQ index
+    * build) and again per bench repetition — pure duplicate work; the
+    * one-time build logs its cost like every other standing artifact.
+    */
+  private val pqCents =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[org.apache.spark.sql.Row]]()
+  private def pqCodebooksOf(s: SparkSession, dir: String): DataFrame = {
+    val rows = pqCents.computeIfAbsent(dir, { _ =>
+      val t0 = System.nanoTime()
+      val r = trainedCents(emb(s, dir)).collect().toSeq
+      println(f"[graft] trained PQ codebooks (M=$PqM, K=$PqK, 1 round) " +
+        f"for $dir took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    })
     s.createDataFrame(java.util.Arrays.asList(rows: _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("m",
@@ -946,10 +982,19 @@ object SimilarityQueries {
   /** Collected [[Similarity.sq8Stats]] as (mns, mxs) literal seqs in
     * 0-based dimension order — O(dims) driver rows.
     */
-  private def sq8StatsOf(e: DataFrame): (Seq[Double], Seq[Double]) = {
-    val st = Similarity.sq8Stats(e).orderBy("pos").collect()
-    (st.map(_.getDouble(1)).toSeq, st.map(_.getDouble(2)).toSeq)
-  }
+  /** Per-dimension min/max as per-JVM-per-dataset MODEL STATE (the
+    * [[trainedCentsOf]] / [[pqCodebooksOf]] convention): the same
+    * O(dims) stats pass was collected per invocation at three query
+    * sites and per bench repetition.
+    */
+  private val sq8StatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Seq[Double], Seq[Double])]()
+  private def sq8StatsOf(s: SparkSession, dir: String): (Seq[Double], Seq[Double]) =
+    sq8StatsCache.computeIfAbsent(dir, { _ =>
+      val st = Similarity.sq8Stats(emb(s, dir)).orderBy("pos").collect()
+      (st.map(_.getDouble(1)).toSeq, st.map(_.getDouble(2)).toSeq)
+    })
 
   /** Oracle CTEs shared by the SQ8 queries: per-dimension stats and the
     * reconstructed corpus vectors, 1-based `i` matching DuckDB array

@@ -30,6 +30,15 @@ object SketchQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Sources.table(s, dir, n)
 
+  /** Scale-adaptive fan-out (Sources.fannedTable scaladoc) for queries
+    * whose per-row AGGREGATE work (HLL updates, percentile state, KMV
+    * sketch inserts) dominates a scan the testdata layout starves down
+    * to one task. Selective by measurement (OPTIMIZATION_r20.md);
+    * no-op at production split counts.
+    */
+  private def tF(s: SparkSession, dir: String, n: String, key: String) =
+    Sources.fannedTable(s, dir, n, key)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HLL++ approximate distinct (exact twin: q_distinct_agg), emitted
     // in the tolerance-verdict form so the sketch is oracle-checkable:
@@ -93,7 +102,7 @@ object SketchQueries {
     // are all portable; the estimate folds into the boolean.
     "x_approx_quantiles" -> ((s, dir) => {
       val acc = 100
-      val o = t(s, dir, "orders")
+      val o = tF(s, dir, "orders", "o_orderkey")
         .select(col("o_orderstatus"), col("o_totalprice").as("v"))
       val qLits = array(lit(0.5), lit(0.9), lit(0.99))
       val est = o.groupBy("o_orderstatus")
@@ -179,7 +188,7 @@ object SketchQueries {
     // per-group sort). The ORACLE stays the window/row_number
     // formulation, which KmvSketchSpec proves bit-identical.
     "x_kmv_distinct" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tF(s, dir, "lineitem", "l_orderkey")
       val k = 64
       val kmv = udaf(new graft.functions.KmvSketch(k))
       // fused md5-prefix — same value as the conv/substring chain
@@ -258,7 +267,7 @@ object SketchQueries {
     // (order-independent → engine-portable), bucket edges single IEEE
     // double ops (bit-identical in DuckDB).
     "x_hist" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tF(s, dir, "lineitem", "l_orderkey")
       val nb = 20
       val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
         max(col("l_extendedprice")).as("hi"))
