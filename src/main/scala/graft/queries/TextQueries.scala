@@ -836,22 +836,28 @@ object TextQueries {
     // explode (the pre-r15 cut paid the explode twice — 6.3 s at the
     // 10× probe). Weights stay a 64-row broadcast; one per-doc agg.
     // Nothing corpus² anywhere; the weight table is model state.
+    // r20 opt: the slim (doc, lang, bucket, c) relation used to STAGE
+    // to scratch parquet so its two consumers (weight aggregate,
+    // scoring join) would not re-run the corpus explode — but the
+    // round-trip write+read was the query's dominant cost (guide
+    // §2.4 "remove shuffles outright" / §6 output costs). The weight
+    // computation is now a WINDOW over the same relation (per-bucket
+    // sums via partition-by-f), so the explode still runs exactly
+    // once, the broadcast join disappears, and nothing touches disk:
+    // same integer arithmetic, same values, one plan.
     "t_dsir" -> ((s, dir) => {
-      val staged = graft.sources.Scratch.dir("dsir", dir)
-      docs(s, dir)
+      val feats = docsF(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(TA.wordBigrams(col("text"))).as("bg"))
         .select(col("doc_id"), col("lang"),
           TA.dsirBucket(col("bg")).as("f"))
         .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c"))
-        .write.mode("overwrite").parquet(staged)
-      val feats = s.read.parquet(staged)
-      val w = feats.groupBy("f")
-        .agg(sum(col("c")).as("cr"),
-          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
-        .select(col("f"),
-          expr("((ct + 1) * 1000000) div (cr + 1)").as("w_e6"))
-      feats.join(broadcast(w), "f")
+      val wF = Window.partitionBy("f")
+      feats
+        .withColumn("cr", sum(col("c")).over(wF))
+        .withColumn("ct", sum(when(col("lang") === "en", col("c"))
+          .otherwise(0L)).over(wF))
+        .withColumn("w_e6", expr("((ct + 1) * 1000000) div (cr + 1)"))
         .groupBy("doc_id").agg(sum(col("c")).as("nf"),
           sum(col("c") * col("w_e6")).as("sw"))
         .select(col("doc_id"), col("nf"), expr("sw div nf").as("dsir_e6"))
@@ -872,25 +878,29 @@ object TextQueries {
     // never re-runs); first-occurrence attribution is a bigram-keyed
     // min, per-shard totals a shard-keyed count. Integer counts plus
     // one final rounded IEEE division, hash-exact.
+    // r20 opt: same staging-removal as t_dsir — first-occurrence
+    // attribution is a per-bigram MIN WINDOW over the one distinct
+    // (shard, bigram) relation instead of a second aggregate joined
+    // back over a scratch-parquet round trip. A bigram's row counts
+    // as novel exactly when its shard IS the min shard (one such row
+    // per bigram, since the relation is distinct), so the per-shard
+    // sums equal the old first-occurrence counts row for row.
     "t_ngram_novelty" -> ((s, dir) => {
-      val staged = graft.sources.Scratch.dir("novelty", dir)
       // fused md5-prefix — same value as the conv/substring chain
       val shard = pmod(graft.plans.HashOps.md5PrefixLong(
         concat(lit("epoch0:"), col("doc_id").cast("string")), 1, 2)
         .cast("int"), lit(4))
-      docs(s, dir)
+      val g = docsF(s, dir)
         .select(shard.as("shard"),
           explode(TA.wordBigrams(col("text"))).as("bg"))
         .distinct()
-        .write.mode("overwrite").parquet(staged)
-      val g = s.read.parquet(staged)
-      val novel = g.groupBy("bg").agg(min(col("shard")).as("shard"))
-        .groupBy("shard").agg(count(lit(1)).as("n_novel"))
-      g.groupBy("shard").agg(count(lit(1)).as("n_grams"))
-        .join(novel, Seq("shard"), "left")
-        .select(col("shard"), col("n_grams"),
-          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-          round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+      g.withColumn("first_shard",
+          min(col("shard")).over(Window.partitionBy("bg")))
+        .groupBy("shard").agg(count(lit(1)).as("n_grams"),
+          sum(when(col("shard") === col("first_shard"), 1L)
+            .otherwise(0L)).as("n_novel"))
+        .select(col("shard"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") /
             col("n_grams").cast("double"), 6).as("novelty"))
         .orderBy("shard")
     }),
@@ -906,15 +916,21 @@ object TextQueries {
     // vocabulary- or corpus-term-sized, no broadcast assumption — and
     // the top-3 is a per-doc window over tf's own partitioning. N is a
     // 1-row broadcast.
+    // r20 opt: df used to be a SECOND aggregate over tf joined back on
+    // the term (sort-merge: both sides exchanged + sorted on term).
+    // Since df is just tf's per-term row count, it is now a COUNT
+    // WINDOW over tf itself (partition by term) — the aggregate and
+    // the join collapse into the one term-keyed exchange the join
+    // already paid. Same arithmetic, same values.
     "t_tfidf" -> ((s, dir) => {
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n"))
       val rk = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
-      tf.join(dfreq, "term").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           (col("tf").cast("double") * col("n").cast("double") /
             col("df").cast("double")).as("score"))
@@ -937,17 +953,27 @@ object TextQueries {
     // key-partitioned left join on the bigram — corpus-linear, no
     // broadcast assumption on the model side, and low-familiarity docs
     // feed the same head/middle/tail machinery as t_quality_sample.
+    // r20 opt: the model side used to be a SECOND corpus explode
+    // (train-filtered) aggregated and joined back on the bigram — the
+    // wordBigrams expansion, the query's heaviest per-row work, ran
+    // ~1.8× over the corpus. Now ONE explode carries a train flag and
+    // the model count is a per-bigram window sum over it (partition
+    // by bg), so model lookups become `cnt_w` on the same row: a
+    // bigram is known iff any train occurrence exists (cnt_w > 0 ⟺
+    // the old left-join cnt was non-null), and cnt_w equals the old
+    // model count exactly. One explode, no join, same values.
     "t_lm_score" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val model = d.filter(TA.hashSplit(col("doc_id")) === "train")
-        .select(explode(TA.wordBigrams(col("text"))).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("cnt"))
-      d.select(col("doc_id"), explode(TA.wordBigrams(col("text"))).as("bg"))
-        .join(model, Seq("bg"), "left")
+      val occ = docsF(s, dir)
+        .select(col("doc_id"),
+          (TA.hashSplit(col("doc_id")) === "train").as("is_train"),
+          explode(TA.wordBigrams(col("text"))).as("bg"))
+      val cntW = sum(when(col("is_train"), 1L).otherwise(0L))
+        .over(Window.partitionBy("bg"))
+      occ.withColumn("cnt", cntW)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_known"),
-          sum(coalesce(col("cnt"), lit(0L))).as("model_mass"))
+          sum(when(col("cnt") > 0L, 1L).otherwise(0L)).as("n_known"),
+          sum(col("cnt")).as("model_mass"))
         .withColumn("familiarity",
           round(col("model_mass").cast("double") /
             col("n_bigrams").cast("double"), 6))
