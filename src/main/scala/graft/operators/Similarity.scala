@@ -272,9 +272,17 @@ object Similarity {
     */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame =
+    // `centroids`: pre-trained (nlist, iters) model state from the
+    // caller's per-JVM registry (the semanticDedup convention) — MUST
+    // be the literal [[trainCentroidsLiteral]] output for the same
+    // (corpus, nlist, iters) or the cell structure drifts from the
+    // oracle replay. Without it every invocation re-runs the Lloyd
+    // chain — the FAISS lifecycle trains once and searches many.
     ivfSearch(corpus, queries, k, nProbe,
-      trainCentroidsLiteral(corpus, nlist, iters, idCol, vecCol),
+      centroids.getOrElse(
+        trainCentroidsLiteral(corpus, nlist, iters, idCol, vecCol)),
       idCol, vecCol)
 
   /** [[trainCentroids]] COLLECTED to a literal relation — nlist·dims

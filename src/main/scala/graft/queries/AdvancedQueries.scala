@@ -192,7 +192,9 @@ object AdvancedQueries {
       // and (Σx)² are exact decimals, converted to double only at the end
       // (both engines round the same exact values → identical doubles).
       val x = col("l_quantity").cast(DecimalType(9, 2))
-      val base = t(s, dir, "lineitem")
+      // r20 opt: fanned like a_corr — same decimal power-sum shape
+      // over the same starved single-split scan (guide §2.5).
+      val base = tF(s, dir, "lineitem", "l_orderkey")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum(x).as("s1r"), sum(x * x).as("s2r"))
         .select(col("l_returnflag"), col("n"),

