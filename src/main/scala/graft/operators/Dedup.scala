@@ -959,14 +959,28 @@ object Dedup {
     * indexes ([[duplicatedSpans]]' O(corpus chars) key stream) and
     * whole-document hashes ([[TextAnalysis.fingerprint]]).
     *
-    * The tie-break rides inside the min itself: the window key is
-    * `md5hex || '#' || zeropad(BIG - pos)`, so the lexicographic
-    * minimum IS (min hash, max pos) and no second pass locates the
-    * argmin. Documents shorter than `w` grams fall back to one
-    * whole-document window, so every tokenizable document yields at
-    * least one fingerprint. One doc-partitioned window pass (sort
-    * within doc) then a distinct on the selected (doc, pos) — work
-    * tracks corpus tokens; nothing is quadratic.
+    * The tie-break rides inside the min itself. The SEMANTICS are the
+    * original window key `md5hex || '#' || zeropad(BIG - pos)`, whose
+    * lexicographic minimum IS (min hash, max pos) — but the key now
+    * travels as a struct of integers (r20, guide §2.3 "narrower
+    * types"): `(h1 ⊕ MIN_LONG, h2 ⊕ MIN_LONG, BIG - pos)` where
+    * (h1, h2) is the full 128-bit digest ([[graft.plans.Md5FullPair]]).
+    * Fixed-width lowercase hex orders exactly as the unsigned 128-bit
+    * value, and the sign-flip maps unsigned order onto the struct's
+    * signed-long comparison, so the struct minimum selects the SAME
+    * gram as the string minimum (HashOpsSpec pins the ordering
+    * equivalence and the hex round-trip; LlmOpsSpec's winnow cases pin
+    * the operator). The 32-char hex — part of the public (id, fp_pos,
+    * fp) contract — is reconstructed from the digest longs for the
+    * SELECTED survivors only, so per-gram work drops a 41-char key
+    * build + string compares to long compares, and the doc-partitioned
+    * shuffle carries 16 hash bytes per gram instead of ~40.
+    *
+    * Documents shorter than `w` grams fall back to one whole-document
+    * window, so every tokenizable document yields at least one
+    * fingerprint. One doc-partitioned window pass (sort within doc)
+    * then a distinct on the selected (doc, pos) — work tracks corpus
+    * tokens; nothing is quadratic.
     *
     * Returns (id, fp_pos, fp): the selected gram position and its
     * 32-hex fingerprint.
@@ -975,6 +989,7 @@ object Dedup {
       k: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val big = 99999999
+    val signFlip = lit(Long.MinValue)
     val toks = split(col(textCol), " ")
     val grams = df
       .select(col(idCol).as("id"), toks.as("l"), size(toks).as("n"))
@@ -982,21 +997,26 @@ object Dedup {
       .select(col("id"), col("l"),
         explode(sequence(lit(1), col("n") - (k - 1))).as("pos"))
       .select(col("id"), col("pos").cast("int").as("pos"),
-        md5(concat_ws(" ", slice(col("l"), col("pos"), lit(k)))).as("hsh"))
+        graft.plans.HashOps.md5FullPair(
+          concat_ws(" ", slice(col("l"), col("pos"), lit(k)))).as("hp"))
     val frame = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
     val whole = Window.partitionBy("id")
     grams
       .select(col("id"), col("pos"),
-        min(concat(col("hsh"), lit("#"),
-          lpad((lit(big) - col("pos")).cast("string"), 8, "0")))
+        min(struct(
+          col("hp.h1").bitwiseXOR(signFlip).as("a"),
+          col("hp.h2").bitwiseXOR(signFlip).as("b"),
+          (lit(big) - col("pos")).as("ip")))
           .over(frame).as("wk"),
         count(lit(1)).over(frame).as("wn"),
         max(col("pos")).over(whole).as("maxpos"))
       .filter(col("wn") === w || (col("pos") === 1 && col("maxpos") < w))
       .select(col("id"),
-        (lit(big) - substring(col("wk"), 34, 8).cast("int")).as("fp_pos"),
-        substring(col("wk"), 1, 32).as("fp"))
+        (lit(big) - col("wk.ip")).as("fp_pos"),
+        lower(concat(
+          lpad(hex(col("wk.a").bitwiseXOR(signFlip)), 16, "0"),
+          lpad(hex(col("wk.b").bitwiseXOR(signFlip)), 16, "0"))).as("fp"))
       .distinct()
   }
 }

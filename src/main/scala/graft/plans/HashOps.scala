@@ -164,6 +164,84 @@ case class Md5HashPair(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The FULL 128-bit md5 digest as two big-endian signed longs in ONE
+  * digest pass: `struct(h1, h2)` where `h1` is digest bytes 0-7 and
+  * `h2` bytes 8-15 (two's complement — the raw bit patterns, NOT the
+  * unsigned nibble prefixes of [[Md5HashPair]]). Two invariants the
+  * consumers lean on, both pinned in HashOpsSpec:
+  *
+  *  - the lowercase hex digest reconstructs exactly as
+  *    `lower(lpad(hex(h1),16,'0') || lpad(hex(h2),16,'0'))`;
+  *  - ordering by `(h1 ⊕ Long.MinValue, h2 ⊕ Long.MinValue)` (the
+  *    sign-flip that maps unsigned order onto signed order) equals
+  *    the lexicographic order of the lowercase hex strings — fixed
+  *    width and '0'-'9' < 'a'-'f' make hex order the unsigned
+  *    numeric order.
+  *
+  * This lets an operator whose SEMANTICS are defined over md5 hex
+  * strings (winnowing's min-hash selection) sort/compare 16 bytes of
+  * longs instead of 32-char strings and materialize the hex only for
+  * the selected survivors.
+  */
+case class Md5FullPair(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_full_pair requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("h1", LongType, nullable = true),
+    StructField("h2", LongType, nullable = true)))
+
+  @transient private lazy val localMd =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = localMd.get()
+    md.reset()
+    val digest = md.digest(input.asInstanceOf[UTF8String].getBytes)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](Md5FullPair.beLong(digest, 0), Md5FullPair.beLong(digest, 8)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5f",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) {
+              |  throw new RuntimeException(e);
+              |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, in => {
+      val dig = ctx.freshName("dig")
+      s"""
+         |$md.reset();
+         |byte[] $dig = $md.digest($in.getBytes());
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] {
+         |    (Object) graft.plans.Md5FullPair.beLong($dig, 0),
+         |    (Object) graft.plans.Md5FullPair.beLong($dig, 8) });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5FullPair =
+    copy(child = newChild)
+}
+
+object Md5FullPair {
+  /** Bytes [off, off+8) of the digest as a big-endian signed long. */
+  def beLong(digest: Array[Byte], off: Int): Long = {
+    var acc = 0L
+    var i = off
+    while (i < off + 8) { acc = (acc << 8) | (digest(i) & 0xffL); i += 1 }
+    acc
+  }
+}
+
 /** Column-API entry points for the fused hash expressions. */
 object HashOps {
   /** Same value as `conv(substring(md5(s), pos, len), 16, 10).cast("long")`. */
@@ -175,4 +253,11 @@ object HashOps {
     */
   def md5Pair(s: Column): Column =
     GraftColumns.column(Md5HashPair(GraftColumns.expression(s)))
+
+  /** The full digest as two big-endian signed longs, one digest pass:
+    * `struct(h1 long, h2 long)` — see [[Md5FullPair]] for the hex
+    * round-trip and ordering invariants.
+    */
+  def md5FullPair(s: Column): Column =
+    GraftColumns.column(Md5FullPair(GraftColumns.expression(s)))
 }

@@ -92,4 +92,56 @@ class HashOpsSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaPair == viaChain)
   }
+
+  test("md5FullPair: hex round-trip — lower(lpad(hex(h1))||lpad(hex(h2))) == md5(s)") {
+    val ssx = edgeInputs ++ (1 to 200).map(i => s"gram $i of doc ${i % 7}")
+    val bad = ssx.toDF("s").select(
+      HashOps.md5FullPair(col("s")).as("p"), md5(col("s")).as("hx"))
+      .select(lower(concat(
+        lpad(hex(col("p.h1")), 16, "0"),
+        lpad(hex(col("p.h2")), 16, "0"))).as("re"), col("hx"))
+      .filter(col("re") =!= col("hx")).count()
+    assert(bad == 0L)
+  }
+
+  test("md5FullPair: sign-flipped struct order == hex-string order (winnow key)") {
+    // the exact substitution winnowFingerprints makes: ordering by
+    // (h1^MIN, h2^MIN, BIG-pos) must equal ordering by
+    // md5hex || '#' || zeropad(BIG-pos)
+    val big = 99999999
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map(i =>
+      (s"tok${rnd.nextInt(40)} tok${rnd.nextInt(40)} tok${rnd.nextInt(40)}",
+        1 + rnd.nextInt(5000)))
+    val df = rows.toDF("s", "pos")
+    val flip = lit(Long.MinValue)
+    val keyed = df.select(
+      concat(md5(col("s")), lit("#"),
+        lpad((lit(big) - col("pos")).cast("string"), 8, "0")).as("skey"),
+      struct(
+        HashOps.md5FullPair(col("s")).getField("h1").bitwiseXOR(flip).as("a"),
+        HashOps.md5FullPair(col("s")).getField("h2").bitwiseXOR(flip).as("b"),
+        (lit(big) - col("pos")).as("ip")).as("nkey"))
+    val byString = keyed.orderBy(col("skey")).select("skey").collect().map(_.getString(0))
+    val byStruct = keyed.orderBy(col("nkey")).select("skey").collect().map(_.getString(0))
+    assert(byString.sameElements(byStruct))
+    // and the two MINIMA select the same element (the operator's use)
+    assert(byString.head == byStruct.head)
+  }
+
+  test("md5FullPair: null in, null out; interpreted eval matches codegen") {
+    val r = Seq[Option[String]](None, Some("x")).toDF("s")
+      .select(HashOps.md5FullPair(col("s")).as("p")).collect()
+    assert(r.exists(_.isNullAt(0)) && r.exists(!_.isNullAt(0)))
+    edgeInputs.foreach { s =>
+      val e = Md5FullPair(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType))
+      val row = e.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+      val (h1, h2) = (row.getLong(0), row.getLong(1))
+      val hx = Seq(s).toDF("s").select(md5(col("s"))).head().getString(0)
+      assert(f"$h1%016x$h2%016x" == hx, s"input '$s'")
+    }
+  }
 }
